@@ -1,0 +1,27 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so the suite is
+hermetic (no TPU needed) and multi-chip sharding is exercised on a host mesh.
+"""
+
+import os
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_assets():
+    assets = REFERENCE_ROOT / "Assets"
+    if not assets.is_dir():
+        pytest.skip("reference assets not available")
+    return assets
