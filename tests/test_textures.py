@@ -1,0 +1,200 @@
+"""Texture pipeline: PNG decode vs PIL oracle, DDS/BC decode on the
+reference's own assets, mip generation, atlas packing."""
+
+import numpy as np
+import pytest
+
+from unclerenderer_tpu.textures.atlas import MAX_MIPS, build_atlas
+from unclerenderer_tpu.textures.dds import load_dds
+from unclerenderer_tpu.textures.image import (
+    TextureCache,
+    default_grid_texture,
+    generate_mips,
+    load_image,
+)
+from unclerenderer_tpu.textures.png import decode_png, load_png
+
+
+def _pil_png(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGBA"), np.uint8)
+
+
+def test_png_matches_pil_box(reference_assets):
+    p = reference_assets / "BoxTextured" / "CesiumLogoFlat.png"
+    mine = load_png(p)
+    ref = _pil_png(p)
+    assert mine is not None
+    assert mine.shape == ref.shape
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_png_matches_pil_duck(reference_assets):
+    p = reference_assets / "Duck" / "DuckCM.png"
+    mine = load_png(p)
+    ref = _pil_png(p)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_png_synthetic_roundtrip(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 53, 4), np.uint8)  # odd sizes
+    p = tmp_path / "t.png"
+    Image.fromarray(img, "RGBA").save(p)
+    mine = load_png(p)
+    np.testing.assert_array_equal(mine, img)
+
+
+def test_png_grayscale(tmp_path):
+    from PIL import Image
+
+    img = (np.arange(64 * 64) % 256).astype(np.uint8).reshape(64, 64)
+    p = tmp_path / "g.png"
+    Image.fromarray(img, "L").save(p)
+    mine = load_png(p)
+    assert mine.shape == (64, 64, 4)
+    np.testing.assert_array_equal(mine[..., 0], img)
+    np.testing.assert_array_equal(mine[..., 3], 255)
+
+
+def test_png_palette(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    pal = Image.fromarray(img, "RGB").quantize(colors=16)
+    p = tmp_path / "p.png"
+    pal.save(p)
+    mine = load_png(p)
+    ref = _pil_png(p)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_dds_bc1(reference_assets):
+    dds = load_dds(reference_assets / "sponza" / "textures" / "background.dds")
+    assert dds is not None
+    assert dds.width == 1024 and dds.height == 1024
+    assert dds.mip_count == 11
+    assert not dds.is_cube
+    mip0 = dds.mips[0][0]
+    assert mip0.shape == (1024, 1024, 4)
+    assert mip0.dtype == np.uint8
+    # Plausible image content (not constant).
+    assert mip0[..., :3].std() > 5
+    # Mip sizes halve.
+    assert dds.mips[0][1].shape == (512, 512, 4)
+    assert dds.mips[0][10].shape == (1, 1, 4)
+
+
+def test_dds_bc5_normal_map(reference_assets):
+    dds = load_dds(reference_assets / "sponza" / "textures" / "background_bump.dds")
+    assert dds is not None
+    mip0 = dds.mips[0][0]
+    # BC5: RG channels active, B zeroed.
+    assert mip0[..., 0].std() > 1
+    assert np.all(mip0[..., 2] == 0)
+    # Normal maps hover around 128 in both channels.
+    assert 100 < mip0[..., 0].mean() < 156
+    assert 100 < mip0[..., 1].mean() < 156
+
+
+def test_dds_bc3_alpha(reference_assets):
+    dds = load_dds(
+        reference_assets / "sponza" / "textures" / "chain_texture-chain_texture_mask.dds"
+    )
+    assert dds is not None
+    mip0 = dds.mips[0][0]
+    # Chain mask has both opaque and transparent regions.
+    assert mip0[..., 3].min() < 50
+    assert mip0[..., 3].max() > 200
+
+
+def test_dds_uncompressed_brdf_lut(reference_assets):
+    dds = load_dds(reference_assets / "Textures" / "PreintegratedGF.dds")
+    assert dds is not None
+    assert dds.width == 128 and dds.height == 32
+    lut = dds.mips[0][0]
+    assert lut.shape == (32, 128, 4)
+    assert lut.dtype == np.float32  # R16G16_UNORM -> [0,1] floats
+    # BRDF split-sum LUT: the scale term approaches 1 at grazing/low-rough.
+    assert lut[..., 0].max() > 0.5
+    assert 0.0 <= lut[..., 1].min() and lut[..., 1].max() <= 1.0
+
+
+def test_bc_native_matches_numpy(reference_assets):
+    """The C++ and numpy BC decoders must agree bit-exactly."""
+    from unclerenderer_tpu.textures import native
+    from unclerenderer_tpu.textures.dds import _decode_bc_numpy
+
+    if native.get_native() is None:
+        pytest.skip("native library not built")
+    raw = (reference_assets / "sponza" / "textures" / "lion.dds").read_bytes()
+    block_data = raw[128 : 128 + (256 // 4) * (256 // 4) * 8]  # 256x256 worth of BC1
+    a = native.bc_decode(block_data, 256, 256, 1)
+    b = _decode_bc_numpy(block_data, 256, 256, 1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_mips():
+    img = np.ones((8, 4, 4), np.float32)
+    img[0:4] = 0.0
+    mips = generate_mips(img)
+    assert [m.shape[:2] for m in mips] == [(8, 4), (4, 2), (2, 1), (1, 1)]
+    assert mips[-1][0, 0, 0] == pytest.approx(0.5)
+
+
+def test_atlas_pack_and_lookup():
+    rng = np.random.default_rng(0)
+    chains = [
+        generate_mips(rng.random((64, 64, 4), np.float32).astype(np.float32)),
+        generate_mips(rng.random((32, 16, 4), np.float32).astype(np.float32)),
+        generate_mips(np.full((4, 4, 4), 0.25, np.float32)),
+    ]
+    atlas = build_atlas(chains)
+    assert atlas.num_textures == 3
+    # Every mip is retrievable from its rect.
+    for t, chain in enumerate(chains):
+        for lv, img in enumerate(chain):
+            x, y = atlas.mip_x[t, lv], atlas.mip_y[t, lv]
+            w, h = atlas.mip_w[t, lv], atlas.mip_h[t, lv]
+            assert (h, w) == img.shape[:2]
+            np.testing.assert_array_equal(atlas.data[y : y + h, x : x + w], img)
+        # LOD clamp baked in: tail entries repeat the 1x1 mip.
+        assert atlas.mip_w[t, MAX_MIPS - 1] == 1
+        assert atlas.mip_h[t, MAX_MIPS - 1] == 1
+    # No overlaps: paint rects and check each texel painted at most once.
+    mask = np.zeros(atlas.data.shape[:2], np.int32)
+    for t in range(3):
+        for lv in range(len(chains[t])):
+            x, y = atlas.mip_x[t, lv], atlas.mip_y[t, lv]
+            w, h = atlas.mip_w[t, lv], atlas.mip_h[t, lv]
+            mask[y : y + h, x : x + w] += 1
+    assert mask.max() == 1
+
+
+def test_texture_cache_defaults():
+    cache = TextureCache()
+    mips = cache.load_or_default("/nonexistent/missing.png")
+    assert mips[0].shape == (256, 256, 4)
+    # cached: same object back
+    assert cache.load_or_default("/nonexistent/missing.png") is mips
+    solid = cache.load_or_solid("", [0.5, 0.5, 1.0, 1.0])
+    np.testing.assert_allclose(solid[0][0, 0], [0.5, 0.5, 1.0, 1.0])
+
+
+def test_load_image_srgb_linearizes(reference_assets):
+    lin = load_image(reference_assets / "Duck" / "DuckCM.png", srgb=True)
+    raw = load_image(reference_assets / "Duck" / "DuckCM.png", srgb=False)
+    # sRGB decode darkens midtones.
+    assert lin[0][..., :3].mean() < raw[0][..., :3].mean()
+    # Alpha untouched.
+    np.testing.assert_array_equal(lin[0][..., 3], raw[0][..., 3])
+
+
+def test_default_grid():
+    g = default_grid_texture()
+    assert g.shape == (256, 256, 4)
+    assert len(np.unique(g[..., 0])) == 2

@@ -1,0 +1,128 @@
+"""Texture atlas: all scene textures + mip chains packed into one 2D array.
+
+TPUs have no texture units; sampling is explicit gathers (ops/texture.py).
+Packing every (texture, mip) rectangle into a single HBM-resident array keeps
+the per-pixel sample path to one table lookup + four gathers per tap, with a
+uniform code path for every material slot (the analog of the reference's one
+big shader-visible descriptor heap, ``DeferredRenderer.cpp:2880-3168``).
+
+Table trick: each texture's mip table has MAX_MIPS entries; levels beyond the
+real chain repeat the 1x1 tail, so LOD clamping is baked into the table and
+the sampler never branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.logging import log_info
+
+MAX_MIPS = 14  # up to 8192
+
+
+@dataclasses.dataclass
+class TextureAtlas:
+    data: np.ndarray = None          # (H, W, 4) float32 linear
+    mip_x: np.ndarray = None         # (n_tex, MAX_MIPS) int32
+    mip_y: np.ndarray = None         # (n_tex, MAX_MIPS) int32
+    mip_w: np.ndarray = None         # (n_tex, MAX_MIPS) int32
+    mip_h: np.ndarray = None         # (n_tex, MAX_MIPS) int32
+    mip_count: np.ndarray = None     # (n_tex,) int32
+
+    @property
+    def num_textures(self) -> int:
+        return 0 if self.mip_x is None else int(self.mip_x.shape[0])
+
+
+class _ShelfPacker:
+    """Simple shelf packer: rows of decreasing height."""
+
+    def __init__(self, width: int):
+        self.width = width
+        self.rows: list[list[int]] = []  # [y, x_cursor, row_height]
+        self.height = 0
+
+    def place(self, w: int, h: int) -> tuple[int, int]:
+        for row in self.rows:
+            if row[1] + w <= self.width and h <= row[2]:
+                x = row[1]
+                row[1] += w
+                return x, row[0]
+        y = self.height
+        self.rows.append([y, w, h])
+        self.height += h
+        return 0, y
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAtlas:
+    """Pack a list of mip chains (each: list of (h, w, 4) float32 arrays).
+
+    Returns a TextureAtlas whose ``data`` height is rounded to 8 rows (TPU
+    sublane alignment for f32).
+    """
+    n = len(texture_mips)
+    atlas = TextureAtlas(
+        mip_x=np.zeros((n, MAX_MIPS), np.int32),
+        mip_y=np.zeros((n, MAX_MIPS), np.int32),
+        mip_w=np.ones((n, MAX_MIPS), np.int32),
+        mip_h=np.ones((n, MAX_MIPS), np.int32),
+        mip_count=np.zeros(n, np.int32),
+    )
+    if n == 0:
+        atlas.data = np.zeros((8, 128, 4), np.float32)
+        return atlas
+
+    # Sort rectangles by height (desc) for decent shelf utilization; keep
+    # (tex, mip) identity with each.
+    rects = []
+    for t, mips in enumerate(texture_mips):
+        atlas.mip_count[t] = len(mips)
+        for lv, img in enumerate(mips):
+            rects.append((img.shape[0], img.shape[1], t, lv))
+    rects.sort(key=lambda r: (-r[0], -r[1]))
+
+    max_w = max(r[1] for r in rects)
+    total_area = sum(r[0] * r[1] for r in rects)
+    width = max(128, max_w)
+    width = 1 << int(np.ceil(np.log2(width)))
+    # widen until the packed height is roughly square-ish
+    while width * width < total_area * 1.3 and width < 16384:
+        width *= 2
+
+    packer = _ShelfPacker(width)
+    places = {}
+    for h, w, t, lv in rects:
+        x, y = packer.place(w + pad, h + pad)
+        places[(t, lv)] = (x, y)
+
+    height = _round_up(max(packer.height, 8), 8)
+    data = np.zeros((height, width, 4), np.float32)
+    for t, mips in enumerate(texture_mips):
+        for lv, img in enumerate(mips):
+            x, y = places[(t, lv)]
+            h, w = img.shape[:2]
+            data[y : y + h, x : x + w] = img
+            atlas.mip_x[t, lv] = x
+            atlas.mip_y[t, lv] = y
+            atlas.mip_w[t, lv] = w
+            atlas.mip_h[t, lv] = h
+        # bake LOD clamp: repeat the last real mip for the tail entries
+        last = len(mips) - 1
+        for lv in range(len(mips), MAX_MIPS):
+            atlas.mip_x[t, lv] = atlas.mip_x[t, last]
+            atlas.mip_y[t, lv] = atlas.mip_y[t, last]
+            atlas.mip_w[t, lv] = atlas.mip_w[t, last]
+            atlas.mip_h[t, lv] = atlas.mip_h[t, last]
+
+    atlas.data = data
+    log_info(
+        f"texture atlas: {n} textures, {len(rects)} mips packed into "
+        f"{width}x{height} ({data.nbytes / 1e6:.1f} MB f32)"
+    )
+    return atlas
