@@ -4,13 +4,19 @@ hermetic (no TPU needed) and multi-chip sharding is exercised on a host mesh.
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before any backend initialization. The environment pre-registers
+# an "axon" TPU platform via sitecustomize and pins JAX_PLATFORMS=axon, so
+# the env var alone is not enough -- use the config API too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

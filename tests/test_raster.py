@@ -1,0 +1,226 @@
+"""Rasterizer: coverage, depth test, culling, near-plane (clipless) handling,
+barycentric interpolation -- cross-checked against a simple numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from unclerenderer_tpu import mathlib as m
+from unclerenderer_tpu.ops.raster import (
+    CULL_BACK,
+    CULL_FRONT,
+    CULL_NONE,
+    DEPTH_MAX,
+    DEPTH_MIN,
+    rasterize,
+    triangle_setup,
+    viewport_homogeneous,
+)
+from unclerenderer_tpu.ops.interpolate import barycentrics, interpolate
+
+W = H = 64
+
+
+def _raster(clip, tris, cull=CULL_NONE, width=W, height=H, depth_mode=DEPTH_MAX):
+    clip = jnp.asarray(clip, jnp.float32)
+    tris = jnp.asarray(tris, jnp.int32)
+    pix_h = viewport_homogeneous(clip, width, height)
+    mask = jnp.ones(tris.shape[0], bool)
+    setup = triangle_setup(pix_h, clip[:, 2], tris, mask, cull, width, height)
+    depth, tid = rasterize(
+        setup, width, height, tile_h=16, tile_w=16, chunk=8, depth_mode=depth_mode
+    )
+    return np.asarray(depth), np.asarray(tid), pix_h
+
+
+def ndc_vertex(x, y, z_ndc, w=1.0):
+    """Build a clip-space vertex from NDC + w (reverse-Z z stored directly)."""
+    return [x * w, y * w, z_ndc * w, w]
+
+
+def test_single_triangle_coverage_matches_oracle():
+    # (bottom-left, top-middle, bottom-right) traverses counter-clockwise on
+    # screen; reverse the order for a D3D front-facing (clockwise) triangle.
+    verts = [
+        ndc_vertex(-0.5, -0.5, 0.5),
+        ndc_vertex(0.5, -0.5, 0.5),
+        ndc_vertex(0.0, 0.5, 0.5),
+    ]
+    depth, tid, _ = _raster(verts, [[0, 1, 2]], cull=CULL_BACK)
+    assert (tid >= 0).sum() > 100  # roughly 1/8 of 64x64
+    np.testing.assert_allclose(depth[tid >= 0], 0.5, atol=1e-6)
+
+    # Oracle: point-in-triangle in screen space.
+    sx = [((v[0] / v[3]) * 0.5 + 0.5) * W for v in verts]
+    sy = [(0.5 - (v[1] / v[3]) * 0.5) * H for v in verts]
+    cnt = 0
+    inside_oracle = np.zeros((H, W), bool)
+    for y in range(H):
+        for x in range(W):
+            px, py = x + 0.5, y + 0.5
+            e = []
+            for i in range(3):
+                j = (i + 1) % 3
+                e.append((sx[j] - sx[i]) * (py - sy[i]) - (sy[j] - sy[i]) * (px - sx[i]))
+            inside_oracle[y, x] = all(v > 0 for v in e) or all(v < 0 for v in e)
+            cnt += inside_oracle[y, x]
+    # Edge-exact pixels may differ by the fill rule; interiors must agree.
+    got = tid >= 0
+    disagree = got != inside_oracle
+    assert disagree.sum() <= 8  # only possible on shared-edge pixels
+
+
+def test_winding_cull_back_and_front():
+    # clockwise on screen (D3D front): bottom-left -> bottom-right -> top.
+    cw = [
+        ndc_vertex(-0.5, -0.5, 0.5),
+        ndc_vertex(0.5, -0.5, 0.5),
+        ndc_vertex(0.0, 0.5, 0.5),
+    ]
+    ccw = [cw[0], cw[2], cw[1]]
+    _, tid_cw_back, _ = _raster(cw, [[0, 1, 2]], cull=CULL_BACK)
+    _, tid_ccw_back, _ = _raster(ccw, [[0, 1, 2]], cull=CULL_BACK)
+    assert (tid_cw_back >= 0).sum() > 100
+    assert (tid_ccw_back >= 0).sum() == 0  # back-facing culled
+    _, tid_cw_front, _ = _raster(cw, [[0, 1, 2]], cull=CULL_FRONT)
+    _, tid_ccw_front, _ = _raster(ccw, [[0, 1, 2]], cull=CULL_FRONT)
+    assert (tid_cw_front >= 0).sum() == 0
+    assert (tid_ccw_front >= 0).sum() > 100
+
+
+def test_depth_test_reverse_z_nearest_wins():
+    # Reverse-Z: larger z_ndc = nearer. Two overlapping quads.
+    verts = [
+        # far triangle (z=0.2)
+        ndc_vertex(-0.8, -0.8, 0.2),
+        ndc_vertex(0.0, 0.8, 0.2),
+        ndc_vertex(0.8, -0.8, 0.2),
+        # near triangle (z=0.7), smaller
+        ndc_vertex(-0.4, -0.4, 0.7),
+        ndc_vertex(0.0, 0.4, 0.7),
+        ndc_vertex(0.4, -0.4, 0.7),
+    ]
+    depth, tid, _ = _raster(verts, [[0, 2, 1], [3, 5, 4]], cull=CULL_BACK)
+    assert set(np.unique(tid)) == {-1, 0, 1}
+    # near triangle owns its pixels
+    assert np.all(depth[tid == 1] == pytest.approx(0.7))
+    assert np.all(depth[tid == 0] == pytest.approx(0.2))
+    # order independence: reversed triangle order gives same depth image
+    depth2, tid2, _ = _raster(
+        [verts[i] for i in [3, 4, 5, 0, 1, 2]], [[0, 2, 1], [3, 5, 4]], cull=CULL_BACK
+    )
+    np.testing.assert_allclose(depth, depth2)
+
+
+def test_depth_min_mode_for_shadows():
+    verts = [
+        ndc_vertex(-0.8, -0.8, 0.2),
+        ndc_vertex(0.0, 0.8, 0.2),
+        ndc_vertex(0.8, -0.8, 0.2),
+        ndc_vertex(-0.4, -0.4, 0.7),
+        ndc_vertex(0.0, 0.4, 0.7),
+        ndc_vertex(0.4, -0.4, 0.7),
+    ]
+    depth, tid, _ = _raster(
+        verts, [[0, 1, 2], [3, 4, 5]], cull=CULL_NONE, depth_mode=DEPTH_MIN
+    )
+    # standard-Z: smaller wins; empty = 1.0
+    assert np.all(depth[tid == 0] == pytest.approx(0.2))
+    assert (tid == 1).sum() == 0  # farther triangle never wins where both cover
+    assert np.all(depth[tid == -1] == 1.0)
+
+
+def test_perspective_camera_cube_inside():
+    """Camera inside a cube: every face crosses or faces away; near-plane
+    crossing floor/walls must rasterize (clipless homogeneous raster)."""
+    from unclerenderer_tpu.scene.mesh import create_cube
+
+    cube = create_cube(4.0)
+    view = m.look_to_lh([0.0, 0.0, 0.0], [0, 0, 1], [0, 1, 0])
+    proj = m.perspective_reverse_z_infinite(np.pi / 2, 1.0, 0.1)
+    vp = jnp.asarray(view @ proj)
+    pos = jnp.asarray(cube.position)
+    clip = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], axis=1) @ vp
+    tris = jnp.asarray(cube.indices.reshape(-1, 3), jnp.int32)
+    pix_h = viewport_homogeneous(clip, W, H)
+    # cube faces point outward; camera inside sees back faces -> CULL_NONE
+    setup = triangle_setup(pix_h, clip[:, 2], tris, jnp.ones(12, bool), CULL_NONE, W, H)
+    depth, tid = rasterize(setup, W, H, tile_h=16, tile_w=16, chunk=8)
+    # every pixel covered (enclosed), all depths valid (0, 1]
+    assert np.all(np.asarray(tid) >= 0)
+    d = np.asarray(depth)
+    assert np.all(d > 0.0) and np.all(d <= 1.0)
+    # +Z face is 2 units away: z_ndc = near/viewz = 0.1/2 = 0.05 at center
+    assert d[H // 2, W // 2] == pytest.approx(0.05, rel=1e-3)
+
+
+def test_barycentric_interpolation_perspective_correct():
+    """A textured quad receding in depth: interpolation must be
+    perspective-correct (compare against per-pixel ray math)."""
+    view = m.look_to_lh([0.0, 0.0, 0.0], [0, 0, 1], [0, 1, 0])
+    proj = m.perspective_reverse_z_infinite(np.pi / 2, 1.0, 0.1)
+    vp = jnp.asarray(view @ proj)
+    # Floor quad y=-1, z from 0.5 to 10.
+    pos = np.array(
+        [[-5, -1, 0.5], [5, -1, 0.5], [5, -1, 10.0], [-5, -1, 10.0]], np.float32
+    )
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tris = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    clip = jnp.concatenate([jnp.asarray(pos), jnp.ones((4, 1))], axis=1) @ vp
+    pix_h = viewport_homogeneous(clip, W, H)
+    setup = triangle_setup(pix_h, clip[:, 2], jnp.asarray(tris), jnp.ones(2, bool), CULL_NONE, W, H)
+    depth, tid = rasterize(setup, W, H, tile_h=16, tile_w=16, chunk=8)
+    bary, valid, view_w = barycentrics(pix_h, jnp.asarray(tris), tid, W, H)
+    uv_img = np.asarray(interpolate(jnp.asarray(uv), jnp.asarray(tris), tid, bary))
+    pos_img = np.asarray(interpolate(jnp.asarray(pos), jnp.asarray(tris), tid, bary))
+    tid = np.asarray(tid)
+    valid = np.asarray(valid)
+
+    # Check a column of pixels: ray through pixel center must hit y=-1 plane
+    # at the interpolated world position.
+    ys, xs = np.nonzero(valid)
+    idx = np.random.default_rng(0).choice(len(ys), 50, replace=False)
+    for k in idx:
+        y, x = ys[k], xs[k]
+        ndc_x = (x + 0.5) / W * 2 - 1
+        ndc_y = 1 - (y + 0.5) / H * 2
+        # fov 90, aspect 1: view ray dir = (ndc_x, ndc_y, 1)
+        t = -1.0 / ndc_y  # y=-1 plane
+        expect = np.array([ndc_x * t, -1.0, t])
+        got = pos_img[y, x]
+        np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+        # uv: u = (wx+5)/10, v = (wz-0.5)/9.5
+        np.testing.assert_allclose(
+            uv_img[y, x], [(expect[0] + 5) / 10, (expect[2] - 0.5) / 9.5], atol=2e-3
+        )
+        # view_w is the view-space depth
+        np.testing.assert_allclose(np.asarray(view_w)[y, x], t, rtol=2e-3)
+
+
+def test_shared_edge_no_double_coverage():
+    """Two triangles sharing an edge: every covered pixel owned exactly once
+    (top-left rule), and the seam has no holes."""
+    verts = [
+        ndc_vertex(-0.8, -0.8, 0.5),
+        ndc_vertex(0.8, -0.8, 0.5),
+        ndc_vertex(0.8, 0.8, 0.5),
+        ndc_vertex(-0.8, 0.8, 0.5),
+    ]
+    # quad split along the diagonal, both clockwise on screen
+    depth, tid, _ = _raster(verts, [[0, 2, 3], [0, 1, 2]], cull=CULL_BACK)
+    covered = (tid >= 0).sum()
+    # quad covers 0.8 of both dims: (0.8*64)^2 ≈ 2621 pixels
+    assert abs(covered - int(0.8 * 64) ** 2) <= 110
+    # the diagonal seam: no empty pixels inside the quad
+    inner = tid[10:54, 10:54]
+    assert np.all(inner >= 0)
+
+
+def test_bbox_offscreen_culled():
+    verts = [
+        ndc_vertex(2.0, 2.0, 0.5),
+        ndc_vertex(2.5, 3.0, 0.5),
+        ndc_vertex(3.0, 2.0, 0.5),
+    ]
+    _, tid, _ = _raster(verts, [[0, 1, 2]], cull=CULL_NONE)
+    assert (tid >= 0).sum() == 0

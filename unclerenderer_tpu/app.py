@@ -1,0 +1,90 @@
+"""Headless CLI renderer: scene JSON -> PNG.
+
+The TPU build's app shell (replaces the Win32 window/message loop of
+``Source/Core/Application.cpp`` with a headless driver; an interactive viewer
+can sit on top of the same Renderer).
+
+Usage:
+    python -m unclerenderer_tpu --scene Assets/Scenes/Duck.json \
+        --width 512 --height 512 --output out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .core.config import RendererConfig, load_config
+from .core.logging import log_info, set_log_level
+from .render.params import RenderSettings
+from .render.renderer import Renderer
+
+
+def save_png(path: str | Path, rgb_u8: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(rgb_u8, "RGB").save(path)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="UncleRenderer-TPU headless renderer")
+    ap.add_argument("--scene", required=True, help="scene JSON path")
+    ap.add_argument("--config", default=None, help="RendererConfig.ini path")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--output", default="out.png")
+    ap.add_argument("--renderer", choices=["forward", "deferred"], default=None)
+    ap.add_argument("--frames", type=int, default=1, help="render N frames (timing)")
+    ap.add_argument("--no-shadows", action="store_true")
+    ap.add_argument("--no-sky", action="store_true")
+    ap.add_argument("--no-ibl", action="store_true")
+    ap.add_argument("--log-level", default="info")
+    args = ap.parse_args(argv)
+
+    set_log_level(args.log_level)
+    cfg = load_config(args.config)
+    if args.renderer:
+        cfg.renderer_type = args.renderer
+    width = args.width or cfg.window_width
+    height = args.height or cfg.window_height
+
+    settings = RenderSettings(
+        width=width,
+        height=height,
+        renderer_type=cfg.renderer_type,
+        enable_shadows=cfg.enable_shadows and not args.no_shadows,
+        enable_sky=not args.no_sky,
+        enable_ibl=not args.no_ibl,
+        enable_tonemap=cfg.enable_tonemap,
+        enable_auto_exposure=cfg.enable_auto_exposure,
+        enable_taa=cfg.enable_taa,
+        enable_cas=cfg.enable_cas,
+        enable_depth_prepass=cfg.use_depth_prepass,
+    )
+
+    renderer = Renderer(args.scene, settings=settings, config=cfg)
+
+    t0 = time.monotonic()
+    img = renderer.render_to_u8()
+    compile_and_first = time.monotonic() - t0
+    log_info(f"first frame (incl. compile): {compile_and_first * 1e3:.1f} ms")
+
+    if args.frames > 1:
+        t0 = time.monotonic()
+        for _ in range(args.frames - 1):
+            out = renderer.render_frame()
+        out["color"].block_until_ready()
+        per_frame = (time.monotonic() - t0) / (args.frames - 1)
+        log_info(f"steady-state: {per_frame * 1e3:.2f} ms/frame")
+
+    save_png(args.output, img)
+    log_info(f"wrote {args.output} ({width}x{height})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

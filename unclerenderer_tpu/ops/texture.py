@@ -1,0 +1,223 @@
+"""Texture sampling: atlas gathers with wrap/clamp, bilinear/trilinear, cube.
+
+TPUs have no texture units, so D3D sampler state becomes explicit math over
+the packed atlas (textures/atlas.py).  Implements the reference's sampler
+set: material sampler = WRAP + mips (``ForwardRenderer.cpp:956-959``,
+anisotropic approximated as trilinear), IBL sampler = CLAMP linear
+(``:982-985``), shadow comparison sampling lives in ops/shadow.py.
+
+Mip selection follows the D3D spec: level = log2(max axis of the UV
+footprint), from screen-space UV derivatives (forward differences, the
+software analog of the GPU's 2x2 quad derivatives).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+ADDRESS_WRAP = 0
+ADDRESS_CLAMP = 1
+
+
+def _wrap_index(i: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
+    if mode == ADDRESS_WRAP:
+        return jnp.mod(i, size)
+    return jnp.clip(i, 0, size - 1)
+
+
+def sample_atlas_bilinear(
+    atlas_flat: jnp.ndarray,
+    atlas_width: int,
+    mip_x: jnp.ndarray,
+    mip_y: jnp.ndarray,
+    mip_w: jnp.ndarray,
+    mip_h: jnp.ndarray,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    level: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    """One bilinear tap at an integer mip level.
+
+    atlas_flat: (AH*AW, 4) f32.  mip_*: (n_tex, MAX_MIPS) i32 tables.
+    tex_id: (...,) i32; uv: (..., 2) f32; level: (...,) i32.
+    Returns (..., 4) f32.
+    """
+    max_mips = mip_x.shape[1]
+    level = jnp.clip(level, 0, max_mips - 1)
+    rx = mip_x[tex_id, level].astype(jnp.float32)
+    ry = mip_y[tex_id, level].astype(jnp.float32)
+    rw = mip_w[tex_id, level]
+    rh = mip_h[tex_id, level]
+
+    tx = uv[..., 0] * rw.astype(jnp.float32) - 0.5
+    ty = uv[..., 1] * rh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = (tx - x0)[..., None]
+    fy = (ty - y0)[..., None]
+
+    ix0 = _wrap_index(x0.astype(jnp.int32), rw, address_mode)
+    ix1 = _wrap_index(x0.astype(jnp.int32) + 1, rw, address_mode)
+    iy0 = _wrap_index(y0.astype(jnp.int32), rh, address_mode)
+    iy1 = _wrap_index(y0.astype(jnp.int32) + 1, rh, address_mode)
+
+    bx = rx.astype(jnp.int32)
+    by = ry.astype(jnp.int32)
+
+    def tap(ix, iy):
+        flat = (by + iy) * atlas_width + (bx + ix)
+        return jnp.take(atlas_flat, flat, axis=0)
+
+    t00 = tap(ix0, iy0)
+    t10 = tap(ix1, iy0)
+    t01 = tap(ix0, iy1)
+    t11 = tap(ix1, iy1)
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_atlas_trilinear(
+    atlas_flat: jnp.ndarray,
+    atlas_width: int,
+    mip_x: jnp.ndarray,
+    mip_y: jnp.ndarray,
+    mip_w: jnp.ndarray,
+    mip_h: jnp.ndarray,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    """Trilinear: blend two bilinear taps around fractional LOD."""
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    a = sample_atlas_bilinear(
+        atlas_flat, atlas_width, mip_x, mip_y, mip_w, mip_h, tex_id, uv, l0, address_mode
+    )
+    b = sample_atlas_bilinear(
+        atlas_flat, atlas_width, mip_x, mip_y, mip_w, mip_h, tex_id, uv, l0 + 1, address_mode
+    )
+    return a * (1.0 - frac) + b * frac
+
+
+def uv_screen_lod(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
+                  same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel LOD from screen-space UV derivatives.
+
+    uv: (H, W, 2).  base_w/base_h: (H, W) mip-0 texture size per pixel.
+    same_tri_x/y: (H, W) bool -- whether the +x / +y neighbor belongs to the
+    same triangle (derivatives across triangle edges are garbage; we fall
+    back to the other direction or 0, akin to GPU quad helper lanes).
+    """
+    dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
+    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :])
+    # Backward difference where the forward neighbor crosses a triangle edge.
+    bx = jnp.diff(uv, axis=1, prepend=uv[:, :1, :])
+    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :])
+    dx = jnp.where(same_tri_x[..., None], dx, bx)
+    dy = jnp.where(same_tri_y[..., None], dy, by)
+    sz = jnp.stack([base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)
+    lx = jnp.sum((dx * sz) ** 2, axis=-1)
+    ly = jnp.sum((dy * sz) ** 2, axis=-1)
+    rho2 = jnp.maximum(lx, ly)
+    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+
+
+def apply_texture_transform(uv: jnp.ndarray, offset_scale: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
+    """KHR_texture_transform as the shaders apply it
+    (``DeferredBasePass.hlsl:49-56``): scale, rotate, offset.
+
+    offset_scale: (..., 4) = (off.x, off.y, scale.x, scale.y)
+    rotation: (..., 2) = (cos, sin)
+    """
+    scaled = uv * offset_scale[..., 2:4]
+    cos_r = rotation[..., 0]
+    sin_r = rotation[..., 1]
+    rot = jnp.stack(
+        [
+            scaled[..., 0] * cos_r - scaled[..., 1] * sin_r,
+            scaled[..., 0] * sin_r + scaled[..., 1] * cos_r,
+        ],
+        axis=-1,
+    )
+    return rot + offset_scale[..., 0:2]
+
+
+def cube_direction_to_face_uv(direction: jnp.ndarray):
+    """D3D cubemap addressing: direction (..., 3) -> (face (...,) i32,
+    uv (..., 2) in [0,1]).  Face order +X,-X,+Y,-Y,+Z,-Z."""
+    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    # D3D face (u, v) conventions (D3D11 spec 18.9 "Cube Map Face Fetch")
+    u = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    v = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y >= 0, z, -z), -y))
+    uv = jnp.stack([(u / ma + 1.0) * 0.5, (v / ma + 1.0) * 0.5], axis=-1)
+    return face, uv
+
+
+def sample_cube(
+    atlas_flat: jnp.ndarray,
+    atlas_width: int,
+    face_mip_x: jnp.ndarray,
+    face_mip_y: jnp.ndarray,
+    face_mip_size: jnp.ndarray,
+    direction: jnp.ndarray,
+    lod: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample a cubemap packed as 6 mip chains in the atlas.
+
+    face_mip_x/y/size: (6, MAX_MIPS) i32.  direction: (..., 3).  lod: (...,).
+    Per-face bilinear with edge clamp (no seamless filtering; visually close
+    to the reference at the mips IBL uses).
+    """
+    face, uv = cube_direction_to_face_uv(direction)
+    max_mips = face_mip_x.shape[1]
+    lod = jnp.clip(lod, 0.0, float(max_mips - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+
+    def tap(level):
+        sz = face_mip_size[face, level]
+        rx = face_mip_x[face, level]
+        ry = face_mip_y[face, level]
+        t = uv * sz.astype(jnp.float32)[..., None] - 0.5
+        t0 = jnp.floor(t)
+        f = t - t0
+        i0 = jnp.clip(t0.astype(jnp.int32), 0, (sz - 1)[..., None])
+        i1 = jnp.clip(t0.astype(jnp.int32) + 1, 0, (sz - 1)[..., None])
+
+        def g(ix, iy):
+            flat = (ry + iy) * atlas_width + (rx + ix)
+            return jnp.take(atlas_flat, flat, axis=0)
+
+        t00 = g(i0[..., 0], i0[..., 1])
+        t10 = g(i1[..., 0], i0[..., 1])
+        t01 = g(i0[..., 0], i1[..., 1])
+        t11 = g(i1[..., 0], i1[..., 1])
+        fx = f[..., 0:1]
+        fy = f[..., 1:2]
+        return (t00 * (1 - fx) + t10 * fx) * (1 - fy) + (t01 * (1 - fx) + t11 * fx) * fy
+
+    a = tap(l0)
+    b = tap(jnp.minimum(l0 + 1, max_mips - 1))
+    return a * (1.0 - frac) + b * frac

@@ -1,0 +1,395 @@
+"""Shared frame-function building blocks: vertex stage, visibility raster
+(opaque + alpha-masked), and the material resolve replacing the base-pass
+pixel shaders (``DeferredBasePass.hlsl`` / the material half of
+``ForwardPS.hlsl``).
+
+The reference records one draw per model per pass with per-model constant
+buffers (``RendererUtils::UpdateSceneConstants``, the CPU hot loop); here the
+whole scene is one vertex-stage matmul + one visibility raster, and
+"per-model constants" become per-pixel gathers from the (M, ...) tables via
+``model_id = tri_model[tri_id]`` -- the 32 PSO permutations become per-pixel
+``has_map`` selects that XLA folds into the fused material pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pbr
+from ..ops import texture as tex
+from ..ops.interpolate import barycentrics, interpolate
+from ..ops.raster import (
+    CULL_BACK,
+    CULL_FRONT,
+    DEPTH_MAX,
+    DEPTH_MIN,
+    RasterSetup,
+    _coverage,
+    rasterize,
+    triangle_setup,
+    viewport_homogeneous,
+)
+from .params import DeviceScene, RenderSettings
+
+# material texture slots
+SLOT_BASE, SLOT_MR, SLOT_NORMAL, SLOT_EMISSIVE = 0, 1, 2, 3
+
+
+def vertex_stage(scene: DeviceScene, view_proj: jnp.ndarray, width: int, height: int):
+    """World -> clip -> homogeneous pixel coords for the whole scene."""
+    hom = jnp.concatenate(
+        [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
+    )
+    clip = hom @ view_proj
+    pix_h = viewport_homogeneous(clip, width, height)
+    return clip, pix_h
+
+
+def tri_draw_masks(scene: DeviceScene, model_visible: jnp.ndarray):
+    """Per-triangle opaque / alpha-masked draw masks from model state."""
+    vis = model_visible[scene.tri_model]
+    masked = scene.alpha_mode[scene.tri_model] == 1
+    return vis & ~masked, vis & masked
+
+
+def raster_opaque(
+    scene: DeviceScene,
+    clip: jnp.ndarray,
+    pix_h: jnp.ndarray,
+    tri_mask: jnp.ndarray,
+    settings: RenderSettings,
+):
+    setup = triangle_setup(
+        pix_h, clip[:, 2], scene.tris, tri_mask, CULL_BACK, settings.width, settings.height
+    )
+    return rasterize(
+        setup,
+        settings.width,
+        settings.height,
+        tile_h=settings.tile_h,
+        tile_w=settings.tile_w,
+        chunk=settings.chunk,
+        depth_mode=DEPTH_MAX,
+    )
+
+
+def raster_shadow(
+    scene: DeviceScene,
+    light_view_proj: jnp.ndarray,
+    tri_mask: jnp.ndarray,
+    settings: RenderSettings,
+):
+    """Depth-only shadow raster: CULL_FRONT + LESS_EQUAL over a standard-Z
+    ortho projection (``Renderer.cpp:271-296``)."""
+    size = settings.shadow_map_size
+    hom = jnp.concatenate(
+        [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
+    )
+    clip = hom @ light_view_proj
+    pix_h = viewport_homogeneous(clip, size, size)
+    setup = triangle_setup(pix_h, clip[:, 2], scene.tris, tri_mask, CULL_FRONT, size, size)
+    depth, _ = rasterize(
+        setup,
+        size,
+        size,
+        tile_h=settings.shadow_tile,
+        tile_w=settings.shadow_tile,
+        chunk=settings.shadow_chunk,
+        depth_mode=DEPTH_MIN,
+    )
+    return depth
+
+
+def raster_masked_combine(
+    scene: DeviceScene,
+    clip: jnp.ndarray,
+    pix_h: jnp.ndarray,
+    masked_mask: jnp.ndarray,
+    depth: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    settings: RenderSettings,
+):
+    """Rasterize alpha-masked geometry with an in-raster alpha test, then
+    depth-combine with the opaque visibility buffer.
+
+    Approximation vs the reference: the alpha test samples the base-color
+    texture at mip 0 bilinear (the PS tests the filtered sample after the
+    raster); same cutoff, cutout edges differ only under heavy minification.
+    """
+    setup = triangle_setup(
+        pix_h, clip[:, 2], scene.tris, masked_mask, CULL_BACK, settings.width, settings.height
+    )
+
+    # Per-triangle alpha inputs. The KHR transform is affine in uv, so it
+    # folds into the per-vertex uvs and interpolates linearly.
+    model = scene.tri_model
+    uv_os = scene.uv_transform[model, SLOT_BASE]
+    uv_rot = scene.uv_rotation[model, SLOT_BASE]
+    v0, v1, v2 = scene.tris[:, 0], scene.tris[:, 1], scene.tris[:, 2]
+    uv0 = tex.apply_texture_transform(scene.uv[v0], uv_os, uv_rot)
+    uv1 = tex.apply_texture_transform(scene.uv[v1], uv_os, uv_rot)
+    uv2 = tex.apply_texture_transform(scene.uv[v2], uv_os, uv_rot)
+    e = setup.edges  # (T, 3, 3)
+    num_u = e[:, 0] * uv0[:, 0:1] + e[:, 1] * uv1[:, 0:1] + e[:, 2] * uv2[:, 0:1]
+    num_v = e[:, 0] * uv0[:, 1:2] + e[:, 1] * uv1[:, 1:2] + e[:, 2] * uv2[:, 1:2]
+    num_1 = e.sum(axis=1)  # (T, 3) barycentric normalizer coefficients
+    # vertex color alpha interpolates too (alpha = BaseColorAlpha * color.a * tex.a)
+    ca0 = scene.color[v0, 3:4]
+    ca1 = scene.color[v1, 3:4]
+    ca2 = scene.color[v2, 3:4]
+    num_ca = e[:, 0] * ca0 + e[:, 1] * ca1 + e[:, 2] * ca2
+
+    m_depth, m_tri = _rasterize_alpha(
+        setup,
+        num_u,
+        num_v,
+        num_ca,
+        num_1,
+        scene.tex_ids[model, SLOT_BASE],
+        scene.has_map[model, SLOT_BASE],
+        scene.base_color_alpha[model],
+        scene.alpha_cutoff[model],
+        scene,
+        settings,
+    )
+    take_masked = m_depth > depth
+    depth = jnp.where(take_masked, m_depth, depth)
+    tri_id = jnp.where(take_masked, m_tri, tri_id)
+    return depth, tri_id
+
+
+def _rasterize_alpha(
+    setup: RasterSetup,
+    num_u: jnp.ndarray,
+    num_v: jnp.ndarray,
+    num_ca: jnp.ndarray,
+    num_1: jnp.ndarray,
+    base_tex: jnp.ndarray,
+    has_base: jnp.ndarray,
+    alpha_scale: jnp.ndarray,
+    cutoff: jnp.ndarray,
+    scene: DeviceScene,
+    settings: RenderSettings,
+):
+    """Tile raster like ops.raster.rasterize with per-candidate alpha test."""
+    width, height = settings.width, settings.height
+    tile_h, tile_w = settings.tile_h, settings.tile_w
+    chunk = settings.chunk
+    n_ty, n_tx = height // tile_h, width // tile_w
+    n_tiles = n_ty * n_tx
+    pix = tile_h * tile_w
+
+    atlas = scene.atlas_img.reshape(-1, 4)
+    atlas_width = scene.atlas_img.shape[1]
+
+    t = setup.edges.shape[0]
+    n_chunks = max(1, -(-t // chunk))
+    t_pad = n_chunks * chunk
+
+    def pad(x, fill=0):
+        pad_n = t_pad - x.shape[0]
+        if pad_n == 0:
+            return x
+        cfg = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    edges = pad(setup.edges).reshape(n_chunks, chunk * 3, 3)
+    num_z = pad(setup.num_z).reshape(n_chunks, chunk, 3)
+    num_w = pad(setup.num_w).reshape(n_chunks, chunk, 3)
+    nu = pad(num_u).reshape(n_chunks, chunk, 3)
+    nv = pad(num_v).reshape(n_chunks, chunk, 3)
+    nca = pad(num_ca).reshape(n_chunks, chunk, 3)
+    n1 = pad(num_1).reshape(n_chunks, chunk, 3)
+    valid = pad(setup.valid, fill=False).reshape(n_chunks, chunk)
+    c_tex = pad(base_tex).reshape(n_chunks, chunk)
+    c_has = pad(has_base, fill=False).reshape(n_chunks, chunk)
+    c_scale = pad(alpha_scale).reshape(n_chunks, chunk)
+    c_cut = pad(cutoff).reshape(n_chunks, chunk)
+
+    ty_idx = jnp.arange(n_tiles, dtype=jnp.int32) // n_tx
+    tx_idx = jnp.arange(n_tiles, dtype=jnp.int32) % n_tx
+    yy = jnp.arange(tile_h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(tile_w, dtype=jnp.float32)[None, :]
+    qx0 = tx_idx[:, None, None] * tile_w + xx[None] + 0.5
+    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5
+    qx = jnp.broadcast_to(qx0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
+    qy = jnp.broadcast_to(qy0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
+    q = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def chunk_step(carry, inputs):
+        best_key, best_id = carry
+        (c_edges, c_nz, c_nw, c_nu, c_nv, c_nca, c_n1, c_valid, tex_id, has, a_scale, cut, c_base) = inputs
+
+        ev = jnp.einsum("npd,kd->npk", q, c_edges, precision=hi).reshape(
+            n_tiles, pix, chunk, 3
+        )
+        cov = _coverage(ev, c_edges.reshape(chunk, 3, 3))
+        nz_v = jnp.einsum("npd,kd->npk", q, c_nz, precision=hi)
+        nw_v = jnp.einsum("npd,kd->npk", q, c_nw, precision=hi)
+        depth = nz_v / jnp.where(nw_v != 0.0, nw_v, 1.0)
+        ok = cov & (nw_v > 0.0) & (depth >= 0.0) & (depth <= 1.0) & c_valid[None, None, :]
+
+        denom = jnp.einsum("npd,kd->npk", q, c_n1, precision=hi)
+        denom = jnp.where(denom != 0.0, denom, 1.0)
+        u = jnp.einsum("npd,kd->npk", q, c_nu, precision=hi) / denom
+        v = jnp.einsum("npd,kd->npk", q, c_nv, precision=hi) / denom
+        ca = jnp.einsum("npd,kd->npk", q, c_nca, precision=hi) / denom
+
+        uv = jnp.stack([u, v], axis=-1)
+        texel = tex.sample_atlas_bilinear(
+            atlas,
+            atlas_width,
+            scene.mip_x,
+            scene.mip_y,
+            scene.mip_w,
+            scene.mip_h,
+            jnp.broadcast_to(tex_id[None, None, :], u.shape),
+            uv,
+            jnp.zeros(u.shape, jnp.int32),
+        )
+        tex_a = jnp.where(has[None, None, :], texel[..., 3], 1.0)
+        alpha = a_scale[None, None, :] * ca * tex_a
+        ok = ok & (alpha >= cut[None, None, :])
+
+        key = jnp.where(ok, depth, -1.0)
+        k_best = jnp.max(key, axis=-1)
+        k_arg = jnp.argmax(key, axis=-1).astype(jnp.int32)
+        better = k_best > best_key
+        best_key = jnp.where(better, k_best, best_key)
+        best_id = jnp.where(better, c_base + k_arg, best_id)
+        return (best_key, best_id), None
+
+    init = (
+        jnp.full((n_tiles, pix), -1.0, jnp.float32),
+        jnp.full((n_tiles, pix), -1, jnp.int32),
+    )
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_key, best_id), _ = jax.lax.scan(
+        chunk_step,
+        init,
+        (edges, num_z, num_w, nu, nv, nca, n1, valid, c_tex, c_has, c_scale, c_cut, bases),
+    )
+    hit = best_key >= 0.0
+    depth = jnp.where(hit, best_key, 0.0)
+    tri_id = jnp.where(hit, best_id, -1)
+    depth = depth.reshape(n_ty, n_tx, tile_h, tile_w).transpose(0, 2, 1, 3).reshape(height, width)
+    tri_id = tri_id.reshape(n_ty, n_tx, tile_h, tile_w).transpose(0, 2, 1, 3).reshape(height, width)
+    return depth, tri_id
+
+
+def resolve_materials(
+    scene: DeviceScene,
+    pix_h: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    settings: RenderSettings,
+):
+    """Visibility buffer -> interpolated attributes + sampled material values.
+
+    Ports the material half of ``DeferredBasePass.hlsl`` PSMain /
+    ``ForwardPS.hlsl`` PSMain: per-slot KHR uv transforms, base color *
+    vertex color * factors, metallic/roughness from the .b/.g channels,
+    emissive, TBN normal mapping with the 2-channel reconstruct-Z
+    convention of the deferred path.
+
+    Returns a dict of (H, W, ...) arrays.
+    """
+    width, height = settings.width, settings.height
+    bary, valid, view_w = barycentrics(pix_h, scene.tris, tri_id, width, height)
+    safe_tri = jnp.maximum(tri_id, 0)
+    model_id = scene.tri_model[safe_tri]
+
+    world_pos = interpolate(scene.position, scene.tris, tri_id, bary)
+    v_normal = interpolate(scene.normal, scene.tris, tri_id, bary)
+    tangent4 = interpolate(scene.tangent, scene.tris, tri_id, bary)
+    uv = interpolate(scene.uv, scene.tris, tri_id, bary)
+    v_color = interpolate(scene.color, scene.tris, tri_id, bary)
+
+    # Per-slot transformed UVs.
+    uvs = []
+    for slot in range(4):
+        uvs.append(
+            tex.apply_texture_transform(
+                uv,
+                scene.uv_transform[model_id, slot],
+                scene.uv_rotation[model_id, slot],
+            )
+        )
+
+    # LOD from screen derivatives of the *untransformed* uv (scaled by each
+    # slot's mip-0 size + transform scale).
+    same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
+    same_y = jnp.diff(tri_id, axis=0, append=tri_id[-1:, :]) == 0
+
+    atlas = scene.atlas_img.reshape(-1, 4)
+    atlas_width = scene.atlas_img.shape[1]
+
+    def sample_slot(slot):
+        tid = scene.tex_ids[model_id, slot]
+        w0 = scene.mip_w[tid, 0]
+        h0 = scene.mip_h[tid, 0]
+        scale = scene.uv_transform[model_id, slot, 2:4]
+        lod = tex.uv_screen_lod(
+            uvs[slot],
+            w0.astype(jnp.float32) * jnp.abs(scale[..., 0]),
+            h0.astype(jnp.float32) * jnp.abs(scale[..., 1]),
+            same_x,
+            same_y,
+        )
+        return tex.sample_atlas_trilinear(
+            atlas,
+            atlas_width,
+            scene.mip_x,
+            scene.mip_y,
+            scene.mip_w,
+            scene.mip_h,
+            tid,
+            uvs[slot],
+            lod,
+        )
+
+    has = scene.has_map[model_id]  # (H, W, 4)
+
+    base_sample = sample_slot(SLOT_BASE)
+    albedo = scene.base_color_factor[model_id] * v_color[..., :3]
+    alpha = scene.base_color_alpha[model_id] * v_color[..., 3]
+    albedo = jnp.where(has[..., SLOT_BASE : SLOT_BASE + 1], albedo * base_sample[..., :3], albedo)
+    alpha = jnp.where(has[..., SLOT_BASE], alpha * base_sample[..., 3], alpha)
+
+    mr_sample = sample_slot(SLOT_MR)
+    metallic = scene.metallic_factor[model_id]
+    roughness = scene.roughness_factor[model_id]
+    metallic = jnp.where(has[..., SLOT_MR], metallic * mr_sample[..., 2], metallic)
+    roughness = jnp.where(has[..., SLOT_MR], roughness * mr_sample[..., 1], roughness)
+
+    emissive = scene.emissive_factor[model_id]
+    em_sample = sample_slot(SLOT_EMISSIVE)
+    emissive = jnp.where(
+        has[..., SLOT_EMISSIVE : SLOT_EMISSIVE + 1], emissive * em_sample[..., :3], emissive
+    )
+
+    nm_sample = sample_slot(SLOT_NORMAL)
+    # Deferred path: RG -> reconstruct Z (DeferredBasePass.hlsl:88-90); the
+    # BC5 normal maps only carry RG anyway, so this convention serves both.
+    rg = nm_sample[..., :2] * 2.0 - 1.0
+    tangent_normal = jnp.concatenate([rg, pbr.reconstruct_normal_z(rg)[..., None]], axis=-1)
+    mapped = pbr.apply_normal_map(v_normal, tangent4, tangent_normal)
+    shading_normal = jnp.where(
+        has[..., SLOT_NORMAL : SLOT_NORMAL + 1], mapped, pbr.normalize(v_normal)
+    )
+
+    return {
+        "valid": valid,
+        "model_id": model_id,
+        "world_pos": world_pos,
+        "view_w": view_w,
+        "albedo": albedo,
+        "alpha": alpha,
+        "metallic": metallic,
+        "roughness": roughness,
+        "emissive": emissive,
+        "normal": shading_normal,
+        "vertex_normal": v_normal,
+    }

@@ -1,0 +1,144 @@
+"""Forward rendering path.
+
+Port of ``FForwardRenderer`` (``Source/Render/ForwardRenderer.cpp``): one
+shading pass (PBR + IBL + shadows, ``ForwardPS.hlsl``) straight to the
+output, plus sky for empty pixels.  No G-buffer, no TAA/tonemap/CAS/
+auto-exposure/HZB -- the forward path writes linear values directly to the
+UNORM backbuffer like the reference does (no gamma encode).
+
+Pass order mirrors ``ForwardRenderer.cpp:293-918``: (culling happens
+host/device-side upstream), ShadowMap, [DepthPrepass subsumed by the
+visibility raster], Sky, Forward, ObjectId (separate helper).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import pbr
+from ..ops import texture as tex
+from ..ops.shadow import shadow_factor
+from ..ops.sky import apply_atmosphere, sky_view_directions
+from . import common
+from .params import DeviceScene, FrameParams, RenderSettings
+
+
+def forward_frame(
+    scene: DeviceScene, params: FrameParams, settings: RenderSettings
+) -> dict:
+    """Render one forward frame.  Returns dict with 'color' (H, W, 3) linear
+    [0,1]-clamped, 'depth', 'tri_id', 'object_id'."""
+    width, height = settings.width, settings.height
+
+    clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+    opaque_mask, masked_mask = common.tri_draw_masks(scene, params.model_visible)
+
+    depth, tri_id = common.raster_opaque(scene, clip, pix_h, opaque_mask, settings)
+    depth, tri_id = common.raster_masked_combine(
+        scene, clip, pix_h, masked_mask, depth, tri_id, settings
+    )
+
+    if settings.enable_shadows:
+        shadow_mask = opaque_mask | masked_mask
+        shadow_map = common.raster_shadow(
+            scene, params.light_view_proj, shadow_mask, settings
+        )
+    else:
+        shadow_map = None
+
+    g = common.resolve_materials(scene, pix_h, tri_id, settings)
+
+    n = g["normal"]
+    v = pbr.normalize(params.camera_pos - g["world_pos"])
+    l = pbr.normalize(params.light_dir)
+    # lerp(0.04, albedo, metallic) (ForwardPS.hlsl:104)
+    f0 = 0.04 + (g["albedo"] - 0.04) * g["metallic"][..., None]
+
+    if settings.enable_shadows:
+        shadow = shadow_factor(
+            shadow_map,
+            g["world_pos"],
+            params.light_view_proj,
+            params.shadow_strength,
+            params.shadow_bias,
+            pcf="forward",
+        )
+    else:
+        shadow = jnp.ones_like(g["metallic"])
+
+    direct = (
+        pbr.evaluate_pbr(g["albedo"], g["metallic"], g["roughness"], f0, n, v, l)
+        * params.light_intensity
+        * params.light_color
+        * shadow[..., None]
+    )
+
+    if settings.enable_ibl:
+        env_flat = scene.env_img.reshape(-1, 4)
+        env_w = scene.env_img.shape[1]
+
+        def env_sample(direction, lod):
+            return tex.sample_cube(
+                env_flat,
+                env_w,
+                scene.env_mip_x,
+                scene.env_mip_y,
+                scene.env_mip_size,
+                direction,
+                lod,
+            )[..., :3]
+
+        def brdf_sample(uv):
+            lut = scene.brdf_lut
+            h, w = lut.shape[:2]
+            x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+            y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, w - 1)
+            y1 = jnp.minimum(y0 + 1, h - 1)
+            fx = (x - x0)[..., None]
+            fy = (y - y0)[..., None]
+            t00 = lut[y0, x0]
+            t10 = lut[y0, x1]
+            t01 = lut[y1, x0]
+            t11 = lut[y1, x1]
+            return (t00 * (1 - fx) + t10 * fx) * (1 - fy) + (
+                t01 * (1 - fx) + t11 * fx
+            ) * fy
+
+        ambient = pbr.ibl_ambient(
+            g["albedo"],
+            g["metallic"],
+            f0,
+            n,
+            v,
+            env_sample,
+            brdf_sample,
+            params.env_mip_count,
+            g["roughness"],
+        )
+    else:
+        ambient = jnp.zeros_like(direct)
+
+    color = direct + ambient + g["emissive"]
+
+    # Sky / background for empty pixels.
+    if settings.enable_sky:
+        view_dir = sky_view_directions(
+            width, height, params.camera_pos, params.view, params.proj
+        )
+        bg = apply_atmosphere(view_dir, params.camera_pos, params.light_dir, params.light_color)
+    else:
+        bg = jnp.broadcast_to(params.background, (height, width, 3))
+
+    valid = g["valid"][..., None]
+    color = jnp.where(valid, color, bg)
+
+    # Forward path writes to the UNORM backbuffer directly (no tonemap/gamma).
+    color = jnp.clip(color, 0.0, 1.0)
+
+    object_id = jnp.where(
+        g["valid"], scene.object_ids[g["model_id"]], jnp.uint32(0)
+    )
+    return {"color": color, "depth": depth, "tri_id": tri_id, "object_id": object_id}

@@ -1,0 +1,142 @@
+"""Render parameter structures.
+
+* RenderSettings: static (hashable) pipeline configuration -- the analog of
+  ``FRendererOptions`` (``Renderer.h:16-43``) + the 32 shader permutations:
+  toggling a setting retraces the frame function exactly like the reference
+  swaps PSOs.
+* FrameParams: traced per-frame values -- the analog of ``FSceneConstants``
+  (``Shaders/SceneConstants.hlsl``), minus per-model material data which
+  lives in DeviceScene tables.
+* DeviceScene: device-resident scene arrays (geometry + material tables +
+  texture atlas), the analog of the big descriptor heap + vertex/index
+  buffers.
+* FrameState: frame-carried pytree (TAA history, exposure EV, HZB) --
+  replaces the fence-gated history textures
+  (``DeferredRenderer.cpp:2787-2799``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    width: int = 1280
+    height: int = 720
+    renderer_type: str = "deferred"  # "deferred" | "forward"
+    enable_shadows: bool = True
+    shadow_map_size: int = 4096
+    enable_sky: bool = True
+    enable_ibl: bool = True
+    enable_tonemap: bool = True
+    enable_auto_exposure: bool = True
+    enable_taa: bool = True
+    enable_cas: bool = True
+    enable_depth_prepass: bool = True
+    enable_gpu_culling: bool = True
+    enable_hzb: bool = True
+    # raster tuning
+    tile_h: int = 32
+    tile_w: int = 64
+    chunk: int = 256
+    shadow_tile: int = 128
+    shadow_chunk: int = 256
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameParams:
+    view: jnp.ndarray = None
+    proj: jnp.ndarray = None          # jittered when TAA active
+    view_proj: jnp.ndarray = None
+    camera_pos: jnp.ndarray = None
+    light_dir: jnp.ndarray = None     # points toward the light (Y-flipped)
+    light_intensity: jnp.ndarray = None
+    light_color: jnp.ndarray = None
+    light_view_proj: jnp.ndarray = None
+    shadow_strength: jnp.ndarray = None
+    shadow_bias: jnp.ndarray = None
+    background: jnp.ndarray = None
+    model_visible: jnp.ndarray = None  # (M,) bool host-controlled visibility
+    env_mip_count: jnp.ndarray = None
+    tonemap_exposure: jnp.ndarray = None
+    tonemap_gamma: jnp.ndarray = None
+    cas_sharpness: jnp.ndarray = None
+    taa_history_weight: jnp.ndarray = None
+    auto_exposure_key: jnp.ndarray = None
+    auto_exposure_min: jnp.ndarray = None
+    auto_exposure_max: jnp.ndarray = None
+    auto_exposure_speed_up: jnp.ndarray = None
+    auto_exposure_speed_down: jnp.ndarray = None
+    delta_time: jnp.ndarray = None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceScene:
+    # geometry (world space)
+    position: jnp.ndarray = None   # (V, 3)
+    normal: jnp.ndarray = None     # (V, 3)
+    tangent: jnp.ndarray = None    # (V, 4)
+    uv: jnp.ndarray = None         # (V, 2)
+    color: jnp.ndarray = None      # (V, 4)
+    tris: jnp.ndarray = None       # (T, 3) i32
+    tri_model: jnp.ndarray = None  # (T,) i32
+    # per-model tables (M rows)
+    base_color_factor: jnp.ndarray = None  # (M, 3)
+    base_color_alpha: jnp.ndarray = None   # (M,)
+    metallic_factor: jnp.ndarray = None
+    roughness_factor: jnp.ndarray = None
+    emissive_factor: jnp.ndarray = None    # (M, 3)
+    alpha_mode: jnp.ndarray = None         # (M,) i32
+    alpha_cutoff: jnp.ndarray = None
+    uv_transform: jnp.ndarray = None       # (M, 4, 4)
+    uv_rotation: jnp.ndarray = None        # (M, 4, 2)
+    tex_ids: jnp.ndarray = None            # (M, 4) i32 into atlas tables
+    has_map: jnp.ndarray = None            # (M, 4) bool base/mr/normal/emissive
+    object_ids: jnp.ndarray = None         # (M,) u32
+    bounds_min: jnp.ndarray = None         # (M, 3)
+    bounds_max: jnp.ndarray = None         # (M, 3)
+    # material atlas ((AH, AW, 4); width is static via the shape)
+    atlas_img: jnp.ndarray = None
+    mip_x: jnp.ndarray = None              # (n_tex, MAX_MIPS) i32
+    mip_y: jnp.ndarray = None
+    mip_w: jnp.ndarray = None
+    mip_h: jnp.ndarray = None
+    # environment cube (separate small atlas) + BRDF LUT
+    env_img: jnp.ndarray = None            # (EH, EW, 4) f32
+    env_mip_x: jnp.ndarray = None          # (6, MAX_MIPS) i32
+    env_mip_y: jnp.ndarray = None
+    env_mip_size: jnp.ndarray = None
+    brdf_lut: jnp.ndarray = None           # (32, 128, 2) f32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameState:
+    """Carried across frames (jit in/out)."""
+
+    taa_history: jnp.ndarray = None      # (H, W, 3) f32
+    taa_valid: jnp.ndarray = None        # () bool
+    exposure_ev: jnp.ndarray = None      # () f32
+    exposure_valid: jnp.ndarray = None   # () bool
+    hzb: jnp.ndarray = None              # (H/2, W/2) f32 reverse-Z min-depth
+    hzb_valid: jnp.ndarray = None        # () bool
+    frame_index: jnp.ndarray = None      # () i32 (TAA jitter sample index)
+
+    @staticmethod
+    def initial(width: int, height: int) -> "FrameState":
+        return FrameState(
+            taa_history=jnp.zeros((height, width, 3), jnp.float32),
+            taa_valid=jnp.array(False),
+            exposure_ev=jnp.array(0.0, jnp.float32),
+            exposure_valid=jnp.array(False),
+            hzb=jnp.zeros((height // 2, width // 2), jnp.float32),
+            hzb_valid=jnp.array(False),
+            frame_index=jnp.array(0, jnp.int32),
+        )

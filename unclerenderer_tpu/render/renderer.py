@@ -1,0 +1,257 @@
+"""Host-side renderer: scene upload, atlas assembly, frame dispatch.
+
+The analog of ``FApplication`` + renderer ``Initialize`` (scene build,
+texture loads, descriptor heap) with the frame loop replaced by calls to a
+jitted frame function.  Swapping RenderSettings retraces, like the reference
+recreates PSOs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import mathlib as m
+from ..core.config import RendererConfig
+from ..core.logging import log_info, log_warning
+from ..scene.build import SceneData, build_scene
+from ..scene.camera import Camera
+from ..scene.scene_json import SceneLightDesc, load_scene_json
+from ..textures.atlas import build_atlas
+from ..textures.dds import load_dds
+from ..textures.image import TextureCache, generate_mips, solid_color_texture
+from .forward import forward_frame
+from .params import DeviceScene, FrameParams, FrameState, RenderSettings
+
+_SLOT_SRGB = (True, False, False, True)  # base, mr, normal, emissive
+
+
+def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene, float]:
+    """Assemble all device arrays: geometry, material tables, atlases."""
+    cache = TextureCache()
+    chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]  # 0 = white
+    path_to_id: dict[str, int] = {}
+    n_models = data.num_models
+    tex_ids = np.zeros((n_models, 4), np.int32)
+    has_map = np.zeros((n_models, 4), bool)
+
+    for mi, slots in enumerate(data.texture_paths):
+        for si, path in enumerate(slots):
+            if not path:
+                continue
+            srgb = _SLOT_SRGB[si]
+            key = f"{path}|{srgb}"
+            if key not in path_to_id:
+                # LoadOrDefault semantics: grid fallback for base color,
+                # which also marks has_map (the reference still samples).
+                mips = cache.load_or_default(path, srgb=srgb)
+                path_to_id[key] = len(chains)
+                chains.append(mips)
+            tex_ids[mi, si] = path_to_id[key]
+            has_map[mi, si] = True
+
+    atlas = build_atlas(chains)
+
+    # Environment cube (prefiltered mip chain) + BRDF LUT.
+    env_path = assets_root / "Textures" / "output_pmrem.dds"
+    env_mip_count = 1.0
+    env_dds = load_dds(env_path) if env_path.is_file() else None
+    if env_dds is not None and env_dds.is_cube:
+        env_mip_count = float(env_dds.mip_count)
+        face_chains = []
+        for face in range(6):
+            face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
+        env_atlas = build_atlas(face_chains)
+        env_img = env_atlas.data
+        env_mip_x = env_atlas.mip_x
+        env_mip_y = env_atlas.mip_y
+        env_mip_size = env_atlas.mip_w  # square faces
+    else:
+        if env_dds is None:
+            log_warning(f"environment cube not found at {env_path}; IBL will be flat")
+        env_img = np.full((8, 128, 4), 0.1, np.float32)
+        env_mip_x = np.zeros((6, 14), np.int32)
+        env_mip_y = np.zeros((6, 14), np.int32)
+        env_mip_size = np.ones((6, 14), np.int32)
+
+    lut_path = assets_root / "Textures" / "PreintegratedGF.dds"
+    lut_dds = load_dds(lut_path) if lut_path.is_file() else None
+    if lut_dds is not None:
+        brdf_lut = lut_dds.mips[0][0][..., :2].astype(np.float32)
+    else:
+        log_warning(f"BRDF LUT not found at {lut_path}; using analytic fallback")
+        # Karis analytic approximation keeps IBL usable without the asset.
+        nv = np.linspace(0.0, 1.0, 128, dtype=np.float32)[None, :]
+        rough = np.linspace(0.0, 1.0, 32, dtype=np.float32)[:, None]
+        a = rough * rough
+        scale = 1.0 - a * 0.5 - 0.25 * (1.0 - nv)
+        bias = a * 0.25 * nv
+        brdf_lut = np.stack(
+            [np.broadcast_to(scale, (32, 128)), np.broadcast_to(bias, (32, 128))],
+            axis=-1,
+        ).astype(np.float32)
+
+    dev = DeviceScene(
+        position=jnp.asarray(data.position),
+        normal=jnp.asarray(data.normal),
+        tangent=jnp.asarray(data.tangent),
+        uv=jnp.asarray(data.uv),
+        color=jnp.asarray(data.color),
+        tris=jnp.asarray(data.tri_indices.astype(np.int32)),
+        tri_model=jnp.asarray(data.tri_model.astype(np.int32)),
+        base_color_factor=jnp.asarray(data.base_color_factor),
+        base_color_alpha=jnp.asarray(data.base_color_alpha),
+        metallic_factor=jnp.asarray(data.metallic_factor),
+        roughness_factor=jnp.asarray(data.roughness_factor),
+        emissive_factor=jnp.asarray(data.emissive_factor),
+        alpha_mode=jnp.asarray(data.alpha_mode.astype(np.int32)),
+        alpha_cutoff=jnp.asarray(data.alpha_cutoff),
+        uv_transform=jnp.asarray(data.uv_transform),
+        uv_rotation=jnp.asarray(data.uv_rotation),
+        tex_ids=jnp.asarray(tex_ids),
+        has_map=jnp.asarray(has_map),
+        object_ids=jnp.asarray(data.object_ids),
+        bounds_min=jnp.asarray(data.bounds_min_arr),
+        bounds_max=jnp.asarray(data.bounds_max_arr),
+        atlas_img=jnp.asarray(atlas.data),
+        mip_x=jnp.asarray(atlas.mip_x),
+        mip_y=jnp.asarray(atlas.mip_y),
+        mip_w=jnp.asarray(atlas.mip_w),
+        mip_h=jnp.asarray(atlas.mip_h),
+        env_img=jnp.asarray(env_img),
+        env_mip_x=jnp.asarray(env_mip_x),
+        env_mip_y=jnp.asarray(env_mip_y),
+        env_mip_size=jnp.asarray(env_mip_size),
+        brdf_lut=jnp.asarray(brdf_lut),
+    )
+    return dev, env_mip_count
+
+
+class Renderer:
+    """Owns the device scene, camera, light, settings and the jitted frame."""
+
+    def __init__(
+        self,
+        scene_path: str | Path,
+        settings: RenderSettings | None = None,
+        config: RendererConfig | None = None,
+        assets_root: str | Path | None = None,
+    ):
+        scene_path = Path(scene_path)
+        cfg = config or RendererConfig()
+        if settings is None:
+            settings = RenderSettings(
+                width=cfg.window_width,
+                height=cfg.window_height,
+                renderer_type=cfg.renderer_type,
+                enable_shadows=cfg.enable_shadows,
+                enable_tonemap=cfg.enable_tonemap,
+                enable_auto_exposure=cfg.enable_auto_exposure,
+                enable_taa=cfg.enable_taa,
+                enable_cas=cfg.enable_cas,
+                enable_depth_prepass=cfg.use_depth_prepass,
+            )
+        self.settings = settings
+        self.config = cfg
+
+        if assets_root is None:
+            assets_root = scene_path.parent.parent
+        self.assets_root = Path(assets_root)
+
+        t0 = time.monotonic()
+        self.scene_data = build_scene(scene_path, self.assets_root)
+        if self.scene_data is None:
+            raise ValueError(f"failed to load scene {scene_path}")
+
+        _models, light, camera_desc = load_scene_json(scene_path)
+        self.light = light or SceneLightDesc()
+        self.camera = Camera()
+        self.camera.set_perspective(
+            np.radians(60.0), settings.width / settings.height, 0.1, 1000.0
+        )
+        if camera_desc is not None:
+            self.camera.position = camera_desc.position
+            self.camera.set_perspective(
+                np.radians(camera_desc.fov_y_degrees),
+                settings.width / settings.height,
+                0.1,
+                1000.0,
+            )
+            if camera_desc.look_at is not None:
+                self.camera.set_look_at(camera_desc.look_at)
+            elif camera_desc.rotation_euler is not None:
+                self.camera.set_rotation_euler_degrees(camera_desc.rotation_euler)
+
+        import json
+
+        try:
+            doc = json.loads(Path(scene_path).read_text())
+            self.background = np.asarray(
+                doc.get("environment", {}).get("background", [0.1, 0.1, 0.15]),
+                np.float32,
+            )
+        except (OSError, ValueError):
+            self.background = np.array([0.1, 0.1, 0.15], np.float32)
+
+        self.device_scene, self.env_mip_count = _build_device_scene(
+            self.scene_data, self.assets_root
+        )
+        self.frame_state = FrameState.initial(settings.width, settings.height)
+        log_info(
+            f"renderer init: {self.scene_data.num_models} models, "
+            f"{self.scene_data.num_triangles} triangles in "
+            f"{time.monotonic() - t0:.2f}s"
+        )
+
+        self._frame_fn = jax.jit(forward_frame, static_argnames=("settings",))
+
+    def frame_params(self, delta_time: float = 1.0 / 60.0) -> FrameParams:
+        view = self.camera.view_matrix()
+        proj = self.camera.projection_matrix()
+        light_vec = m.light_vector_from_scene_direction(self.light.direction)
+        light_vp = m.build_directional_light_view_proj(
+            self.scene_data.scene_center, self.scene_data.scene_radius, light_vec
+        )
+        cfg = self.config
+        return FrameParams(
+            view=jnp.asarray(view),
+            proj=jnp.asarray(proj),
+            view_proj=jnp.asarray(view @ proj),
+            camera_pos=jnp.asarray(self.camera.position),
+            light_dir=jnp.asarray(light_vec),
+            light_intensity=jnp.float32(self.light.intensity),
+            light_color=jnp.asarray(self.light.color),
+            light_view_proj=jnp.asarray(light_vp),
+            shadow_strength=jnp.float32(1.0 if self.settings.enable_shadows else 0.0),
+            shadow_bias=jnp.float32(cfg.shadow_bias if cfg.shadow_bias else 0.002),
+            background=jnp.asarray(self.background),
+            model_visible=jnp.asarray(self.scene_data.visible_mask),
+            env_mip_count=jnp.float32(self.env_mip_count),
+            tonemap_exposure=jnp.float32(cfg.tonemap_exposure),
+            tonemap_gamma=jnp.float32(cfg.tonemap_gamma),
+            cas_sharpness=jnp.float32(cfg.cas_sharpness),
+            taa_history_weight=jnp.float32(cfg.taa_history_weight),
+            auto_exposure_key=jnp.float32(cfg.auto_exposure_key),
+            auto_exposure_min=jnp.float32(cfg.auto_exposure_min),
+            auto_exposure_max=jnp.float32(cfg.auto_exposure_max),
+            auto_exposure_speed_up=jnp.float32(cfg.auto_exposure_speed_up),
+            auto_exposure_speed_down=jnp.float32(cfg.auto_exposure_speed_down),
+            delta_time=jnp.float32(delta_time),
+        )
+
+    def render_frame(self, delta_time: float = 1.0 / 60.0) -> dict:
+        params = self.frame_params(delta_time)
+        out = self._frame_fn(self.device_scene, params, self.settings)
+        return out
+
+    def render_to_u8(self, delta_time: float = 1.0 / 60.0) -> np.ndarray:
+        """Render and convert to (H, W, 3) uint8 exactly like the UNORM
+        backbuffer would store it."""
+        out = self.render_frame(delta_time)
+        color = np.asarray(out["color"])
+        return np.clip(np.rint(color * 255.0), 0, 255).astype(np.uint8)
