@@ -198,3 +198,44 @@ def test_default_grid():
     g = default_grid_texture()
     assert g.shape == (256, 256, 4)
     assert len(np.unique(g[..., 0])) == 2
+
+
+def test_bc7_decode(reference_assets):
+    from unclerenderer_tpu.textures import native
+
+    if native.get_native() is None:
+        pytest.skip("native library not built")
+    dds = load_dds(
+        reference_assets / "pica_pica" / "textures" / "Decal_Caution_baseColor.dds"
+    )
+    assert dds is not None
+    mip0 = dds.mips[0][0]
+    assert mip0.shape == (512, 512, 4) and mip0.dtype == np.uint8
+    # Caution decal: black + yellow diagonal stripes.
+    rgb = mip0[..., :3].astype(np.float32)
+    yellowish = (rgb[..., 0] > 150) & (rgb[..., 1] > 120) & (rgb[..., 2] < 100)
+    darkish = rgb.max(axis=-1) < 80
+    assert 0.2 < yellowish.mean() < 0.8
+    assert 0.2 < darkish.mean() < 0.8
+    assert yellowish.mean() + darkish.mean() > 0.95
+
+
+def test_bc6h_env_cube(reference_assets):
+    from unclerenderer_tpu.textures import native
+
+    if native.get_native() is None:
+        pytest.skip("native library not built")
+    dds = load_dds(reference_assets / "Textures" / "output_pmrem.dds")
+    assert dds is not None
+    assert dds.is_cube and dds.mip_count == 9
+    assert len(dds.mips) == 6
+    mip0 = dds.mips[0][0]
+    assert mip0.shape == (256, 256, 4) and mip0.dtype == np.float32
+    # HDR environment: positive, plausible radiance range, not constant.
+    assert mip0[..., :3].min() >= 0.0
+    assert 0.5 < mip0[..., :3].max() < 100.0
+    assert mip0[..., :3].std() > 0.05
+    # mip chain decodes down to 1x1
+    assert dds.mips[0][8].shape == (1, 1, 4)
+    # faces differ (not garbage repetition)
+    assert not np.allclose(dds.mips[0][0], dds.mips[1][0])
