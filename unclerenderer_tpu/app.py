@@ -40,6 +40,7 @@ def main(argv=None) -> int:
     ap.add_argument("--renderer", choices=["forward", "deferred"], default=None)
     ap.add_argument("--frames", type=int, default=1, help="render N frames (timing)")
     ap.add_argument("--no-shadows", action="store_true")
+    ap.add_argument("--shadow-size", type=int, default=4096)
     ap.add_argument("--no-sky", action="store_true")
     ap.add_argument("--no-ibl", action="store_true")
     ap.add_argument("--log-level", default="info")
@@ -57,6 +58,7 @@ def main(argv=None) -> int:
         height=height,
         renderer_type=cfg.renderer_type,
         enable_shadows=cfg.enable_shadows and not args.no_shadows,
+        shadow_map_size=args.shadow_size,
         enable_sky=not args.no_sky,
         enable_ibl=not args.no_ibl,
         enable_tonemap=cfg.enable_tonemap,
