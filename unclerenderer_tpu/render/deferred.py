@@ -1,0 +1,242 @@
+"""Deferred rendering path: the reference's default pipeline.
+
+Port of ``FDeferredRenderer`` (``Source/Render/DeferredRenderer.cpp``)'s
+13-pass frame (``SURVEY.md`` section 3.2) as a jit-traced pass schedule:
+
+ 1. GPU culling (frustum + previous-frame HZB)      -> ops/cull.py
+ 2. ShadowMap                                       -> shared raster, DEPTH_MIN
+ 3. DepthPrepass  \\ subsumed by the visibility raster (one pass produces
+ 4. GBuffer       //  depth + ids; materials resolve deferred)
+ 5. ObjectId      -> free byproduct of the visibility buffer
+ 6. Build HZB     -> ops/hzb.py (for *next* frame's culling)
+ 7. Lighting      -> fused GGX + PCF + IBL (``DeferredLighting.hlsl``)
+ 8. Sky           -> empty-pixel mask (``SkyAtmosphere.hlsl``)
+ 9. TemporalAA    -> ops/post.py
+10. AutoExposure  -> ops/post.py (EV carried in FrameState)
+11. Tonemap       -> ops/post.py
+12. CAS           -> ops/post.py
+13. (GpuDebugPrint -> host-side stats overlay, core/debugprint)
+
+G-buffer layout follows the reference (A = view normal + view depth,
+B = specular/metallic/roughness, C = albedo, SceneColor = emissive,
+``DeferredRenderer.cpp:38-45``) conceptually; as jit intermediates XLA fuses
+them into the lighting pass instead of round-tripping HBM.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import mathlib
+from ..ops import pbr
+from ..ops import texture as tex
+from ..ops.cull import frustum_cull, occlusion_cull
+from ..ops.hzb import build_hzb, hzb_layout
+from ..ops.post import auto_exposure_ev, cas_sharpen, temporal_aa, tonemap
+from ..ops.shadow import shadow_factor
+from ..ops.sky import apply_atmosphere, sky_view_directions
+from . import common
+from .params import DeviceScene, FrameParams, FrameState, RenderSettings
+
+
+def deferred_frame(
+    scene: DeviceScene,
+    params: FrameParams,
+    state: FrameState,
+    settings: RenderSettings,
+) -> tuple[dict, FrameState]:
+    width, height = settings.width, settings.height
+    layout, _total = hzb_layout(width // 2, height // 2)
+
+    # --- 1. GPU culling (unjittered camera VP, like BuildCameraFrustumPlanes)
+    model_visible = params.model_visible
+    unjittered_vp = params.view @ params.proj_unjittered
+    if settings.enable_gpu_culling:
+        planes = frustum_planes(unjittered_vp)
+        in_frustum = frustum_cull(scene.bounds_min, scene.bounds_max, planes)
+        model_visible = model_visible & in_frustum
+        if settings.enable_hzb:
+            occluded = occlusion_cull(
+                scene.bounds_min,
+                scene.bounds_max,
+                unjittered_vp,
+                state.hzb,
+                layout,
+                width // 2,
+                height // 2,
+            )
+            model_visible = model_visible & ~(occluded & state.hzb_valid)
+
+    # --- 2. shadow map
+    opaque_mask, masked_mask = common.tri_draw_masks(scene, model_visible)
+    if settings.enable_shadows:
+        shadow_map = common.raster_shadow(
+            scene, params.light_view_proj, opaque_mask | masked_mask, settings
+        )
+    else:
+        shadow_map = None
+
+    # --- 3/4/5. visibility raster (jittered VP when TAA active)
+    clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+    depth, tri_id = common.raster_opaque(scene, clip, pix_h, opaque_mask, settings)
+    depth, tri_id = common.raster_masked_combine(
+        scene, clip, pix_h, masked_mask, depth, tri_id, settings
+    )
+
+    g = common.resolve_materials(scene, pix_h, tri_id, settings)
+
+    # --- 6. HZB for next frame
+    new_hzb = build_hzb(depth, layout) if settings.enable_hzb else state.hzb
+
+    # --- 7. lighting (DeferredLighting.hlsl, view-space)
+    view3 = params.view[:3, :3]
+    normal_view = pbr.normalize(g["normal"] @ view3)
+    # G-buffer A stores (viewNormal, viewDepth=-z_view); lighting negates it
+    # back -- net effect: shade with z_view = interpolated clip w.
+    l_view = pbr.normalize(params.light_dir @ view3)
+    hom_w = jnp.concatenate([g["world_pos"], jnp.ones_like(g["world_pos"][..., :1])], axis=-1)
+    view_pos = (hom_w @ params.view)[..., :3]
+    v_view = pbr.normalize(-view_pos)
+
+    f0 = 0.04 + (g["albedo"] - 0.04) * g["metallic"][..., None]
+
+    if settings.enable_shadows:
+        shadow = shadow_factor(
+            shadow_map,
+            g["world_pos"],
+            params.light_view_proj,
+            params.shadow_strength,
+            params.shadow_bias,
+            pcf="deferred",
+        )
+    else:
+        shadow = jnp.ones_like(g["metallic"])
+
+    direct = (
+        pbr.evaluate_pbr(
+            g["albedo"], g["metallic"], g["roughness"], f0, normal_view, v_view, l_view
+        )
+        * params.light_intensity
+        * params.light_color
+        * shadow[..., None]
+    )
+
+    if settings.enable_ibl:
+        env_flat = scene.env_img.reshape(-1, 4)
+        env_w = scene.env_img.shape[1]
+
+        def env_sample(direction, lod):
+            return tex.sample_cube(
+                env_flat, env_w, scene.env_mip_x, scene.env_mip_y,
+                scene.env_mip_size, direction, lod,
+            )[..., :3]
+
+        def brdf_sample(uv):
+            lut = scene.brdf_lut
+            lh, lw = lut.shape[:2]
+            x = jnp.clip(uv[..., 0] * lw - 0.5, 0.0, lw - 1.0)
+            y = jnp.clip(uv[..., 1] * lh - 0.5, 0.0, lh - 1.0)
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, lw - 1)
+            y1 = jnp.minimum(y0 + 1, lh - 1)
+            fx = (x - x0)[..., None]
+            fy = (y - y0)[..., None]
+            return (lut[y0, x0] * (1 - fx) + lut[y0, x1] * fx) * (1 - fy) + (
+                lut[y1, x0] * (1 - fx) + lut[y1, x1] * fx
+            ) * fy
+
+        n_world = pbr.normalize(g["normal"])
+        v_world = pbr.normalize(params.camera_pos - g["world_pos"])
+        ambient = pbr.ibl_ambient(
+            g["albedo"], g["metallic"], f0, n_world, v_world,
+            env_sample, brdf_sample, params.env_mip_count, g["roughness"],
+        )
+    else:
+        ambient = jnp.zeros_like(direct)
+
+    lighting = g["emissive"] + direct + ambient
+
+    # --- 8. sky on empty pixels (depth GE test semantics)
+    if settings.enable_sky:
+        view_dir = sky_view_directions(
+            width, height, params.camera_pos, params.view, params.proj_unjittered
+        )
+        bg = apply_atmosphere(view_dir, params.camera_pos, params.light_dir, params.light_color)
+    else:
+        bg = jnp.broadcast_to(params.background, (height, width, 3))
+    valid = g["valid"][..., None]
+    hdr = jnp.where(valid, lighting, bg)
+
+    # --- 9. TAA
+    if settings.enable_taa:
+        hdr = temporal_aa(hdr, state.taa_history, params.taa_history_weight, state.taa_valid)
+        new_history = hdr
+        new_taa_valid = jnp.array(True)
+    else:
+        new_history = state.taa_history
+        new_taa_valid = jnp.array(False)
+
+    # --- 10. auto exposure
+    if settings.enable_auto_exposure:
+        new_ev = auto_exposure_ev(
+            hdr,
+            state.exposure_ev,
+            state.exposure_valid,
+            params.auto_exposure_key,
+            params.auto_exposure_min,
+            params.auto_exposure_max,
+            params.auto_exposure_speed_up,
+            params.auto_exposure_speed_down,
+            params.delta_time,
+        )
+        new_exposure_valid = jnp.array(True)
+    else:
+        new_ev = state.exposure_ev
+        new_exposure_valid = jnp.array(False)
+
+    # --- 11. tonemap
+    color = tonemap(
+        hdr,
+        params.tonemap_exposure,
+        new_ev,
+        settings.enable_tonemap,
+        settings.enable_auto_exposure,
+        params.tonemap_gamma,
+    )
+
+    # --- 12. CAS
+    if settings.enable_cas:
+        color = cas_sharpen(color, params.cas_sharpness)
+
+    object_id = jnp.where(g["valid"], scene.object_ids[g["model_id"]], jnp.uint32(0))
+
+    new_state = FrameState(
+        taa_history=new_history,
+        taa_valid=new_taa_valid,
+        exposure_ev=new_ev,
+        exposure_valid=new_exposure_valid,
+        hzb=new_hzb,
+        hzb_valid=jnp.array(settings.enable_hzb),
+        frame_index=state.frame_index + 1,
+    )
+    out = {
+        "color": color,
+        "hdr": hdr,
+        "depth": depth,
+        "tri_id": tri_id,
+        "object_id": object_id,
+        "model_visible": model_visible,
+    }
+    return out, new_state
+
+
+def frustum_planes(view_proj: jnp.ndarray) -> jnp.ndarray:
+    """Traced version of mathlib.frustum_planes_from_view_proj."""
+    c = [view_proj[:, i] for i in range(4)]
+    planes = jnp.stack(
+        [c[3] + c[0], c[3] - c[0], c[3] + c[1], c[3] - c[1], c[2], c[3] - c[2]],
+        axis=0,
+    )
+    norms = jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
+    return planes / jnp.where(norms > 0, norms, 1.0)

@@ -126,7 +126,7 @@ def forward_frame(
     # Sky / background for empty pixels.
     if settings.enable_sky:
         view_dir = sky_view_directions(
-            width, height, params.camera_pos, params.view, params.proj
+            width, height, params.camera_pos, params.view, params.proj_unjittered
         )
         bg = apply_atmosphere(view_dir, params.camera_pos, params.light_dir, params.light_color)
     else:

@@ -52,7 +52,8 @@ class RenderSettings:
 @dataclasses.dataclass
 class FrameParams:
     view: jnp.ndarray = None
-    proj: jnp.ndarray = None          # jittered when TAA active
+    proj: jnp.ndarray = None            # jittered when TAA active
+    proj_unjittered: jnp.ndarray = None  # for culling/frustum/sky rays
     view_proj: jnp.ndarray = None
     camera_pos: jnp.ndarray = None
     light_dir: jnp.ndarray = None     # points toward the light (Y-flipped)
@@ -131,12 +132,15 @@ class FrameState:
 
     @staticmethod
     def initial(width: int, height: int) -> "FrameState":
+        from ..ops.hzb import hzb_layout
+
+        _layout, total = hzb_layout(width // 2, height // 2)
         return FrameState(
             taa_history=jnp.zeros((height, width, 3), jnp.float32),
             taa_valid=jnp.array(False),
             exposure_ev=jnp.array(0.0, jnp.float32),
             exposure_valid=jnp.array(False),
-            hzb=jnp.zeros((height // 2, width // 2), jnp.float32),
+            hzb=jnp.zeros(total, jnp.float32),  # packed min-depth pyramid
             hzb_valid=jnp.array(False),
             frame_index=jnp.array(0, jnp.int32),
         )

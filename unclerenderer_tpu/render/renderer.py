@@ -208,11 +208,29 @@ class Renderer:
             f"{time.monotonic() - t0:.2f}s"
         )
 
-        self._frame_fn = jax.jit(forward_frame, static_argnames=("settings",))
+        self._forward_fn = jax.jit(forward_frame, static_argnames=("settings",))
+        from .deferred import deferred_frame
+
+        self._deferred_fn = jax.jit(deferred_frame, static_argnames=("settings",))
+        self._taa_history_ready = False
+        self._frame_counter = 0
 
     def frame_params(self, delta_time: float = 1.0 / 60.0) -> FrameParams:
         view = self.camera.view_matrix()
-        proj = self.camera.projection_matrix()
+        proj_base = self.camera.projection_matrix()
+        # TAA jitter only once history is valid (DeferredRenderer.cpp:398-411).
+        use_jitter = (
+            self.settings.renderer_type == "deferred"
+            and self.settings.enable_taa
+            and self._taa_history_ready
+        )
+        if use_jitter:
+            jitter = m.taa_jitter(self._frame_counter)
+            proj = m.jittered_projection(
+                proj_base, jitter, self.settings.width, self.settings.height
+            )
+        else:
+            proj = proj_base
         light_vec = m.light_vector_from_scene_direction(self.light.direction)
         light_vp = m.build_directional_light_view_proj(
             self.scene_data.scene_center, self.scene_data.scene_radius, light_vec
@@ -221,6 +239,7 @@ class Renderer:
         return FrameParams(
             view=jnp.asarray(view),
             proj=jnp.asarray(proj),
+            proj_unjittered=jnp.asarray(proj_base),
             view_proj=jnp.asarray(view @ proj),
             camera_pos=jnp.asarray(self.camera.position),
             light_dir=jnp.asarray(light_vec),
@@ -246,7 +265,15 @@ class Renderer:
 
     def render_frame(self, delta_time: float = 1.0 / 60.0) -> dict:
         params = self.frame_params(delta_time)
-        out = self._frame_fn(self.device_scene, params, self.settings)
+        if self.settings.renderer_type == "deferred":
+            out, self.frame_state = self._deferred_fn(
+                self.device_scene, params, self.frame_state, self.settings
+            )
+            if self.settings.enable_taa:
+                self._taa_history_ready = True
+        else:
+            out = self._forward_fn(self.device_scene, params, self.settings)
+        self._frame_counter += 1
         return out
 
     def render_to_u8(self, delta_time: float = 1.0 / 60.0) -> np.ndarray:
