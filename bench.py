@@ -1,0 +1,102 @@
+"""Benchmark: full deferred pipeline, steady-state ms/frame.
+
+North star (BASELINE.md): Sponza 1920x1080 deferred + shadows + TAA +
+auto-exposure + tonemap + CAS at <= 60 ms/frame on one TPU chip.  The mounted
+reference checkout is missing sponza's geometry .bin (and
+metal_rough_ball's), so the heaviest complete scene -- pica_pica (~76k
+triangles, 170 models) -- stands in at the same resolution and full pipeline;
+falls back to a synthetic 80k-triangle scene if reference assets are absent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = 60ms / measured (>1 means beating the target).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_MS = 60.0
+WIDTH, HEIGHT = 1920, 1080
+FRAMES = 10
+
+
+def main() -> int:
+    import jax
+
+    from unclerenderer_tpu.render.params import RenderSettings
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    settings = RenderSettings(
+        width=WIDTH,
+        height=HEIGHT,
+        renderer_type="deferred",
+        shadow_map_size=2048,
+        raster_backend="auto",
+    )
+
+    scene_json = Path("/root/reference/Assets/Scenes/pica_pica.json")
+    label = "pica_pica"
+    t_setup = time.monotonic()
+    if scene_json.is_file():
+        from unclerenderer_tpu.render.renderer import Renderer
+
+        renderer = Renderer(scene_json, settings=settings)
+
+        def render():
+            return renderer.render_frame()
+
+    else:
+        import functools
+
+        from unclerenderer_tpu.render.deferred import deferred_frame
+        from unclerenderer_tpu.render.params import FrameState
+        from unclerenderer_tpu.render.testing import (
+            synthetic_device_scene,
+            synthetic_frame_params,
+        )
+
+        label = "synthetic80k"
+        scene, data = synthetic_device_scene(80)
+        params = synthetic_frame_params(data, WIDTH, HEIGHT)
+        state_box = [FrameState.initial(WIDTH, HEIGHT)]
+        frame = jax.jit(functools.partial(deferred_frame, settings=settings))
+
+        def render():
+            out, state_box[0] = frame(scene, params, state_box[0])
+            return out
+
+    # warm up / compile
+    out = render()
+    jax.block_until_ready(out["color"])
+    setup_s = time.monotonic() - t_setup
+
+    t0 = time.monotonic()
+    for _ in range(FRAMES):
+        out = render()
+    jax.block_until_ready(out["color"])
+    ms = (time.monotonic() - t0) / FRAMES * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{label}_1080p_deferred_full_pipeline_ms_per_frame",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 3),
+                "device": str(jax.devices()[0]),
+                "on_tpu": on_tpu,
+                "frames": FRAMES,
+                "setup_and_compile_s": round(setup_s, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

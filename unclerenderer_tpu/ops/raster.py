@@ -169,6 +169,7 @@ def rasterize(
     tile_w: int = 64,
     chunk: int = 128,
     depth_mode: int = DEPTH_MAX,
+    y_offset=0,
 ):
     """Rasterize to a visibility buffer.
 
@@ -179,9 +180,15 @@ def rasterize(
     Brute-force tiling: every tile scans every triangle chunk, with a
     per-(tile, chunk) bbox rejection that XLA turns into masked work (the
     Pallas kernel + binned lists make the rejection real wall-clock savings).
+
+    y_offset (traced scalar ok): first pixel row this call rasterizes --
+    used by the multi-chip path to give each device its row slab of the
+    full viewport while triangle setup stays in full-viewport coordinates.
     """
-    assert width % tile_w == 0 and height % tile_h == 0
-    n_ty, n_tx = height // tile_h, width // tile_w
+    # Pad the viewport up to tile multiples; outputs crop back.
+    pad_w = -(-width // tile_w) * tile_w
+    pad_h = -(-height // tile_h) * tile_h
+    n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
     n_tiles = n_ty * n_tx
     pix = tile_h * tile_w
 
@@ -210,15 +217,16 @@ def rasterize(
     yy = jnp.arange(tile_h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(tile_w, dtype=jnp.float32)[None, :]
     # (n_tiles, pix, 3) homogeneous pixel centers
+    y_off = jnp.asarray(y_offset, jnp.float32)
     qx0 = tx_idx[:, None, None] * tile_w + xx[None] + 0.5  # (n_tiles, 1, tw)
-    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5  # (n_tiles, th, 1)
+    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5 + y_off  # (n_tiles, th, 1)
     qx = jnp.broadcast_to(qx0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
     qy = jnp.broadcast_to(qy0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
     q = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)
 
     # Tile pixel bounds for bbox rejection.
     tile_x0 = (tx_idx * tile_w).astype(jnp.float32)
-    tile_y0 = (ty_idx * tile_h).astype(jnp.float32)
+    tile_y0 = (ty_idx * tile_h).astype(jnp.float32) + y_off
     tile_x1 = tile_x0 + (tile_w - 1)
     tile_y1 = tile_y0 + (tile_h - 1)
 
@@ -280,7 +288,15 @@ def rasterize(
         depth = jnp.where(hit, 1.0 - best_key, empty_depth)
     tri_id = jnp.where(hit, best_id, -1)
 
-    # Untile: (n_tiles, pix) -> (H, W)
-    depth = depth.reshape(n_ty, n_tx, tile_h, tile_w).transpose(0, 2, 1, 3).reshape(height, width)
-    tri_id = tri_id.reshape(n_ty, n_tx, tile_h, tile_w).transpose(0, 2, 1, 3).reshape(height, width)
+    # Untile: (n_tiles, pix) -> (H, W), cropping tile padding.
+    depth = (
+        depth.reshape(n_ty, n_tx, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(pad_h, pad_w)[:height, :width]
+    )
+    tri_id = (
+        tri_id.reshape(n_ty, n_tx, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(pad_h, pad_w)[:height, :width]
+    )
     return depth, tri_id

@@ -53,6 +53,32 @@ def tri_draw_masks(scene: DeviceScene, model_visible: jnp.ndarray):
     return vis & ~masked, vis & masked
 
 
+def _use_pallas(settings: RenderSettings) -> bool:
+    if settings.raster_backend == "pallas":
+        return True
+    if settings.raster_backend == "xla":
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+def _dispatch_raster(setup, width, height, tile_h, tile_w, chunk, depth_mode, settings):
+    if _use_pallas(settings):
+        from ..ops.pallas_raster import rasterize_binned
+
+        return rasterize_binned(
+            setup, width, height,
+            tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
+            max_span=settings.bin_max_span,
+            budget_factor=settings.bin_budget_factor,
+        )
+    return rasterize(
+        setup, width, height,
+        tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
+    )
+
+
 def raster_opaque(
     scene: DeviceScene,
     clip: jnp.ndarray,
@@ -63,14 +89,9 @@ def raster_opaque(
     setup = triangle_setup(
         pix_h, clip[:, 2], scene.tris, tri_mask, CULL_BACK, settings.width, settings.height
     )
-    return rasterize(
-        setup,
-        settings.width,
-        settings.height,
-        tile_h=settings.tile_h,
-        tile_w=settings.tile_w,
-        chunk=settings.chunk,
-        depth_mode=DEPTH_MAX,
+    return _dispatch_raster(
+        setup, settings.width, settings.height,
+        settings.tile_h, settings.tile_w, settings.chunk, DEPTH_MAX, settings,
     )
 
 
@@ -89,14 +110,9 @@ def raster_shadow(
     clip = hom @ light_view_proj
     pix_h = viewport_homogeneous(clip, size, size)
     setup = triangle_setup(pix_h, clip[:, 2], scene.tris, tri_mask, CULL_FRONT, size, size)
-    depth, _ = rasterize(
-        setup,
-        size,
-        size,
-        tile_h=settings.shadow_tile,
-        tile_w=settings.shadow_tile,
-        chunk=settings.shadow_chunk,
-        depth_mode=DEPTH_MIN,
+    depth, _ = _dispatch_raster(
+        setup, size, size,
+        settings.tile_h, settings.tile_w, settings.shadow_chunk, DEPTH_MIN, settings,
     )
     return depth
 
@@ -176,7 +192,9 @@ def _rasterize_alpha(
     width, height = settings.width, settings.height
     tile_h, tile_w = settings.tile_h, settings.tile_w
     chunk = settings.chunk
-    n_ty, n_tx = height // tile_h, width // tile_w
+    pad_w = -(-width // tile_w) * tile_w
+    pad_h = -(-height // tile_h) * tile_h
+    n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
     n_tiles = n_ty * n_tx
     pix = tile_h * tile_w
 
@@ -275,8 +293,16 @@ def _rasterize_alpha(
     hit = best_key >= 0.0
     depth = jnp.where(hit, best_key, 0.0)
     tri_id = jnp.where(hit, best_id, -1)
-    depth = depth.reshape(n_ty, n_tx, tile_h, tile_w).transpose(0, 2, 1, 3).reshape(height, width)
-    tri_id = tri_id.reshape(n_ty, n_tx, tile_h, tile_w).transpose(0, 2, 1, 3).reshape(height, width)
+    depth = (
+        depth.reshape(n_ty, n_tx, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(pad_h, pad_w)[:height, :width]
+    )
+    tri_id = (
+        tri_id.reshape(n_ty, n_tx, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(pad_h, pad_w)[:height, :width]
+    )
     return depth, tri_id
 
 

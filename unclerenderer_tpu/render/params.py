@@ -41,11 +41,14 @@ class RenderSettings:
     enable_gpu_culling: bool = True
     enable_hzb: bool = True
     # raster tuning
-    tile_h: int = 32
+    raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    tile_h: int = 16
     tile_w: int = 64
-    chunk: int = 256
+    chunk: int = 128
     shadow_tile: int = 128
-    shadow_chunk: int = 256
+    shadow_chunk: int = 128
+    bin_max_span: int = 2
+    bin_budget_factor: float = 3.0
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,185 @@
+"""Synthetic scenes for tests, dry runs and benchmarks -- no asset files.
+
+Builds a grid of textured cubes/spheres with procedural materials, producing
+the same DeviceScene the asset pipeline emits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import mathlib as m
+from ..scene.build import SceneData, SceneModel
+from ..scene.gltf import GltfMaterial
+from ..scene.mesh import compute_mesh_bounds, create_cube, create_sphere
+from ..textures.atlas import build_atlas
+from ..textures.image import default_grid_texture, generate_mips, solid_color_texture
+from .params import DeviceScene
+
+
+def synthetic_scene_data(n_objects: int = 4, seed: int = 0) -> SceneData:
+    rng = np.random.default_rng(seed)
+    data = SceneData()
+    pos_parts, nrm_parts, tan_parts, uv_parts, col_parts = [], [], [], [], []
+    tri_parts, tri_model_parts = [], []
+    v_off = 0
+    t_off = 0
+    scene_min = np.full(3, np.inf, np.float32)
+    scene_max = np.full(3, -np.inf, np.float32)
+    side = max(1, int(np.ceil(np.sqrt(n_objects))))
+    for i in range(n_objects):
+        mesh = create_cube(1.0) if i % 2 == 0 else create_sphere(0.6, 12, 8)
+        gx, gz = i % side, i // side
+        world = m.rotation_y(rng.uniform(0, 2 * np.pi)) @ m.translation(
+            [gx * 2.0 - side, 0.0, gz * 2.0 + 2.0]
+        )
+        center_l, radius_l, bmin_l, bmax_l = compute_mesh_bounds(mesh)
+        bmin_w, bmax_w = m.transform_aabb(bmin_l, bmax_l, world)
+        hom = np.concatenate([mesh.position, np.ones((mesh.position.shape[0], 1), np.float32)], 1)
+        pos_parts.append((hom @ world)[:, :3].astype(np.float32))
+        nrm_parts.append((mesh.normal @ world[:3, :3]).astype(np.float32))
+        t3 = mesh.tangent[:, :3] @ world[:3, :3]
+        t3 /= np.maximum(np.linalg.norm(t3, axis=1, keepdims=True), 1e-20)
+        tan_parts.append(np.concatenate([t3, mesh.tangent[:, 3:4]], 1).astype(np.float32))
+        uv_parts.append(mesh.uv)
+        col_parts.append(mesh.color)
+        tris = mesh.indices.reshape(-1, 3).astype(np.uint32) + np.uint32(v_off)
+        tri_parts.append(tris)
+        tri_model_parts.append(np.full(tris.shape[0], i, np.uint32))
+
+        mat = GltfMaterial()
+        mat.base_color_factor = rng.uniform(0.2, 1.0, 3).astype(np.float32)
+        mat.metallic_factor = float(rng.uniform(0, 1))
+        mat.roughness_factor = float(rng.uniform(0.2, 1))
+        model = SceneModel(
+            name=f"obj_{i}",
+            object_id=i + 1,
+            world=world.astype(np.float32),
+            center=((np.append(center_l, 1.0) @ world)[:3]).astype(np.float32),
+            radius=float(radius_l),
+            bounds_min=bmin_w,
+            bounds_max=bmax_w,
+            visible=True,
+            material=mat,
+            tri_start=t_off,
+            tri_count=int(tris.shape[0]),
+        )
+        data.models.append(model)
+        data.texture_paths.append(("", "", "", ""))
+        scene_min = np.minimum(scene_min, bmin_w)
+        scene_max = np.maximum(scene_max, bmax_w)
+        v_off += mesh.position.shape[0]
+        t_off += tris.shape[0]
+
+    data.position = np.concatenate(pos_parts)
+    data.normal = np.concatenate(nrm_parts)
+    data.tangent = np.concatenate(tan_parts)
+    data.uv = np.concatenate(uv_parts)
+    data.color = np.concatenate(col_parts)
+    data.tri_indices = np.concatenate(tri_parts)
+    data.tri_model = np.concatenate(tri_model_parts)
+    data.scene_center = ((scene_min + scene_max) * 0.5).astype(np.float32)
+    data.scene_radius = max(float(np.linalg.norm(scene_max - scene_min) * 0.5), 1.0)
+
+    n = len(data.models)
+    data.base_color_factor = np.stack([mm.material.base_color_factor for mm in data.models])
+    data.base_color_alpha = np.array([mm.material.base_color_alpha for mm in data.models], np.float32)
+    data.metallic_factor = np.array([mm.material.metallic_factor for mm in data.models], np.float32)
+    data.roughness_factor = np.array([mm.material.roughness_factor for mm in data.models], np.float32)
+    data.emissive_factor = np.stack([mm.material.emissive_factor for mm in data.models])
+    data.alpha_mode = np.zeros(n, np.uint32)
+    data.alpha_cutoff = np.full(n, 0.5, np.float32)
+    uv_t = np.zeros((n, 4, 4), np.float32)
+    uv_t[:, :, 2:] = 1.0
+    uv_r = np.zeros((n, 4, 2), np.float32)
+    uv_r[:, :, 0] = 1.0
+    data.uv_transform = uv_t
+    data.uv_rotation = uv_r
+    data.bounds_min_arr = np.stack([mm.bounds_min for mm in data.models])
+    data.bounds_max_arr = np.stack([mm.bounds_max for mm in data.models])
+    data.object_ids = np.array([mm.object_id for mm in data.models], np.uint32)
+    data.visible_mask = np.ones(n, bool)
+    return data
+
+
+def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool = True) -> DeviceScene:
+    data = synthetic_scene_data(n_objects, seed)
+    n = data.num_models
+    chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]
+    tex_ids = np.zeros((n, 4), np.int32)
+    has_map = np.zeros((n, 4), bool)
+    if with_texture:
+        chains.append(generate_mips(default_grid_texture(64)))
+        tex_ids[::2, 0] = 1
+        has_map[::2, 0] = True
+    atlas = build_atlas(chains)
+    return DeviceScene(
+        position=jnp.asarray(data.position),
+        normal=jnp.asarray(data.normal),
+        tangent=jnp.asarray(data.tangent),
+        uv=jnp.asarray(data.uv),
+        color=jnp.asarray(data.color),
+        tris=jnp.asarray(data.tri_indices.astype(np.int32)),
+        tri_model=jnp.asarray(data.tri_model.astype(np.int32)),
+        base_color_factor=jnp.asarray(data.base_color_factor),
+        base_color_alpha=jnp.asarray(data.base_color_alpha),
+        metallic_factor=jnp.asarray(data.metallic_factor),
+        roughness_factor=jnp.asarray(data.roughness_factor),
+        emissive_factor=jnp.asarray(data.emissive_factor),
+        alpha_mode=jnp.asarray(data.alpha_mode.astype(np.int32)),
+        alpha_cutoff=jnp.asarray(data.alpha_cutoff),
+        uv_transform=jnp.asarray(data.uv_transform),
+        uv_rotation=jnp.asarray(data.uv_rotation),
+        tex_ids=jnp.asarray(tex_ids),
+        has_map=jnp.asarray(has_map),
+        object_ids=jnp.asarray(data.object_ids),
+        bounds_min=jnp.asarray(data.bounds_min_arr),
+        bounds_max=jnp.asarray(data.bounds_max_arr),
+        atlas_img=jnp.asarray(atlas.data),
+        mip_x=jnp.asarray(atlas.mip_x),
+        mip_y=jnp.asarray(atlas.mip_y),
+        mip_w=jnp.asarray(atlas.mip_w),
+        mip_h=jnp.asarray(atlas.mip_h),
+        env_img=jnp.full((8, 128, 4), 0.1, jnp.float32),
+        env_mip_x=jnp.zeros((6, 14), jnp.int32),
+        env_mip_y=jnp.zeros((6, 14), jnp.int32),
+        env_mip_size=jnp.ones((6, 14), jnp.int32),
+        brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
+    ), data
+
+
+def synthetic_frame_params(data, width: int, height: int, camera_pos=(0.0, 1.5, -4.0)):
+    from .params import FrameParams
+
+    cam_pos = np.asarray(camera_pos, np.float32)
+    view = m.look_at_lh(cam_pos, data.scene_center, [0, 1, 0])
+    proj = m.perspective_reverse_z_infinite(np.radians(60.0), width / height, 0.1)
+    light = m.normalize(np.array([-0.4, 0.8, -0.3], np.float32))
+    light_vp = m.build_directional_light_view_proj(data.scene_center, data.scene_radius, light)
+    return FrameParams(
+        view=jnp.asarray(view),
+        proj=jnp.asarray(proj),
+        proj_unjittered=jnp.asarray(proj),
+        view_proj=jnp.asarray(view @ proj),
+        camera_pos=jnp.asarray(cam_pos),
+        light_dir=jnp.asarray(light),
+        light_intensity=jnp.float32(3.0),
+        light_color=jnp.asarray([1.0, 0.95, 0.9]),
+        light_view_proj=jnp.asarray(light_vp),
+        shadow_strength=jnp.float32(1.0),
+        shadow_bias=jnp.float32(0.002),
+        background=jnp.asarray([0.05, 0.05, 0.07]),
+        model_visible=jnp.asarray(data.visible_mask),
+        env_mip_count=jnp.float32(1.0),
+        tonemap_exposure=jnp.float32(1.0),
+        tonemap_gamma=jnp.float32(2.2),
+        cas_sharpness=jnp.float32(0.5),
+        taa_history_weight=jnp.float32(0.9),
+        auto_exposure_key=jnp.float32(0.3),
+        auto_exposure_min=jnp.float32(0.1),
+        auto_exposure_max=jnp.float32(5.0),
+        auto_exposure_speed_up=jnp.float32(3.0),
+        auto_exposure_speed_down=jnp.float32(1.0),
+        delta_time=jnp.float32(1 / 60),
+    )
