@@ -108,23 +108,6 @@ def bin_triangles(
     )
     total_used = blk_start[-1]
 
-    # scatter pair -> (block, slot)
-    pair_idx = jnp.arange(sorted_key.shape[0], dtype=jnp.int32)
-    pair_tile = jnp.clip(sorted_key, 0, n_tiles - 1)
-    pos = pair_idx - starts[pair_tile]
-    dst_blk = blk_start[pair_tile] + pos // chunk
-    dst = dst_blk * chunk + pos % chunk
-    pair_valid = (sorted_key < n_tiles) & (dst_blk < n_blocks)
-    overflow = jnp.sum((sorted_key < n_tiles) & (dst_blk >= n_blocks))
-    dst = jnp.where(pair_valid, dst, n_blocks * chunk)  # drop bucket
-
-    blocks_tid = jnp.zeros(n_blocks * chunk + 1, jnp.int32).at[dst].set(
-        sorted_tri, mode="drop"
-    )[:-1].reshape(n_blocks, chunk)
-    blocks_valid = jnp.zeros(n_blocks * chunk + 1, jnp.float32).at[dst].set(
-        1.0, mode="drop"
-    )[:-1].reshape(n_blocks, chunk)
-
     # block -> tile map + first-block flags
     blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
     blk_tile = jnp.clip(
@@ -134,9 +117,23 @@ def bin_triangles(
     )
     in_use = blk_ids < total_used
     blk_first = (blk_ids == blk_start[blk_tile]).astype(jnp.int32)
-    # unused trailing blocks keep their searchsorted tile but carry no valid
-    # rows, so they are harmless revisits.
-    blocks_valid = jnp.where(in_use[:, None], blocks_valid, 0.0)
+
+    # Gather-based block fill (no scatter -- TPU-friendly): slot (b, s) reads
+    # sorted pair starts[tile(b)] + (b - blk_start[tile(b)]) * chunk + s.
+    slot = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    pair_src = (
+        starts[blk_tile][:, None]
+        + (blk_ids - blk_start[blk_tile])[:, None] * chunk
+        + slot
+    )
+    slot_valid = in_use[:, None] & (pair_src < starts[blk_tile + 1][:, None])
+    pair_src = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
+    blocks_tid = jnp.where(slot_valid, sorted_tri[pair_src], 0)
+    blocks_valid = slot_valid.astype(jnp.float32)
+    # overflow: pairs beyond the block budget are simply never gathered
+    overflow = jnp.maximum(
+        starts[n_tiles] - jnp.sum(blocks_valid).astype(jnp.int32), 0
+    )
 
     # gather coefficients into block layout: (n_blocks, chunk, ...)
     e = setup.edges[blocks_tid]          # (n_blocks, chunk, 3, 3)

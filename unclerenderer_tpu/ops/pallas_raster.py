@@ -287,48 +287,13 @@ def _binned_kernel(
     id_ref[0] = jnp.where(better, k_id, acc_id)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
-        "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
-    ),
-)
-def rasterize_binned(
-    setup: RasterSetup,
-    width: int,
-    height: int,
-    tile_h: int = 16,
-    tile_w: int = 64,
-    chunk: int = 128,
-    depth_mode: int = DEPTH_MAX,
-    y_offset: int = 0,
-    max_span: int = 2,
-    budget_factor: float = 3.0,
-    big_tile_h: int = 32,
-    big_tile_w: int = 128,
-    big_chunk: int = 64,
-):
-    """Binned visibility raster: sort-based per-tile lists for small
-    triangles + brute-force pass for large ones, merged by depth key.
-
-    Work scales with (pairs x tile pixels) instead of (tiles x triangles).
-    """
-    from .binning import bin_triangles
-
+def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset):
+    """Launch the binned kernel for one level; returns (key_img, id_img)
+    cropped to (height, width), key = -1 where empty."""
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
     n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
     n_tiles = n_ty * n_tx
-
-    num_z = setup.num_z
-    if depth_mode != DEPTH_MAX:
-        num_z = setup.num_w - setup.num_z
-
-    bins = bin_triangles(
-        setup, num_z, width, height, tile_h, tile_w, chunk,
-        max_span=max_span, budget_factor=budget_factor,
-    )
     n_blocks = bins.ea.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -385,18 +350,83 @@ def rasterize_binned(
         .transpose(0, 2, 1, 3)
         .reshape(pad_h, pad_w)[:height, :width]
     )
+    return key_img, id_img
 
-    # Big triangles: brute-force kernel over the (few) large ones.
-    big_setup = RasterSetup(
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
+        "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
+    ),
+)
+def rasterize_binned(
+    setup: RasterSetup,
+    width: int,
+    height: int,
+    tile_h: int = 16,
+    tile_w: int = 64,
+    chunk: int = 128,
+    depth_mode: int = DEPTH_MAX,
+    y_offset: int = 0,
+    max_span: int = 2,
+    budget_factor: float = 3.0,
+    big_tile_h: int = 32,
+    big_tile_w: int = 128,
+    big_chunk: int = 64,
+):
+    """Binned visibility raster, three levels merged by depth key:
+
+    1. fine tiles + sorted per-tile lists for small triangles,
+    2. coarse tiles + lists for medium triangles,
+    3. brute-force kernel for the remaining giant ones (walls, floors).
+
+    Work scales with (pairs x tile pixels) instead of (tiles x triangles).
+    """
+    from .binning import bin_triangles
+
+    num_z = setup.num_z
+    if depth_mode != DEPTH_MAX:
+        num_z = setup.num_w - setup.num_z
+
+    bins = bin_triangles(
+        setup, num_z, width, height, tile_h, tile_w, chunk,
+        max_span=max_span, budget_factor=budget_factor,
+    )
+    key_img, id_img = _run_binned_kernel(
+        bins, width, height, tile_h, tile_w, chunk, y_offset
+    )
+
+    # Medium triangles: second binning level with coarse tiles.
+    mid_setup = RasterSetup(
         edges=setup.edges,
         num_z=setup.num_z,
         num_w=setup.num_w,
         valid=bins.big_mask,
         bbox=setup.bbox,
     )
+    mid_bins = bin_triangles(
+        mid_setup, num_z, width, height, big_tile_h, big_tile_w, big_chunk,
+        max_span=4, budget_factor=2.0,
+    )
+    mid_key, mid_id = _run_binned_kernel(
+        mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset
+    )
+    take_mid = mid_key > key_img
+    key_img = jnp.where(take_mid, mid_key, key_img)
+    id_img = jnp.where(take_mid, mid_id, id_img)
+
+    # Remaining giant triangles (walls/floors): brute-force, few by now.
+    giant_setup = RasterSetup(
+        edges=setup.edges,
+        num_z=setup.num_z,
+        num_w=setup.num_w,
+        valid=mid_bins.big_mask,
+        bbox=setup.bbox,
+    )
     big_depth, big_id = rasterize_pallas(
-        big_setup, width, height,
-        tile_h=big_tile_h, tile_w=big_tile_w, chunk=big_chunk,
+        giant_setup, width, height,
+        tile_h=big_tile_h, tile_w=big_tile_w, chunk=32,
         depth_mode=depth_mode, y_offset=y_offset,
     )
     big_key = big_depth if depth_mode == DEPTH_MAX else (1.0 - big_depth)

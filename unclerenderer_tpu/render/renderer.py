@@ -282,3 +282,81 @@ class Renderer:
         out = self.render_frame(delta_time)
         color = np.asarray(out["color"])
         return np.clip(np.rint(color * 255.0), 0, 255).astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    # Introspection / picking / state (SURVEY.md section 5 subsystems)
+    # ------------------------------------------------------------------
+
+    def pick(self, x: int, y: int) -> tuple[int, str]:
+        """Object picking: render and read the object id at pixel (x, y)
+        (replaces the reference's ObjectId pass + 1-px readback copy,
+        ``DeferredRenderer.cpp:873-979``).  Returns (object_id, model_name);
+        id 0 = background."""
+        out = self.render_frame()
+        object_id = int(np.asarray(out["object_id"][y, x]))
+        name = ""
+        if object_id > 0:
+            for model in self.scene_data.models:
+                if model.object_id == object_id:
+                    name = model.name
+                    break
+        return object_id, name
+
+    def stats(self) -> dict:
+        """Scene + culling stats (the reference's ImGui counters +
+        GpuDebugPrintStats culling counts)."""
+        out = self.render_frame()
+        visible = np.asarray(out["model_visible"]) if "model_visible" in out else None
+        total = self.scene_data.num_models
+        n_visible = int(visible.sum()) if visible is not None else total
+        return {
+            "models_total": total,
+            "models_visible": n_visible,
+            "models_culled": total - n_visible,
+            "triangles_total": self.scene_data.num_triangles,
+            "exposure_ev": float(self.frame_state.exposure_ev),
+            "taa_history_valid": bool(self.frame_state.taa_valid),
+        }
+
+    def profile_passes(self, iterations: int = 3):
+        """Per-pass timing table (the GpuTiming toggle analog)."""
+        from .framegraph import profile_deferred_passes
+
+        return profile_deferred_passes(self, iterations)
+
+    def save_state(self, path) -> None:
+        """Checkpoint camera + frame-carried state (goes beyond the
+        reference, which persists only the INI; trivial with pytrees)."""
+        np.savez(
+            path,
+            camera_position=self.camera.position,
+            camera_forward=self.camera.forward,
+            camera_up=self.camera.up,
+            camera_fov_y=self.camera.fov_y,
+            taa_history=np.asarray(self.frame_state.taa_history),
+            taa_valid=np.asarray(self.frame_state.taa_valid),
+            exposure_ev=np.asarray(self.frame_state.exposure_ev),
+            exposure_valid=np.asarray(self.frame_state.exposure_valid),
+            hzb=np.asarray(self.frame_state.hzb),
+            hzb_valid=np.asarray(self.frame_state.hzb_valid),
+            frame_index=np.asarray(self.frame_state.frame_index),
+            frame_counter=self._frame_counter,
+        )
+
+    def load_state(self, path) -> None:
+        data = np.load(path)
+        self.camera.position = data["camera_position"]
+        self.camera.forward = data["camera_forward"]
+        self.camera.up = data["camera_up"]
+        self.camera.fov_y = float(data["camera_fov_y"])
+        self.frame_state = FrameState(
+            taa_history=jnp.asarray(data["taa_history"]),
+            taa_valid=jnp.asarray(data["taa_valid"]),
+            exposure_ev=jnp.asarray(data["exposure_ev"]),
+            exposure_valid=jnp.asarray(data["exposure_valid"]),
+            hzb=jnp.asarray(data["hzb"]),
+            hzb_valid=jnp.asarray(data["hzb_valid"]),
+            frame_index=jnp.asarray(data["frame_index"]),
+        )
+        self._frame_counter = int(data["frame_counter"])
+        self._taa_history_ready = bool(data["taa_valid"])
