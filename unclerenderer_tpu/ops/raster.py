@@ -71,10 +71,53 @@ def triangle_setup(
     width: int = 0,
     height: int = 0,
 ) -> RasterSetup:
-    """Build edge/depth coefficients for each triangle.
+    """Build edge/depth coefficients for each triangle (indexed mesh).
 
     pix_h: (V, 3) homogeneous pixel coords, z_clip: (V,) clip-space z.
     tris: (T, 3) vertex indices.  tri_mask: (T,) draw mask (culling results).
+
+    NOTE: per-triangle vertex gathers lower poorly on TPU; the render paths
+    de-index geometry at scene build and use triangle_setup_expanded.
+    """
+    return triangle_setup_from_verts(
+        pix_h[tris[:, 0]], pix_h[tris[:, 1]], pix_h[tris[:, 2]],
+        z_clip[tris[:, 0]], z_clip[tris[:, 1]], z_clip[tris[:, 2]],
+        tri_mask, cull_mode, width, height,
+    )
+
+
+def triangle_setup_expanded(
+    pix_h: jnp.ndarray,
+    z_clip: jnp.ndarray,
+    tri_mask: jnp.ndarray,
+    cull_mode: int = CULL_BACK,
+    width: int = 0,
+    height: int = 0,
+) -> RasterSetup:
+    """Setup for de-indexed geometry: vertex i of triangle t lives at row
+    3t + i.  Gather-free (reshape + slice only)."""
+    t = pix_h.shape[0] // 3
+    p = pix_h.reshape(t, 3, 3)
+    z = z_clip.reshape(t, 3)
+    return triangle_setup_from_verts(
+        p[:, 0], p[:, 1], p[:, 2], z[:, 0], z[:, 1], z[:, 2],
+        tri_mask, cull_mode, width, height,
+    )
+
+
+def triangle_setup_from_verts(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    z0: jnp.ndarray,
+    z1: jnp.ndarray,
+    z2: jnp.ndarray,
+    tri_mask: jnp.ndarray,
+    cull_mode: int = CULL_BACK,
+    width: int = 0,
+    height: int = 0,
+) -> RasterSetup:
+    """Core edge/depth coefficient build from per-triangle vertices.
 
     Orientation: for a clockwise-on-screen triangle (D3D front face,
     FrontCounterClockwise=FALSE) with all w > 0, det < 0 under the y-down
@@ -82,12 +125,6 @@ def triangle_setup(
     asset: camera-facing faces carry negative determinants); edge signs are
     flipped so the rasterized interior is always e_k > 0.
     """
-    p0 = pix_h[tris[:, 0]]
-    p1 = pix_h[tris[:, 1]]
-    p2 = pix_h[tris[:, 2]]
-    z0 = z_clip[tris[:, 0]]
-    z1 = z_clip[tris[:, 1]]
-    z2 = z_clip[tris[:, 2]]
 
     e0 = jnp.cross(p1, p2)
     e1 = jnp.cross(p2, p0)

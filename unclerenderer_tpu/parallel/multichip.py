@@ -35,7 +35,7 @@ from ..ops import texture as tex
 from ..ops.cull import frustum_cull
 from ..ops.pallas_raster import shift_setup
 from ..ops.post import cas_sharpen, temporal_aa, tonemap
-from ..ops.raster import CULL_BACK, CULL_FRONT, DEPTH_MAX, DEPTH_MIN, triangle_setup, viewport_homogeneous
+from ..ops.raster import CULL_BACK, CULL_FRONT, DEPTH_MAX, DEPTH_MIN, triangle_setup_expanded, viewport_homogeneous
 from ..ops.shadow import shadow_factor
 from ..ops.sky import apply_atmosphere
 from ..render import common
@@ -96,8 +96,8 @@ def render_frame_multichip(
             lclip = hom @ params.light_view_proj
             lpix = viewport_homogeneous(lclip, shadow_size, shadow_size)
             srow0 = (dev * (shadow_size // n_dev)).astype(jnp.float32)
-            lsetup = triangle_setup(
-                lpix, lclip[:, 2], scene.tris, draw_mask, CULL_FRONT,
+            lsetup = triangle_setup_expanded(
+                lpix, lclip[:, 2], draw_mask, CULL_FRONT,
                 shadow_size, shadow_size,
             )
             lsetup = shift_setup(lsetup, jnp.float32(0.0), srow0)
@@ -118,8 +118,8 @@ def render_frame_multichip(
 
         # --- visibility raster for this slab
         clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
-        setup = triangle_setup(
-            pix_h, clip[:, 2], scene.tris, opaque_mask, CULL_BACK, width, height
+        setup = triangle_setup_expanded(
+            pix_h, clip[:, 2], opaque_mask, CULL_BACK, width, height
         )
         setup = shift_setup(setup, jnp.float32(0.0), row0)
         from ..ops.raster import rasterize
@@ -188,10 +188,16 @@ def render_frame_multichip(
         else:
             new_history = taa_history
 
-        # --- auto exposure: global mean via pmean
+        # --- auto exposure: same 16x16 pooled sampling as the single-chip
+        # path (ops.post.auto_exposure_ev), with the grid split across slabs
+        # and combined by pmean -- bit-comparable when 16 % n_dev == 0.
         if settings.enable_auto_exposure:
+            gh = max(1, 16 // n_dev)
+            gw = min(16, width)
+            ph, pw = slab_h - slab_h % gh, width - width % gw
+            pooled = hdr[:ph, :pw].reshape(gh, ph // gh, gw, pw // gw, 3).mean(axis=(1, 3))
             lum = jnp.einsum(
-                "hwc,c->hw", jnp.maximum(hdr, 0.0),
+                "hwc,c->hw", jnp.maximum(pooled, 0.0),
                 jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32),
             )
             local_log = jnp.mean(jnp.log2(jnp.maximum(lum, 1e-4)))
@@ -219,7 +225,7 @@ def render_frame_multichip(
             params.tonemap_gamma,
         )
         if settings.enable_cas:
-            color = cas_sharpen(color, params.cas_sharpness)
+            color = jnp.clip(cas_sharpen(color, params.cas_sharpness), 0.0, 1.0)
         return color, new_history, new_ev
 
     sharded = shard_map(

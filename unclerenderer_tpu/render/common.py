@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from ..ops import pbr
 from ..ops import texture as tex
-from ..ops.interpolate import barycentrics, interpolate
+from ..ops.interpolate import (
+    barycentrics_expanded,
+    interpolate_many_expanded,
+)
 from ..ops.raster import (
     CULL_BACK,
     CULL_FRONT,
@@ -27,7 +30,7 @@ from ..ops.raster import (
     RasterSetup,
     _coverage,
     rasterize,
-    triangle_setup,
+    triangle_setup_expanded,
     viewport_homogeneous,
 )
 from .params import DeviceScene, RenderSettings
@@ -86,8 +89,8 @@ def raster_opaque(
     tri_mask: jnp.ndarray,
     settings: RenderSettings,
 ):
-    setup = triangle_setup(
-        pix_h, clip[:, 2], scene.tris, tri_mask, CULL_BACK, settings.width, settings.height
+    setup = triangle_setup_expanded(
+        pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
     )
     return _dispatch_raster(
         setup, settings.width, settings.height,
@@ -109,7 +112,7 @@ def raster_shadow(
     )
     clip = hom @ light_view_proj
     pix_h = viewport_homogeneous(clip, size, size)
-    setup = triangle_setup(pix_h, clip[:, 2], scene.tris, tri_mask, CULL_FRONT, size, size)
+    setup = triangle_setup_expanded(pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size)
     depth, _ = _dispatch_raster(
         setup, size, size,
         settings.tile_h, settings.tile_w, settings.shadow_chunk, DEPTH_MIN, settings,
@@ -133,8 +136,8 @@ def raster_masked_combine(
     texture at mip 0 bilinear (the PS tests the filtered sample after the
     raster); same cutoff, cutout edges differ only under heavy minification.
     """
-    setup = triangle_setup(
-        pix_h, clip[:, 2], scene.tris, masked_mask, CULL_BACK, settings.width, settings.height
+    setup = triangle_setup_expanded(
+        pix_h, clip[:, 2], masked_mask, CULL_BACK, settings.width, settings.height
     )
 
     # Per-triangle alpha inputs. The KHR transform is affine in uv, so it
@@ -142,19 +145,18 @@ def raster_masked_combine(
     model = scene.tri_model
     uv_os = scene.uv_transform[model, SLOT_BASE]
     uv_rot = scene.uv_rotation[model, SLOT_BASE]
-    v0, v1, v2 = scene.tris[:, 0], scene.tris[:, 1], scene.tris[:, 2]
-    uv0 = tex.apply_texture_transform(scene.uv[v0], uv_os, uv_rot)
-    uv1 = tex.apply_texture_transform(scene.uv[v1], uv_os, uv_rot)
-    uv2 = tex.apply_texture_transform(scene.uv[v2], uv_os, uv_rot)
+    t_count = scene.uv.shape[0] // 3
+    uv_tri = scene.uv.reshape(t_count, 3, 2)
+    uv0 = tex.apply_texture_transform(uv_tri[:, 0], uv_os, uv_rot)
+    uv1 = tex.apply_texture_transform(uv_tri[:, 1], uv_os, uv_rot)
+    uv2 = tex.apply_texture_transform(uv_tri[:, 2], uv_os, uv_rot)
     e = setup.edges  # (T, 3, 3)
     num_u = e[:, 0] * uv0[:, 0:1] + e[:, 1] * uv1[:, 0:1] + e[:, 2] * uv2[:, 0:1]
     num_v = e[:, 0] * uv0[:, 1:2] + e[:, 1] * uv1[:, 1:2] + e[:, 2] * uv2[:, 1:2]
     num_1 = e.sum(axis=1)  # (T, 3) barycentric normalizer coefficients
     # vertex color alpha interpolates too (alpha = BaseColorAlpha * color.a * tex.a)
-    ca0 = scene.color[v0, 3:4]
-    ca1 = scene.color[v1, 3:4]
-    ca2 = scene.color[v2, 3:4]
-    num_ca = e[:, 0] * ca0 + e[:, 1] * ca1 + e[:, 2] * ca2
+    ca = scene.color.reshape(t_count, 3, 4)[..., 3]
+    num_ca = e[:, 0] * ca[:, 0:1] + e[:, 1] * ca[:, 1:2] + e[:, 2] * ca[:, 2:3]
 
     m_depth, m_tri = _rasterize_alpha(
         setup,
@@ -323,15 +325,26 @@ def resolve_materials(
     Returns a dict of (H, W, ...) arrays.
     """
     width, height = settings.width, settings.height
-    bary, valid, view_w = barycentrics(pix_h, scene.tris, tri_id, width, height)
+    bary, valid, view_w = barycentrics_expanded(pix_h, tri_id, width, height)
     safe_tri = jnp.maximum(tri_id, 0)
     model_id = scene.tri_model[safe_tri]
 
-    world_pos = interpolate(scene.position, scene.tris, tri_id, bary)
-    v_normal = interpolate(scene.normal, scene.tris, tri_id, bary)
-    tangent4 = interpolate(scene.tangent, scene.tris, tri_id, bary)
-    uv = interpolate(scene.uv, scene.tris, tri_id, bary)
-    v_color = interpolate(scene.color, scene.tris, tri_id, bary)
+    attrs = interpolate_many_expanded(
+        {
+            "position": scene.position,
+            "normal": scene.normal,
+            "tangent": scene.tangent,
+            "uv": scene.uv,
+            "color": scene.color,
+        },
+        tri_id,
+        bary,
+    )
+    world_pos = attrs["position"]
+    v_normal = attrs["normal"]
+    tangent4 = attrs["tangent"]
+    uv = attrs["uv"]
+    v_color = attrs["color"]
 
     # Per-slot transformed UVs.
     uvs = []

@@ -205,9 +205,9 @@ def deferred_frame(
         params.tonemap_gamma,
     )
 
-    # --- 12. CAS
+    # --- 12. CAS (can overshoot slightly; the UNORM backbuffer clamps)
     if settings.enable_cas:
-        color = cas_sharpen(color, params.cas_sharpness)
+        color = jnp.clip(cas_sharpen(color, params.cas_sharpness), 0.0, 1.0)
 
     object_id = jnp.where(g["valid"], scene.object_ids[g["model_id"]], jnp.uint32(0))
 

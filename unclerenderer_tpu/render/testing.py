@@ -72,13 +72,20 @@ def synthetic_scene_data(n_objects: int = 4, seed: int = 0) -> SceneData:
         v_off += mesh.position.shape[0]
         t_off += tris.shape[0]
 
-    data.position = np.concatenate(pos_parts)
-    data.normal = np.concatenate(nrm_parts)
-    data.tangent = np.concatenate(tan_parts)
-    data.uv = np.concatenate(uv_parts)
-    data.color = np.concatenate(col_parts)
-    data.tri_indices = np.concatenate(tri_parts)
+    position = np.concatenate(pos_parts)
+    normal = np.concatenate(nrm_parts)
+    tangent = np.concatenate(tan_parts)
+    uv = np.concatenate(uv_parts)
+    color = np.concatenate(col_parts)
+    tri_indices = np.concatenate(tri_parts)
     data.tri_model = np.concatenate(tri_model_parts)
+    flat = tri_indices.reshape(-1)  # de-indexed layout (see scene/build.py)
+    data.position = position[flat]
+    data.normal = normal[flat]
+    data.tangent = tangent[flat]
+    data.uv = uv[flat]
+    data.color = color[flat]
+    data.tri_indices = np.arange(flat.size, dtype=np.uint32).reshape(-1, 3)
     data.scene_center = ((scene_min + scene_max) * 0.5).astype(np.float32)
     data.scene_radius = max(float(np.linalg.norm(scene_max - scene_min) * 0.5), 1.0)
 

@@ -229,13 +229,25 @@ def build_scene(scene_path: str | Path, assets_root: str | Path | None = None) -
         log_error(f"No renderable models could be created from scene JSON: {scene_path}")
         return None
 
-    data.position = np.concatenate(pos_parts, axis=0)
-    data.normal = np.concatenate(nrm_parts, axis=0)
-    data.tangent = np.concatenate(tan_parts, axis=0)
-    data.uv = np.concatenate(uv_parts, axis=0)
-    data.color = np.concatenate(col_parts, axis=0)
-    data.tri_indices = np.concatenate(tri_parts, axis=0)
+    position = np.concatenate(pos_parts, axis=0)
+    normal = np.concatenate(nrm_parts, axis=0)
+    tangent = np.concatenate(tan_parts, axis=0)
+    uv = np.concatenate(uv_parts, axis=0)
+    color = np.concatenate(col_parts, axis=0)
+    tri_indices = np.concatenate(tri_parts, axis=0)
     data.tri_model = np.concatenate(tri_model_parts, axis=0)
+
+    # De-index: store the three vertices of triangle t at rows 3t..3t+2.
+    # TPU per-triangle vertex gathers lower poorly; a de-indexed layout makes
+    # the whole raster setup gather-free (reshape/slice only) at ~3x vertex
+    # memory -- cheap next to the framebuffers.
+    flat = tri_indices.reshape(-1)
+    data.position = position[flat]
+    data.normal = normal[flat]
+    data.tangent = tangent[flat]
+    data.uv = uv[flat]
+    data.color = color[flat]
+    data.tri_indices = np.arange(flat.size, dtype=np.uint32).reshape(-1, 3)
 
     data.scene_center = ((scene_min + scene_max) * 0.5).astype(np.float32)
     data.scene_radius = max(float(np.linalg.norm(scene_max - scene_min) * 0.5), 1.0)
