@@ -27,11 +27,11 @@ def test_bins_cover_every_small_triangle_tile_pair():
     w = h = 256
     th, tw, chunk = 16, 64, 32
     setup = _setup(100, size=0.03)
-    bins = bin_triangles(setup, setup.num_z, w, h, th, tw, chunk, max_span=2)
+    bins = bin_triangles(setup, w, h, th, tw, chunk, max_span=2)
     n_tx = w // tw
 
-    # reference pair set from bboxes
-    bbox = np.asarray(setup.bbox)
+    # reference pair set from bboxes ((4, T) rows)
+    bbox = np.asarray(setup.bbox).T
     valid = np.asarray(setup.valid)
     big = np.asarray(bins.big_mask)
     expect = set()
@@ -59,7 +59,7 @@ def test_bins_cover_every_small_triangle_tile_pair():
 def test_big_triangles_flagged():
     w = h = 256
     setup = _setup(50, size=0.5)  # huge triangles
-    bins = bin_triangles(setup, setup.num_z, w, h, 16, 64, 32, max_span=2)
+    bins = bin_triangles(setup, w, h, 16, 64, 32, max_span=2)
     big = np.asarray(bins.big_mask)
     valid = np.asarray(setup.valid)
     assert big.sum() > 0
@@ -74,7 +74,7 @@ def test_big_triangles_flagged():
 
 def test_first_flags_and_tile_monotonicity():
     setup = _setup(200, size=0.05)
-    bins = bin_triangles(setup, setup.num_z, 256, 256, 16, 64, 32, max_span=2)
+    bins = bin_triangles(setup, 256, 256, 16, 64, 32, max_span=2)
     blk_tile = np.asarray(bins.blk_tile)
     first = np.asarray(bins.blk_first)
     # consecutive blocks of a tile are contiguous and start with a first flag

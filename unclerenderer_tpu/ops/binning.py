@@ -6,30 +6,28 @@ screen tiles so raster work scales with (tiles x triangles-per-tile), the
 same scaling the reference gets from culling + early-Z
 (``SURVEY.md`` section 5.7).
 
-Pipeline (all static-shaped XLA):
+Pipeline (all static-shaped XLA, no scatter):
  1. expand each triangle into up to S (tile, tri) pairs from its pixel bbox
-    (triangles spanning more than S tiles go to the "big" list and take the
-    brute-force kernel -- they cover many pixels anyway);
+    (triangles spanning more than S tiles go to the "big" list handled by a
+    coarser level / the brute-force kernel);
  2. sort pairs by tile id (radix sort on TPU);
- 3. block-align: each tile's pair run is padded up to the raster chunk size
-    so the Pallas kernel can stream (chunk)-sized coefficient blocks with a
-    scalar-prefetched block->tile map;
- 4. gather raster coefficients into block layout.
+ 3. block-align by *gather*: block slot (b, s) reads sorted pair
+    starts[tile(b)] + (b - blk_start[tile(b)]) * chunk + s;
+ 4. gather the packed (T, 16) coefficient records into block layout
+    (n_blocks, 16, chunk) -- one gather feeds all raster coefficients.
 
-A fixed pair budget (TOTAL pairs <= budget_factor * T + n_tiles * chunk)
-keeps shapes static; overflowing pairs are counted and dropped (reported as
-a stat, like the reference's culling counters).
+A fixed pair budget keeps shapes static; overflowing pairs are counted and
+dropped (reported like the reference's culling counters).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from .raster import RasterSetup
+from .raster import COEF_COLS, RasterSetup
 
 
 @jax.tree_util.register_dataclass
@@ -37,44 +35,37 @@ from .raster import RasterSetup
 class BinnedTriangles:
     """Block-aligned per-tile triangle lists + gathered coefficients."""
 
-    ea: jnp.ndarray        # (n_blocks, 3, chunk) edge a coefficients
-    eb: jnp.ndarray        # (n_blocks, 3, chunk)
-    ec: jnp.ndarray        # (n_blocks, 3, chunk)
-    nz: jnp.ndarray        # (n_blocks, 3, chunk)
-    nw: jnp.ndarray        # (n_blocks, 3, chunk)
+    coef: jnp.ndarray      # (n_blocks, 16, chunk) packed records, transposed
     tri_id: jnp.ndarray    # (n_blocks, 1, chunk) i32 original triangle ids
     valid: jnp.ndarray     # (n_blocks, 1, chunk) f32
     blk_tile: jnp.ndarray  # (n_blocks,) i32 tile id of each block
     blk_first: jnp.ndarray  # (n_blocks,) i32 1 = first block of its tile
     tile_used: jnp.ndarray  # (n_tiles,) bool tile has any content
-    big_mask: jnp.ndarray  # (T,) bool triangles for the brute-force pass
+    big_mask: jnp.ndarray  # (T,) bool triangles for the next level
     overflow: jnp.ndarray  # () i32 dropped pair count
 
 
 def bin_triangles(
     setup: RasterSetup,
-    num_z: jnp.ndarray,
     width: int,
     height: int,
     tile_h: int,
     tile_w: int,
     chunk: int,
-    max_span: int = 2,       # triangles spanning <= max_span tiles per axis
+    max_span: int = 2,
     budget_factor: float = 3.0,
 ) -> BinnedTriangles:
-    """Build block-aligned bins.  num_z allows the caller to pre-flip the
-    depth key for DEPTH_MIN mode."""
     n_tx = -(-width // tile_w)
     n_ty = -(-height // tile_h)
     n_tiles = n_tx * n_ty
-    t_count = setup.edges.shape[0]
+    t_count = setup.coef.shape[0]
     s_slots = max_span * max_span
 
-    bbox = setup.bbox
-    tx0 = (bbox[:, 0] // tile_w).astype(jnp.int32)
-    ty0 = (bbox[:, 1] // tile_h).astype(jnp.int32)
-    tx1 = (bbox[:, 2] // tile_w).astype(jnp.int32)
-    ty1 = (bbox[:, 3] // tile_h).astype(jnp.int32)
+    bbox = setup.bbox  # (4, T)
+    tx0 = (bbox[0] // tile_w).astype(jnp.int32)
+    ty0 = (bbox[1] // tile_h).astype(jnp.int32)
+    tx1 = (bbox[2] // tile_w).astype(jnp.int32)
+    ty1 = (bbox[3] // tile_h).astype(jnp.int32)
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     small = setup.valid & (span_w <= max_span) & (span_h <= max_span)
@@ -96,19 +87,17 @@ def bin_triangles(
     sorted_key = keys[order]
     sorted_tri = tri_of_slot[order]
 
-    # per-tile ranges in the sorted pair array
     starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts = jnp.diff(starts)  # (n_tiles,)
+    counts = jnp.diff(starts)
 
     n_blocks = int(budget_factor * t_count) // chunk + n_tiles
     n_blocks = max(n_blocks, 2)
-    nblk = -(-counts // chunk)  # ceil
+    nblk = -(-counts // chunk)
     blk_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nblk).astype(jnp.int32)]
     )
     total_used = blk_start[-1]
 
-    # block -> tile map + first-block flags
     blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
     blk_tile = jnp.clip(
         jnp.searchsorted(blk_start, blk_ids, side="right").astype(jnp.int32) - 1,
@@ -118,8 +107,6 @@ def bin_triangles(
     in_use = blk_ids < total_used
     blk_first = (blk_ids == blk_start[blk_tile]).astype(jnp.int32)
 
-    # Gather-based block fill (no scatter -- TPU-friendly): slot (b, s) reads
-    # sorted pair starts[tile(b)] + (b - blk_start[tile(b)]) * chunk + s.
     slot = jnp.arange(chunk, dtype=jnp.int32)[None, :]
     pair_src = (
         starts[blk_tile][:, None]
@@ -130,25 +117,16 @@ def bin_triangles(
     pair_src = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
     blocks_tid = jnp.where(slot_valid, sorted_tri[pair_src], 0)
     blocks_valid = slot_valid.astype(jnp.float32)
-    # overflow: pairs beyond the block budget are simply never gathered
     overflow = jnp.maximum(
         starts[n_tiles] - jnp.sum(blocks_valid).astype(jnp.int32), 0
     )
 
-    # gather coefficients into block layout: (n_blocks, chunk, ...)
-    e = setup.edges[blocks_tid]          # (n_blocks, chunk, 3, 3)
-    ea = e[..., 0].transpose(0, 2, 1)    # (n_blocks, 3, chunk)
-    eb = e[..., 1].transpose(0, 2, 1)
-    ec = e[..., 2].transpose(0, 2, 1)
-    nz = num_z[blocks_tid].transpose(0, 2, 1)
-    nw = setup.num_w[blocks_tid].transpose(0, 2, 1)
+    # ONE packed-record gather feeds every raster coefficient.
+    coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
+    coef = coef.transpose(0, 2, 1)  # (n_blocks, 16, chunk)
 
     return BinnedTriangles(
-        ea=ea,
-        eb=eb,
-        ec=ec,
-        nz=nz,
-        nw=nw,
+        coef=coef,
         tri_id=blocks_tid[:, None, :],
         valid=blocks_valid[:, None, :],
         blk_tile=blk_tile,

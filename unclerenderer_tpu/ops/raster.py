@@ -9,9 +9,6 @@ TPU-native formulation:
   coordinates, so triangles crossing the w=0 plane rasterize correctly with
   no near-plane clipping and no new vertices -- everything stays
   static-shaped.
-* **Edge evaluation as matmul**: for a tile of P pixels and a chunk of K
-  triangles, all 3K edge functions evaluate as one ``[P,3] @ [3,5K]`` matmul
-  (3 edges + depth numerator + depth denominator) -- dense MXU work.
 * **Depth test as argmax**: reverse-Z depth (near=1, far=0) means "nearest
   wins" is a commutative max/argmax over triangles.  No scatter, no ordering,
   no atomics -- opaque rasterization is a reduction.
@@ -19,6 +16,11 @@ TPU-native formulation:
   pixel); materials resolve in a separate per-pixel pass
   (ops/interpolate.py), the modern GPU-driven structure rather than the
   reference's per-model draw loop.
+
+TPU layout notes: small trailing dims pad to 128 lanes, so per-triangle data
+lives either as 1D (T,) component arrays (setup math) or as one packed
+(T, 16) record (COEF_* columns below) whose row gathers carry 60B of useful
+coefficients each -- never as (T, 3, 3).
 
 Conventions: D3D viewport (x right, y down, pixel centers at +0.5),
 D3D triangle orientation (front = clockwise in screen space), top-left fill
@@ -40,6 +42,17 @@ CULL_FRONT = 2
 DEPTH_MAX = 0  # reverse-Z main pass: nearest = largest z_ndc, clear to 0
 DEPTH_MIN = 1  # shadow pass (LESS_EQUAL, D32 cleared to 1): nearest = smallest
 
+# Packed coefficient record columns (T, 16):
+#   [0:3]   a coefficients of edges 0..2      (x gradient)
+#   [3:6]   b coefficients of edges 0..2      (y gradient)
+#   [6:9]   c coefficients of edges 0..2      (constant)
+#   [9:12]  depth numerator   (a, b, c)
+#   [12:15] depth denominator (a, b, c)
+#   [15]    padding
+COEF_EA, COEF_EB, COEF_EC = 0, 3, 6
+COEF_NZ, COEF_NW = 9, 12
+COEF_COLS = 16
+
 
 def viewport_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     """Clip coords (V,4) -> homogeneous pixel coords (V,3) = (X, Y, w) with
@@ -53,13 +66,11 @@ def viewport_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndar
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RasterSetup:
-    """Per-triangle rasterization coefficients (all (T, ...))."""
+    """Per-triangle rasterization coefficients."""
 
-    edges: jnp.ndarray   # (T, 3, 3) edge coefficients (a, b, c) per edge
-    num_z: jnp.ndarray   # (T, 3) depth numerator coefficients
-    num_w: jnp.ndarray   # (T, 3) depth denominator coefficients
+    coef: jnp.ndarray    # (T, 16) packed record, see COEF_* columns
     valid: jnp.ndarray   # (T,) bool
-    bbox: jnp.ndarray    # (T, 4) pixel-space AABB (x0, y0, x1, y1), inclusive
+    bbox: jnp.ndarray    # (4, T) pixel-space AABB rows (x0, y0, x1, y1)
 
 
 def triangle_setup(
@@ -71,14 +82,9 @@ def triangle_setup(
     width: int = 0,
     height: int = 0,
 ) -> RasterSetup:
-    """Build edge/depth coefficients for each triangle (indexed mesh).
-
-    pix_h: (V, 3) homogeneous pixel coords, z_clip: (V,) clip-space z.
-    tris: (T, 3) vertex indices.  tri_mask: (T,) draw mask (culling results).
-
-    NOTE: per-triangle vertex gathers lower poorly on TPU; the render paths
-    de-index geometry at scene build and use triangle_setup_expanded.
-    """
+    """Setup for an indexed mesh (testing convenience; the render paths
+    de-index geometry and use triangle_setup_expanded -- per-triangle vertex
+    gathers lower poorly on TPU)."""
     return triangle_setup_from_verts(
         pix_h[tris[:, 0]], pix_h[tris[:, 1]], pix_h[tris[:, 2]],
         z_clip[tris[:, 0]], z_clip[tris[:, 1]], z_clip[tris[:, 2]],
@@ -94,8 +100,8 @@ def triangle_setup_expanded(
     width: int = 0,
     height: int = 0,
 ) -> RasterSetup:
-    """Setup for de-indexed geometry: vertex i of triangle t lives at row
-    3t + i.  Gather-free (reshape + slice only)."""
+    """Setup for de-indexed geometry: vertex i of triangle t at row 3t + i.
+    Gather-free (reshape + strided slice only)."""
     t = pix_h.shape[0] // 3
     p = pix_h.reshape(t, 3, 3)
     z = z_clip.reshape(t, 3)
@@ -119,79 +125,119 @@ def triangle_setup_from_verts(
 ) -> RasterSetup:
     """Core edge/depth coefficient build from per-triangle vertices.
 
+    All math runs on 1D (T,) component arrays (lane-friendly; (T, 3) arrays
+    would waste 125/128 lanes on TPU).
+
     Orientation: for a clockwise-on-screen triangle (D3D front face,
     FrontCounterClockwise=FALSE) with all w > 0, det < 0 under the y-down
     viewport mapping (verified against the reference's own BoxTextured
     asset: camera-facing faces carry negative determinants); edge signs are
     flipped so the rasterized interior is always e_k > 0.
     """
+    x0, y0v, w0 = p0[:, 0], p0[:, 1], p0[:, 2]
+    x1, y1v, w1 = p1[:, 0], p1[:, 1], p1[:, 2]
+    x2, y2v, w2 = p2[:, 0], p2[:, 1], p2[:, 2]
 
-    e0 = jnp.cross(p1, p2)
-    e1 = jnp.cross(p2, p0)
-    e2 = jnp.cross(p0, p1)
-    det = jnp.einsum("td,td->t", e0, p0)
+    # cross products per edge: e = cross(p_next, p_prev_next)
+    def cross(ax, ay, aw, bx, by, bw):
+        return (ay * bw - aw * by, aw * bx - ax * bw, ax * by - ay * bx)
 
-    # det < 0 <=> D3D front face (clockwise) for visible tris.
-    front = det < 0.0
+    e0a, e0b, e0c = cross(x1, y1v, w1, x2, y2v, w2)
+    e1a, e1b, e1c = cross(x2, y2v, w2, x0, y0v, w0)
+    e2a, e2b, e2c = cross(x0, y0v, w0, x1, y1v, w1)
+    det = e0a * x0 + e0b * y0v + e0c * w0
+
+    front = det < 0.0  # D3D front face (clockwise)
     if cull_mode == CULL_BACK:
         keep = front
-        edges = -jnp.stack([e0, e1, e2], axis=1)
+        sign = jnp.float32(-1.0)
     elif cull_mode == CULL_FRONT:
         keep = ~front
-        edges = jnp.stack([e0, e1, e2], axis=1)
-    else:  # CULL_NONE: orient every triangle's interior positive
+        sign = jnp.float32(1.0)
+    else:
         keep = jnp.ones_like(front)
-        sign = jnp.where(front, -1.0, 1.0)[:, None, None]
-        edges = jnp.stack([e0, e1, e2], axis=1) * sign
+        sign = jnp.where(front, -1.0, 1.0)
+
+    e0a, e0b, e0c = e0a * sign, e0b * sign, e0c * sign
+    e1a, e1b, e1c = e1a * sign, e1b * sign, e1c * sign
+    e2a, e2b, e2c = e2a * sign, e2b * sign, e2c * sign
 
     valid = tri_mask & keep & (det != 0.0)
 
-    w0, w1, w2 = p0[:, 2], p1[:, 2], p2[:, 2]
-    num_z = (
-        edges[:, 0] * z0[:, None] + edges[:, 1] * z1[:, None] + edges[:, 2] * z2[:, None]
-    )
-    num_w = (
-        edges[:, 0] * w0[:, None] + edges[:, 1] * w1[:, None] + edges[:, 2] * w2[:, None]
-    )
+    nza = e0a * z0 + e1a * z1 + e2a * z2
+    nzb = e0b * z0 + e1b * z1 + e2b * z2
+    nzc = e0c * z0 + e1c * z1 + e2c * z2
+    nwa = e0a * w0 + e1a * w1 + e2a * w2
+    nwb = e0b * w0 + e1b * w1 + e2b * w2
+    nwc = e0c * w0 + e1c * w1 + e2c * w2
 
-    # Conservative pixel bbox. Vertices with w <= 0 project behind the
-    # camera; such triangles get the full viewport (cheap and correct).
-    eps = 1e-9
-    any_behind = (w0 <= eps) | (w1 <= eps) | (w2 <= eps)
-    sx = jnp.stack([p0[:, 0] / jnp.maximum(w0, eps),
-                    p1[:, 0] / jnp.maximum(w1, eps),
-                    p2[:, 0] / jnp.maximum(w2, eps)], axis=1)
-    sy = jnp.stack([p0[:, 1] / jnp.maximum(w0, eps),
-                    p1[:, 1] / jnp.maximum(w1, eps),
-                    p2[:, 1] / jnp.maximum(w2, eps)], axis=1)
-    x0 = jnp.where(any_behind, 0.0, jnp.floor(sx.min(axis=1)))
-    y0 = jnp.where(any_behind, 0.0, jnp.floor(sy.min(axis=1)))
-    x1 = jnp.where(any_behind, float(max(width - 1, 0)), jnp.ceil(sx.max(axis=1)))
-    y1 = jnp.where(any_behind, float(max(height - 1, 0)), jnp.ceil(sy.max(axis=1)))
-    bbox = jnp.stack(
-        [
-            jnp.clip(x0, 0, max(width - 1, 0)),
-            jnp.clip(y0, 0, max(height - 1, 0)),
-            jnp.clip(x1, 0, max(width - 1, 0)),
-            jnp.clip(y1, 0, max(height - 1, 0)),
-        ],
+    coef = jnp.stack(
+        [e0a, e1a, e2a, e0b, e1b, e2b, e0c, e1c, e2c,
+         nza, nzb, nzc, nwa, nwb, nwc, jnp.zeros_like(e0a)],
         axis=1,
     )
-    # Off-screen bbox -> invalid.
-    on_screen = (x1 >= 0) & (y1 >= 0) & (x0 <= width - 1) & (y0 <= height - 1)
+
+    # Conservative pixel bbox; vertices behind the camera get full viewport.
+    eps = 1e-9
+    any_behind = (w0 <= eps) | (w1 <= eps) | (w2 <= eps)
+    iw0 = 1.0 / jnp.maximum(w0, eps)
+    iw1 = 1.0 / jnp.maximum(w1, eps)
+    iw2 = 1.0 / jnp.maximum(w2, eps)
+    sx_min = jnp.minimum(jnp.minimum(x0 * iw0, x1 * iw1), x2 * iw2)
+    sx_max = jnp.maximum(jnp.maximum(x0 * iw0, x1 * iw1), x2 * iw2)
+    sy_min = jnp.minimum(jnp.minimum(y0v * iw0, y1v * iw1), y2v * iw2)
+    sy_max = jnp.maximum(jnp.maximum(y0v * iw0, y1v * iw1), y2v * iw2)
+    bx0 = jnp.where(any_behind, 0.0, jnp.floor(sx_min))
+    by0 = jnp.where(any_behind, 0.0, jnp.floor(sy_min))
+    bx1 = jnp.where(any_behind, float(max(width - 1, 0)), jnp.ceil(sx_max))
+    by1 = jnp.where(any_behind, float(max(height - 1, 0)), jnp.ceil(sy_max))
+    bbox = jnp.stack(
+        [
+            jnp.clip(bx0, 0, max(width - 1, 0)),
+            jnp.clip(by0, 0, max(height - 1, 0)),
+            jnp.clip(bx1, 0, max(width - 1, 0)),
+            jnp.clip(by1, 0, max(height - 1, 0)),
+        ],
+        axis=0,
+    )
+    on_screen = (bx1 >= 0) & (by1 >= 0) & (bx0 <= width - 1) & (by0 <= height - 1)
     valid = valid & (on_screen | any_behind)
 
-    return RasterSetup(edges=edges, num_z=num_z, num_w=num_w, valid=valid, bbox=bbox)
+    return RasterSetup(coef=coef, valid=valid, bbox=bbox)
 
 
-def _coverage(ev: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
-    """Top-left fill rule: e > 0, or e == 0 on a top/left edge.
-    ev: (..., K, 3) edge values; edges: (K, 3, 3) coefficients."""
-    a = edges[..., 0]
-    b = edges[..., 1]
-    top_left = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-    inside = (ev > 0.0) | ((ev == 0.0) & top_left)
-    return jnp.all(inside, axis=-1)
+def flip_depth_key(setup: RasterSetup) -> RasterSetup:
+    """Replace the depth numerator with (nw - nz) so key = 1 - depth and the
+    max-reduction implements a LESS_EQUAL (shadow) depth test."""
+    coef = setup.coef
+    coef = coef.at[:, COEF_NZ : COEF_NZ + 3].set(
+        coef[:, COEF_NW : COEF_NW + 3] - coef[:, COEF_NZ : COEF_NZ + 3]
+    )
+    return RasterSetup(coef=coef, valid=setup.valid, bbox=setup.bbox)
+
+
+def shift_setup(setup: RasterSetup, dx, dy) -> RasterSetup:
+    """Shift the pixel-space origin by a (possibly traced) offset: e(q + d)
+    folds into the constant coefficients, so sharded callers (multi-chip row
+    slabs) rasterize in local coordinates."""
+    coef = setup.coef
+    # edge constants: c += a*dx + b*dy
+    coef = coef.at[:, 6:9].add(coef[:, 0:3] * dx + coef[:, 3:6] * dy)
+    # depth numerator/denominator constants likewise
+    coef = coef.at[:, 11].add(coef[:, 9] * dx + coef[:, 10] * dy)
+    coef = coef.at[:, 14].add(coef[:, 12] * dx + coef[:, 13] * dy)
+    shift = jnp.asarray([dx, dy, dx, dy], jnp.float32)[:, None]
+    return RasterSetup(coef=coef, valid=setup.valid, bbox=setup.bbox - shift)
+
+
+def _coverage_packed(ev0, ev1, ev2, a, b):
+    """Top-left fill rule on packed evaluations.
+    ev_i: (..., K); a, b: (K, 3) gradients per edge."""
+    def inside(ev, i):
+        tl = (a[:, i] > 0.0) | ((a[:, i] == 0.0) & (b[:, i] > 0.0))
+        return (ev > 0.0) | ((ev == 0.0) & tl)
+
+    return inside(ev0, 0) & inside(ev1, 1) & inside(ev2, 2)
 
 
 @partial(
@@ -208,7 +254,7 @@ def rasterize(
     depth_mode: int = DEPTH_MAX,
     y_offset=0,
 ):
-    """Rasterize to a visibility buffer.
+    """Rasterize to a visibility buffer (XLA reference implementation).
 
     Returns (depth (H, W) f32, tri_id (H, W) i32).  tri_id is -1 where empty.
     depth is z_ndc: reverse-Z in DEPTH_MAX mode (0 = empty/far), standard-Z
@@ -216,52 +262,43 @@ def rasterize(
 
     Brute-force tiling: every tile scans every triangle chunk, with a
     per-(tile, chunk) bbox rejection that XLA turns into masked work (the
-    Pallas kernel + binned lists make the rejection real wall-clock savings).
-
-    y_offset (traced scalar ok): first pixel row this call rasterizes --
-    used by the multi-chip path to give each device its row slab of the
-    full viewport while triangle setup stays in full-viewport coordinates.
+    Pallas kernels in ops/pallas_raster.py are the production path).
     """
-    # Pad the viewport up to tile multiples; outputs crop back.
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
     n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
     n_tiles = n_ty * n_tx
     pix = tile_h * tile_w
 
-    t = setup.edges.shape[0]
+    t = setup.coef.shape[0]
     n_chunks = max(1, -(-t // chunk))
     t_pad = n_chunks * chunk
 
     def pad(x, fill=0):
-        pad_n = t_pad - x.shape[0]
+        pad_n = t_pad - x.shape[-1] if x.ndim > 1 else t_pad - x.shape[0]
         if pad_n == 0:
             return x
-        cfg = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, cfg, constant_values=fill)
+        if x.ndim == 1:
+            return jnp.pad(x, (0, pad_n), constant_values=fill)
+        return jnp.pad(x, ((0, 0), (0, pad_n)), constant_values=fill)
 
-    # Flatten edge coefficients for the matmul: (n_chunks, 3, 5K) where the
-    # 5K columns are [3K edge | K num_z | K num_w].
-    edges = pad(setup.edges).reshape(n_chunks, chunk * 3, 3)
-    num_z = pad(setup.num_z).reshape(n_chunks, chunk, 3)
-    num_w = pad(setup.num_w).reshape(n_chunks, chunk, 3)
+    if depth_mode != DEPTH_MAX:
+        setup = flip_depth_key(setup)
+
+    coef = jnp.pad(setup.coef, ((0, t_pad - t), (0, 0))).reshape(n_chunks, chunk, COEF_COLS)
     valid = pad(setup.valid, fill=False).reshape(n_chunks, chunk)
-    bbox = pad(setup.bbox).reshape(n_chunks, chunk, 4)
+    bbox = pad(setup.bbox).reshape(4, n_chunks, chunk)
 
-    # Pixel coordinate grid per tile.
     ty_idx = jnp.arange(n_tiles, dtype=jnp.int32) // n_tx
     tx_idx = jnp.arange(n_tiles, dtype=jnp.int32) % n_tx
     yy = jnp.arange(tile_h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(tile_w, dtype=jnp.float32)[None, :]
-    # (n_tiles, pix, 3) homogeneous pixel centers
     y_off = jnp.asarray(y_offset, jnp.float32)
-    qx0 = tx_idx[:, None, None] * tile_w + xx[None] + 0.5  # (n_tiles, 1, tw)
-    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5 + y_off  # (n_tiles, th, 1)
+    qx0 = tx_idx[:, None, None] * tile_w + xx[None] + 0.5
+    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5 + y_off
     qx = jnp.broadcast_to(qx0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
     qy = jnp.broadcast_to(qy0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
-    q = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)
 
-    # Tile pixel bounds for bbox rejection.
     tile_x0 = (tx_idx * tile_w).astype(jnp.float32)
     tile_y0 = (ty_idx * tile_h).astype(jnp.float32) + y_off
     tile_x1 = tile_x0 + (tile_w - 1)
@@ -271,36 +308,40 @@ def rasterize(
 
     def chunk_step(carry, inputs):
         best_key, best_id = carry  # (n_tiles, pix) each
-        c_edges, c_nz, c_nw, c_valid, c_bbox, c_base = inputs
+        c_coef, c_valid, c_bbox, c_base = inputs
+        qx_e = qx[:, :, None]  # (n_tiles, pix, 1)
+        qy_e = qy[:, :, None]
 
-        # (n_tiles, pix, 3K): all edge functions for this chunk, every tile.
-        # HIGHEST precision: the TPU MXU's default f32 matmul truncates to
-        # bf16 passes, which breaks depth-test determinism at ~1e-3.
-        hi = jax.lax.Precision.HIGHEST
-        ev = jnp.einsum("npd,kd->npk", q, c_edges, precision=hi).reshape(
-            n_tiles, pix, chunk, 3
+        def ev(i):
+            return (
+                c_coef[None, None, :, 0 + i] * qx_e
+                + c_coef[None, None, :, 3 + i] * qy_e
+                + c_coef[None, None, :, 6 + i]
+            )
+
+        a = c_coef[:, 0:3]
+        b = c_coef[:, 3:6]
+        cov = _coverage_packed(ev(0), ev(1), ev(2), a, b)
+        nz = (
+            c_coef[None, None, :, 9] * qx_e
+            + c_coef[None, None, :, 10] * qy_e
+            + c_coef[None, None, :, 11]
         )
-        cov = _coverage(ev, c_edges.reshape(chunk, 3, 3))
-        nz = jnp.einsum("npd,kd->npk", q, c_nz, precision=hi)
-        nw = jnp.einsum("npd,kd->npk", q, c_nw, precision=hi)
-        depth = nz / jnp.where(nw != 0.0, nw, 1.0)
-        ok = (
-            cov
-            & (nw > 0.0)
-            & (depth >= 0.0)
-            & (depth <= 1.0)
-            & c_valid[None, None, :]
+        nw = (
+            c_coef[None, None, :, 12] * qx_e
+            + c_coef[None, None, :, 13] * qy_e
+            + c_coef[None, None, :, 14]
         )
-        # bbox-vs-tile rejection (masking only in XLA; real skip in Pallas).
+        key = nz / jnp.where(nw != 0.0, nw, 1.0)
+        ok = cov & (nw > 0.0) & (key >= 0.0) & (key <= 1.0) & c_valid[None, None, :]
         overlap = (
-            (c_bbox[None, :, 0] <= tile_x1[:, None])
-            & (c_bbox[None, :, 2] >= tile_x0[:, None])
-            & (c_bbox[None, :, 1] <= tile_y1[:, None])
-            & (c_bbox[None, :, 3] >= tile_y0[:, None])
-        )  # (n_tiles, K)
+            (c_bbox[0][None] <= tile_x1[:, None])
+            & (c_bbox[2][None] >= tile_x0[:, None])
+            & (c_bbox[1][None] <= tile_y1[:, None])
+            & (c_bbox[3][None] >= tile_y0[:, None])
+        )
         ok = ok & overlap[:, None, :]
 
-        key = depth if depth_mode == DEPTH_MAX else (1.0 - depth)
         key = jnp.where(ok, key, -1.0)
         k_best = jnp.max(key, axis=-1)
         k_arg = jnp.argmax(key, axis=-1).astype(jnp.int32)
@@ -315,7 +356,7 @@ def rasterize(
     )
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best_key, best_id), _ = jax.lax.scan(
-        chunk_step, init, (edges, num_z, num_w, valid, bbox, bases)
+        chunk_step, init, (coef, valid, bbox.transpose(1, 0, 2), bases)
     )
 
     hit = best_key >= 0.0
@@ -325,7 +366,6 @@ def rasterize(
         depth = jnp.where(hit, 1.0 - best_key, empty_depth)
     tri_id = jnp.where(hit, best_id, -1)
 
-    # Untile: (n_tiles, pix) -> (H, W), cropping tile padding.
     depth = (
         depth.reshape(n_ty, n_tx, tile_h, tile_w)
         .transpose(0, 2, 1, 3)

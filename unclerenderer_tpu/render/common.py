@@ -28,7 +28,6 @@ from ..ops.raster import (
     DEPTH_MAX,
     DEPTH_MIN,
     RasterSetup,
-    _coverage,
     rasterize,
     triangle_setup_expanded,
     viewport_homogeneous,
@@ -141,7 +140,9 @@ def raster_masked_combine(
     )
 
     # Per-triangle alpha inputs. The KHR transform is affine in uv, so it
-    # folds into the per-vertex uvs and interpolates linearly.
+    # folds into the per-vertex uvs and interpolates linearly.  Interpolation
+    # coefficients build from the packed edge record: weight of vertex k is
+    # edge k, so num_x = sum_k e_k * x_k per (a, b, c) component.
     model = scene.tri_model
     uv_os = scene.uv_transform[model, SLOT_BASE]
     uv_rot = scene.uv_rotation[model, SLOT_BASE]
@@ -150,13 +151,25 @@ def raster_masked_combine(
     uv0 = tex.apply_texture_transform(uv_tri[:, 0], uv_os, uv_rot)
     uv1 = tex.apply_texture_transform(uv_tri[:, 1], uv_os, uv_rot)
     uv2 = tex.apply_texture_transform(uv_tri[:, 2], uv_os, uv_rot)
-    e = setup.edges  # (T, 3, 3)
-    num_u = e[:, 0] * uv0[:, 0:1] + e[:, 1] * uv1[:, 0:1] + e[:, 2] * uv2[:, 0:1]
-    num_v = e[:, 0] * uv0[:, 1:2] + e[:, 1] * uv1[:, 1:2] + e[:, 2] * uv2[:, 1:2]
-    num_1 = e.sum(axis=1)  # (T, 3) barycentric normalizer coefficients
-    # vertex color alpha interpolates too (alpha = BaseColorAlpha * color.a * tex.a)
+    coef = setup.coef  # (T, 16)
+
+    def interp_coef(x0, x1, x2):
+        # -> (T, 3): (a, b, c) of the linear form sum_k e_k(q) * x_k
+        return jnp.stack(
+            [
+                coef[:, 0] * x0 + coef[:, 1] * x1 + coef[:, 2] * x2,
+                coef[:, 3] * x0 + coef[:, 4] * x1 + coef[:, 5] * x2,
+                coef[:, 6] * x0 + coef[:, 7] * x1 + coef[:, 8] * x2,
+            ],
+            axis=1,
+        )
+
+    num_u = interp_coef(uv0[:, 0], uv1[:, 0], uv2[:, 0])
+    num_v = interp_coef(uv0[:, 1], uv1[:, 1], uv2[:, 1])
+    ones = jnp.ones_like(uv0[:, 0])
+    num_1 = interp_coef(ones, ones, ones)
     ca = scene.color.reshape(t_count, 3, 4)[..., 3]
-    num_ca = e[:, 0] * ca[:, 0:1] + e[:, 1] * ca[:, 1:2] + e[:, 2] * ca[:, 2:3]
+    num_ca = interp_coef(ca[:, 0], ca[:, 1], ca[:, 2])
 
     m_depth, m_tri = _rasterize_alpha(
         setup,
@@ -203,7 +216,7 @@ def _rasterize_alpha(
     atlas = scene.atlas_img.reshape(-1, 4)
     atlas_width = scene.atlas_img.shape[1]
 
-    t = setup.edges.shape[0]
+    t = setup.coef.shape[0]
     n_chunks = max(1, -(-t // chunk))
     t_pad = n_chunks * chunk
 
@@ -214,9 +227,7 @@ def _rasterize_alpha(
         cfg = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, cfg, constant_values=fill)
 
-    edges = pad(setup.edges).reshape(n_chunks, chunk * 3, 3)
-    num_z = pad(setup.num_z).reshape(n_chunks, chunk, 3)
-    num_w = pad(setup.num_w).reshape(n_chunks, chunk, 3)
+    coef_c = pad(setup.coef).reshape(n_chunks, chunk, 16)
     nu = pad(num_u).reshape(n_chunks, chunk, 3)
     nv = pad(num_v).reshape(n_chunks, chunk, 3)
     nca = pad(num_ca).reshape(n_chunks, chunk, 3)
@@ -235,28 +246,33 @@ def _rasterize_alpha(
     qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5
     qx = jnp.broadcast_to(qx0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
     qy = jnp.broadcast_to(qy0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
-    q = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)
-
-    hi = jax.lax.Precision.HIGHEST
 
     def chunk_step(carry, inputs):
         best_key, best_id = carry
-        (c_edges, c_nz, c_nw, c_nu, c_nv, c_nca, c_n1, c_valid, tex_id, has, a_scale, cut, c_base) = inputs
+        (c_coef, c_nu, c_nv, c_nca, c_n1, c_valid, tex_id, has, a_scale, cut, c_base) = inputs
+        qx_e = qx[:, :, None]
+        qy_e = qy[:, :, None]
 
-        ev = jnp.einsum("npd,kd->npk", q, c_edges, precision=hi).reshape(
-            n_tiles, pix, chunk, 3
-        )
-        cov = _coverage(ev, c_edges.reshape(chunk, 3, 3))
-        nz_v = jnp.einsum("npd,kd->npk", q, c_nz, precision=hi)
-        nw_v = jnp.einsum("npd,kd->npk", q, c_nw, precision=hi)
+        def form(a, b, c):
+            return a[None, None, :] * qx_e + b[None, None, :] * qy_e + c[None, None, :]
+
+        def edge_inside(i):
+            a, b, c = c_coef[:, 0 + i], c_coef[:, 3 + i], c_coef[:, 6 + i]
+            ev = form(a, b, c)
+            tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+            return (ev > 0.0) | ((ev == 0.0) & tl[None, None, :])
+
+        cov = edge_inside(0) & edge_inside(1) & edge_inside(2)
+        nz_v = form(c_coef[:, 9], c_coef[:, 10], c_coef[:, 11])
+        nw_v = form(c_coef[:, 12], c_coef[:, 13], c_coef[:, 14])
         depth = nz_v / jnp.where(nw_v != 0.0, nw_v, 1.0)
         ok = cov & (nw_v > 0.0) & (depth >= 0.0) & (depth <= 1.0) & c_valid[None, None, :]
 
-        denom = jnp.einsum("npd,kd->npk", q, c_n1, precision=hi)
+        denom = form(c_n1[:, 0], c_n1[:, 1], c_n1[:, 2])
         denom = jnp.where(denom != 0.0, denom, 1.0)
-        u = jnp.einsum("npd,kd->npk", q, c_nu, precision=hi) / denom
-        v = jnp.einsum("npd,kd->npk", q, c_nv, precision=hi) / denom
-        ca = jnp.einsum("npd,kd->npk", q, c_nca, precision=hi) / denom
+        u = form(c_nu[:, 0], c_nu[:, 1], c_nu[:, 2]) / denom
+        v = form(c_nv[:, 0], c_nv[:, 1], c_nv[:, 2]) / denom
+        ca = form(c_nca[:, 0], c_nca[:, 1], c_nca[:, 2]) / denom
 
         uv = jnp.stack([u, v], axis=-1)
         texel = tex.sample_atlas_bilinear(
@@ -290,7 +306,7 @@ def _rasterize_alpha(
     (best_key, best_id), _ = jax.lax.scan(
         chunk_step,
         init,
-        (edges, num_z, num_w, nu, nv, nca, n1, valid, c_tex, c_has, c_scale, c_cut, bases),
+        (coef_c, nu, nv, nca, n1, valid, c_tex, c_has, c_scale, c_cut, bases),
     )
     hit = best_key >= 0.0
     depth = jnp.where(hit, best_key, 0.0)
