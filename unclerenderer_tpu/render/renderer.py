@@ -40,19 +40,29 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
     tex_ids = np.zeros((n_models, 4), np.int32)
     has_map = np.zeros((n_models, 4), bool)
 
+    # Collect unique (path, srgb) requests, decode them in parallel on the
+    # task pool (LoadTexturesParallel, TextureLoader.cpp:746-841), then
+    # assign atlas slots deterministically.
+    requests: list[tuple[str, bool]] = []
+    for slots in data.texture_paths:
+        for si, path in enumerate(slots):
+            if path and (path, _SLOT_SRGB[si]) not in requests:
+                requests.append((path, _SLOT_SRGB[si]))
+
+    from ..core.tasks import parallel_map
+
+    decoded = parallel_map(
+        lambda req: cache.load_or_default(req[0], srgb=req[1]), requests
+    )
+    for (path, srgb), mips in zip(requests, decoded):
+        path_to_id[f"{path}|{srgb}"] = len(chains)
+        chains.append(mips)
+
     for mi, slots in enumerate(data.texture_paths):
         for si, path in enumerate(slots):
             if not path:
                 continue
-            srgb = _SLOT_SRGB[si]
-            key = f"{path}|{srgb}"
-            if key not in path_to_id:
-                # LoadOrDefault semantics: grid fallback for base color,
-                # which also marks has_map (the reference still samples).
-                mips = cache.load_or_default(path, srgb=srgb)
-                path_to_id[key] = len(chains)
-                chains.append(mips)
-            tex_ids[mi, si] = path_to_id[key]
+            tex_ids[mi, si] = path_to_id[f"{path}|{_SLOT_SRGB[si]}"]
             has_map[mi, si] = True
 
     atlas = build_atlas(chains)

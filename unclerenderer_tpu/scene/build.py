@@ -28,6 +28,7 @@ import numpy as np
 
 from .. import mathlib as m
 from ..core.logging import log_error, log_warning
+from ..core.paths import resolve_path_case_insensitive
 from .gltf import GltfMaterial, load_gltf
 from .mesh import compute_mesh_bounds, generate_normals_if_missing, generate_tangents_if_missing
 from .scene_json import load_scene_json
@@ -125,6 +126,7 @@ def build_scene(scene_path: str | Path, assets_root: str | Path | None = None) -
         mesh_path = Path(desc.mesh_path)
         if not mesh_path.is_absolute():
             mesh_path = Path(assets_root) / mesh_path
+        mesh_path = resolve_path_case_insensitive(mesh_path)
         gltf = load_gltf(mesh_path)
         if gltf is None or not gltf.meshes:
             log_error(f"Failed to load mesh from scene: {mesh_path}")

@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 from ..core.logging import log_error, log_warning
+from ..core.paths import resolve_path_case_insensitive
 from ..mathlib import srgb_to_linear
 from .dds import load_dds
 from .png import load_png
@@ -66,7 +67,7 @@ def load_image(path: str | Path, srgb: bool = False) -> list[np.ndarray] | None:
     ``:365-495`` -- we improve on the 1-mip PNG path since minification
     without mips aliases badly in a software sampler).
     """
-    p = Path(path)
+    p = resolve_path_case_insensitive(Path(path))
     suffix = p.suffix.lower()
     if suffix == ".dds":
         dds = load_dds(p)
