@@ -70,15 +70,23 @@ def main() -> int:
             out, state_box[0] = frame(scene, params, state_box[0])
             return out
 
-    # warm up / compile
+    import numpy as np
+
+    # warm up / compile; materialize actual values (block_until_ready alone
+    # is not a reliable completion barrier on relayed backends)
     out = render()
-    jax.block_until_ready(out["color"])
+    float(np.asarray(out["color"]).mean())
     setup_s = time.monotonic() - t_setup
 
     t0 = time.monotonic()
+    sums = []
     for _ in range(FRAMES):
         out = render()
-    jax.block_until_ready(out["color"])
+        sums.append(out["color"].mean())  # cheap per-frame reduction
+    import jax.numpy as jnp
+
+    total = float(np.asarray(jnp.stack(sums).sum()))  # forces every frame
+    assert total == total  # finite
     ms = (time.monotonic() - t0) / FRAMES * 1e3
 
     print(
