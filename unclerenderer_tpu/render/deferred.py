@@ -79,9 +79,10 @@ def deferred_frame(
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
     depth, tri_id = common.raster_opaque(scene, clip, pix_h, opaque_mask, settings)
-    depth, tri_id = common.raster_masked_combine(
-        scene, clip, pix_h, masked_mask, depth, tri_id, settings
-    )
+    if settings.has_masked_models:
+        depth, tri_id = common.raster_masked_combine(
+            scene, clip, pix_h, masked_mask, depth, tri_id, settings
+        )
 
     g = common.resolve_materials(scene, pix_h, tri_id, settings)
 

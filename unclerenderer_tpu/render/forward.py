@@ -34,9 +34,10 @@ def forward_frame(
     opaque_mask, masked_mask = common.tri_draw_masks(scene, params.model_visible)
 
     depth, tri_id = common.raster_opaque(scene, clip, pix_h, opaque_mask, settings)
-    depth, tri_id = common.raster_masked_combine(
-        scene, clip, pix_h, masked_mask, depth, tri_id, settings
-    )
+    if settings.has_masked_models:
+        depth, tri_id = common.raster_masked_combine(
+            scene, clip, pix_h, masked_mask, depth, tri_id, settings
+        )
 
     if settings.enable_shadows:
         shadow_mask = opaque_mask | masked_mask

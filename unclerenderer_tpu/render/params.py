@@ -40,6 +40,9 @@ class RenderSettings:
     enable_depth_prepass: bool = True
     enable_gpu_culling: bool = True
     enable_hzb: bool = True
+    # set False when the scene has no alpha-masked models (host knows at
+    # load time); skips tracing the masked raster pass entirely
+    has_masked_models: bool = True
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     tile_h: int = 16

@@ -177,6 +177,11 @@ class Renderer:
         self.scene_data = build_scene(scene_path, self.assets_root)
         if self.scene_data is None:
             raise ValueError(f"failed to load scene {scene_path}")
+        # skip the masked raster pass when no model needs it (static setting)
+        has_masked = bool((self.scene_data.alpha_mode == 1).any())
+        if settings.has_masked_models != has_masked:
+            settings = dataclasses.replace(settings, has_masked_models=has_masked)
+            self.settings = settings
 
         _models, light, camera_desc = load_scene_json(scene_path)
         self.light = light or SceneLightDesc()
