@@ -221,3 +221,117 @@ def sample_cube(
     a = tap(l0)
     b = tap(jnp.minimum(l0 + 1, max_mips - 1))
     return a * (1.0 - frac) + b * frac
+
+
+# ---------------------------------------------------------------------------
+# Quad-tap sampling: one gather per bilinear tap.
+#
+# TPU gathers are latency-bound (tens of ns per element, nearly independent
+# of row width), so the quad atlas (textures/atlas.py build_quad_atlas)
+# stores each texel's full 2x2 bilinear footprint in one 16-channel row and
+# sampling fetches it with a single row gather.  Wrap for the +1 neighbors is
+# baked into the quads at build time.
+# ---------------------------------------------------------------------------
+
+
+_MIP_RECT_LEVELS = 14
+
+
+def sample_quad_bilinear(
+    quad_flat: jnp.ndarray,
+    atlas_width: int,
+    mip_rect: jnp.ndarray,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    level: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    """One bilinear tap with a single 16-channel quad gather.
+
+    quad_flat: (AH*AW, 16) quad atlas.  mip_rect: (n_tex * MAX_MIPS, 4) i32
+    packed (x, y, w, h) rows.  tex_id/level/uv per pixel.
+    """
+    # rect lookup: one small-table row gather
+    rect = jnp.take(mip_rect, tex_id * _MIP_RECT_LEVELS + level, axis=0)
+    rx = rect[..., 0]
+    ry = rect[..., 1]
+    rw = rect[..., 2]
+    rh = rect[..., 3]
+
+    tx = uv[..., 0] * rw.astype(jnp.float32) - 0.5
+    ty = uv[..., 1] * rh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = (tx - x0)[..., None]
+    fy = (ty - y0)[..., None]
+    ix = _wrap_index(x0.astype(jnp.int32), rw, address_mode)
+    iy = _wrap_index(y0.astype(jnp.int32), rh, address_mode)
+
+    flat = (ry + iy) * atlas_width + (rx + ix)
+    quad = jnp.take(quad_flat, flat, axis=0)  # (..., 16)
+    t00 = quad[..., 0:4]
+    t10 = quad[..., 4:8]
+    t01 = quad[..., 8:12]
+    t11 = quad[..., 12:16]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def pack_mip_rect(mip_x, mip_y, mip_w, mip_h):
+    """(n_tex, MAX_MIPS) tables -> one (n_tex*MAX_MIPS, 4) i32 record so the
+    per-pixel rect lookup is a single row gather."""
+    import numpy as np
+
+    n_tex, levels = np.asarray(mip_x).shape
+    assert levels == _MIP_RECT_LEVELS, "MAX_MIPS mismatch"
+    rec = np.stack(
+        [np.asarray(mip_x), np.asarray(mip_y), np.asarray(mip_w), np.asarray(mip_h)],
+        axis=-1,
+    ).reshape(n_tex * levels, 4)
+    return rec.astype(np.int32)
+
+
+def sample_quad_trilinear(
+    quad_flat: jnp.ndarray,
+    atlas_width: int,
+    mip_rect: jnp.ndarray,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l0 = jnp.clip(l0, 0, _MIP_RECT_LEVELS - 1)
+    l1 = jnp.clip(l0 + 1, 0, _MIP_RECT_LEVELS - 1)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    a = sample_quad_bilinear(quad_flat, atlas_width, mip_rect, tex_id, uv, l0, address_mode)
+    b = sample_quad_bilinear(quad_flat, atlas_width, mip_rect, tex_id, uv, l1, address_mode)
+    return a * (1.0 - frac) + b * frac
+
+
+def sample_cube_quad(
+    env_quad_flat: jnp.ndarray,
+    atlas_width: int,
+    env_rect: jnp.ndarray,
+    direction: jnp.ndarray,
+    lod: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cubemap sample via the quad atlas: one quad gather + one rect lookup
+    per mip level (trilinear = 2).  env_rect: (6*MAX_MIPS, 4) i32; quads are
+    built with edge-clamp (per-face, no seam filtering)."""
+    face, uv = cube_direction_to_face_uv(direction)
+    lod = jnp.clip(lod, 0.0, float(_MIP_RECT_LEVELS - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.clip(l0 + 1, 0, _MIP_RECT_LEVELS - 1)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    def tap(level):
+        return sample_quad_bilinear(
+            env_quad_flat, atlas_width, env_rect, face, uv, level, ADDRESS_CLAMP
+        )
+
+    a = tap(l0)
+    b = tap(l1)
+    return a * (1.0 - frac) + b * frac

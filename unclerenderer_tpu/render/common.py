@@ -18,10 +18,6 @@ import jax.numpy as jnp
 
 from ..ops import pbr
 from ..ops import texture as tex
-from ..ops.interpolate import (
-    barycentrics_expanded,
-    interpolate_many_expanded,
-)
 from ..ops.raster import (
     CULL_BACK,
     CULL_FRONT,
@@ -213,8 +209,8 @@ def _rasterize_alpha(
     n_tiles = n_ty * n_tx
     pix = tile_h * tile_w
 
-    atlas = scene.atlas_img.reshape(-1, 4)
-    atlas_width = scene.atlas_img.shape[1]
+    quad_flat = scene.quad_img.reshape(-1, 16)
+    atlas_width = scene.quad_img.shape[1]
 
     t = setup.coef.shape[0]
     n_chunks = max(1, -(-t // chunk))
@@ -275,13 +271,10 @@ def _rasterize_alpha(
         ca = form(c_nca[:, 0], c_nca[:, 1], c_nca[:, 2]) / denom
 
         uv = jnp.stack([u, v], axis=-1)
-        texel = tex.sample_atlas_bilinear(
-            atlas,
+        texel = tex.sample_quad_bilinear(
+            quad_flat,
             atlas_width,
-            scene.mip_x,
-            scene.mip_y,
-            scene.mip_w,
-            scene.mip_h,
+            scene.mip_rect,
             jnp.broadcast_to(tex_id[None, None, :], u.shape),
             uv,
             jnp.zeros(u.shape, jnp.int32),
@@ -335,109 +328,132 @@ def resolve_materials(
     Ports the material half of ``DeferredBasePass.hlsl`` PSMain /
     ``ForwardPS.hlsl`` PSMain: per-slot KHR uv transforms, base color *
     vertex color * factors, metallic/roughness from the .b/.g channels,
-    emissive, TBN normal mapping with the 2-channel reconstruct-Z
-    convention of the deferred path.
+    emissive, TBN normal mapping with the 2-channel reconstruct-Z convention
+    of the deferred path.
 
-    Returns a dict of (H, W, ...) arrays.
+    Gather discipline (TPU gathers are latency-bound): ONE per-pixel row
+    gather of the packed tri record (vertex attrs + screen coords + model
+    constants, render/packing.py) plus one quad gather per texture tap.
     """
+    from . import packing as PK
+
     width, height = settings.width, settings.height
-    bary, valid, view_w = barycentrics_expanded(pix_h, tri_id, width, height)
-    safe_tri = jnp.maximum(tri_id, 0)
-    model_id = scene.tri_model[safe_tri]
+    t_count = scene.tri_attr.shape[0]
 
-    attrs = interpolate_many_expanded(
-        {
-            "position": scene.position,
-            "normal": scene.normal,
-            "tangent": scene.tangent,
-            "uv": scene.uv,
-            "color": scene.color,
-        },
-        tri_id,
-        bary,
+    # per-frame record: screen-space homogeneous coords prepended
+    rec = jnp.concatenate([pix_h.reshape(t_count, 9), scene.tri_attr], axis=1)
+    safe_id = jnp.maximum(tri_id, 0)
+    av = rec[safe_id]  # (H, W, 9 + 97) -- THE gather
+    valid = tri_id >= 0
+
+    p0 = av[..., 0:3]
+    p1 = av[..., 3:6]
+    p2 = av[..., 6:9]
+
+    yy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(width, dtype=jnp.float32)[None, :]
+    qx = xx + 0.5
+    qy = yy + 0.5
+
+    def edge(pa, pb):
+        cx = pa[..., 1] * pb[..., 2] - pa[..., 2] * pb[..., 1]
+        cy = pa[..., 2] * pb[..., 0] - pa[..., 0] * pb[..., 2]
+        cz = pa[..., 0] * pb[..., 1] - pa[..., 1] * pb[..., 0]
+        return cx * qx + cy * qy + cz
+
+    e0 = edge(p1, p2)
+    e1 = edge(p2, p0)
+    e2 = edge(p0, p1)
+    ssum = e0 + e1 + e2
+    ssum = jnp.where(ssum != 0.0, ssum, 1.0)
+    bary = jnp.stack([e0 / ssum, e1 / ssum, e2 / ssum], axis=-1)
+    view_w = (
+        bary[..., 0] * p0[..., 2] + bary[..., 1] * p1[..., 2] + bary[..., 2] * p2[..., 2]
     )
-    world_pos = attrs["position"]
-    v_normal = attrs["normal"]
-    tangent4 = attrs["tangent"]
-    uv = attrs["uv"]
-    v_color = attrs["color"]
 
-    # Per-slot transformed UVs.
-    uvs = []
-    for slot in range(4):
-        uvs.append(
-            tex.apply_texture_transform(
-                uv,
-                scene.uv_transform[model_id, slot],
-                scene.uv_rotation[model_id, slot],
-            )
-        )
+    def interp(offset, n):
+        out = 0.0
+        for k in range(3):
+            out = out + bary[..., k : k + 1] * av[..., 9 + k * 16 + offset : 9 + k * 16 + offset + n]
+        return out
 
-    # LOD from screen derivatives of the *untransformed* uv (scaled by each
-    # slot's mip-0 size + transform scale).
+    world_pos = interp(0, 3)
+    v_normal = interp(3, 3)
+    tangent4 = interp(6, 4)
+    uv = interp(10, 2)
+    v_color = interp(12, 4)
+
+    mrec = av[..., 9 + 48 :]  # model record + id
+    M = lambda c, n=1: mrec[..., c : c + n] if n > 1 else mrec[..., c]
+    model_id = mrec[..., PK.MREC].astype(jnp.int32)
+    has = M(PK.M_HAS, 4) > 0.5  # (H, W, 4)
+    tex_ids = mrec[..., PK.M_TEX : PK.M_TEX + 4].astype(jnp.int32)
+    uv_os = mrec[..., PK.M_UVOS : PK.M_UVOS + 16]
+    uv_rot = mrec[..., PK.M_UVROT : PK.M_UVROT + 8]
+
+    # screen-derivative LOD uses the raw uv; slot scales fold in per slot.
     same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
     same_y = jnp.diff(tri_id, axis=0, append=tri_id[-1:, :]) == 0
 
-    atlas = scene.atlas_img.reshape(-1, 4)
-    atlas_width = scene.atlas_img.shape[1]
+    quad_flat = scene.quad_img.reshape(-1, 16)
+    atlas_width = scene.quad_img.shape[1]
 
     def sample_slot(slot):
-        tid = scene.tex_ids[model_id, slot]
-        w0 = scene.mip_w[tid, 0]
-        h0 = scene.mip_h[tid, 0]
-        scale = scene.uv_transform[model_id, slot, 2:4]
+        suv = tex.apply_texture_transform(
+            uv, uv_os[..., slot * 4 : slot * 4 + 4], uv_rot[..., slot * 2 : slot * 2 + 2]
+        )
+        tid = tex_ids[..., slot]
+        rect0 = jnp.take(scene.mip_rect, tid * 14, axis=0)  # mip0 size for LOD
+        scale = uv_os[..., slot * 4 + 2 : slot * 4 + 4]
         lod = tex.uv_screen_lod(
-            uvs[slot],
-            w0.astype(jnp.float32) * jnp.abs(scale[..., 0]),
-            h0.astype(jnp.float32) * jnp.abs(scale[..., 1]),
+            suv,
+            rect0[..., 2].astype(jnp.float32) * jnp.abs(scale[..., 0]),
+            rect0[..., 3].astype(jnp.float32) * jnp.abs(scale[..., 1]),
             same_x,
             same_y,
         )
-        return tex.sample_atlas_trilinear(
-            atlas,
-            atlas_width,
-            scene.mip_x,
-            scene.mip_y,
-            scene.mip_w,
-            scene.mip_h,
-            tid,
-            uvs[slot],
-            lod,
+        return tex.sample_quad_trilinear(
+            quad_flat, atlas_width, scene.mip_rect, tid, suv, lod
         )
 
-    has = scene.has_map[model_id]  # (H, W, 4)
+    albedo = M(PK.M_BCF, 3) * v_color[..., :3]
+    alpha = M(PK.M_ALPHA) * v_color[..., 3]
+    if settings.slot_enabled[SLOT_BASE]:
+        base_sample = sample_slot(SLOT_BASE)
+        albedo = jnp.where(has[..., SLOT_BASE : SLOT_BASE + 1], albedo * base_sample[..., :3], albedo)
+        alpha = jnp.where(has[..., SLOT_BASE], alpha * base_sample[..., 3], alpha)
 
-    base_sample = sample_slot(SLOT_BASE)
-    albedo = scene.base_color_factor[model_id] * v_color[..., :3]
-    alpha = scene.base_color_alpha[model_id] * v_color[..., 3]
-    albedo = jnp.where(has[..., SLOT_BASE : SLOT_BASE + 1], albedo * base_sample[..., :3], albedo)
-    alpha = jnp.where(has[..., SLOT_BASE], alpha * base_sample[..., 3], alpha)
+    metallic = M(PK.M_METAL)
+    roughness = M(PK.M_ROUGH)
+    if settings.slot_enabled[SLOT_MR]:
+        mr_sample = sample_slot(SLOT_MR)
+        metallic = jnp.where(has[..., SLOT_MR], metallic * mr_sample[..., 2], metallic)
+        roughness = jnp.where(has[..., SLOT_MR], roughness * mr_sample[..., 1], roughness)
 
-    mr_sample = sample_slot(SLOT_MR)
-    metallic = scene.metallic_factor[model_id]
-    roughness = scene.roughness_factor[model_id]
-    metallic = jnp.where(has[..., SLOT_MR], metallic * mr_sample[..., 2], metallic)
-    roughness = jnp.where(has[..., SLOT_MR], roughness * mr_sample[..., 1], roughness)
+    emissive = M(PK.M_EMISSIVE, 3)
+    if settings.slot_enabled[SLOT_EMISSIVE]:
+        em_sample = sample_slot(SLOT_EMISSIVE)
+        emissive = jnp.where(
+            has[..., SLOT_EMISSIVE : SLOT_EMISSIVE + 1], emissive * em_sample[..., :3], emissive
+        )
 
-    emissive = scene.emissive_factor[model_id]
-    em_sample = sample_slot(SLOT_EMISSIVE)
-    emissive = jnp.where(
-        has[..., SLOT_EMISSIVE : SLOT_EMISSIVE + 1], emissive * em_sample[..., :3], emissive
-    )
-
-    nm_sample = sample_slot(SLOT_NORMAL)
-    # Deferred path: RG -> reconstruct Z (DeferredBasePass.hlsl:88-90); the
-    # BC5 normal maps only carry RG anyway, so this convention serves both.
-    rg = nm_sample[..., :2] * 2.0 - 1.0
-    tangent_normal = jnp.concatenate([rg, pbr.reconstruct_normal_z(rg)[..., None]], axis=-1)
-    mapped = pbr.apply_normal_map(v_normal, tangent4, tangent_normal)
-    shading_normal = jnp.where(
-        has[..., SLOT_NORMAL : SLOT_NORMAL + 1], mapped, pbr.normalize(v_normal)
-    )
+    if settings.slot_enabled[SLOT_NORMAL]:
+        nm_sample = sample_slot(SLOT_NORMAL)
+        # Deferred path: RG -> reconstruct Z (DeferredBasePass.hlsl:88-90); the
+        # BC5 normal maps only carry RG anyway, so this serves both paths.
+        rg = nm_sample[..., :2] * 2.0 - 1.0
+        tangent_normal = jnp.concatenate([rg, pbr.reconstruct_normal_z(rg)[..., None]], axis=-1)
+        mapped = pbr.apply_normal_map(v_normal, tangent4, tangent_normal)
+        shading_normal = jnp.where(
+            has[..., SLOT_NORMAL : SLOT_NORMAL + 1], mapped, pbr.normalize(v_normal)
+        )
+    else:
+        shading_normal = pbr.normalize(v_normal)
 
     return {
         "valid": valid,
         "model_id": model_id,
+        "object_id_f": M(PK.M_OBJID),
         "world_pos": world_pos,
         "view_w": view_w,
         "albedo": albedo,

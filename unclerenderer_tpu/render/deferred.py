@@ -123,13 +123,12 @@ def deferred_frame(
     )
 
     if settings.enable_ibl:
-        env_flat = scene.env_img.reshape(-1, 4)
-        env_w = scene.env_img.shape[1]
+        env_flat = scene.env_quad.reshape(-1, 16)
+        env_w = scene.env_quad.shape[1]
 
         def env_sample(direction, lod):
-            return tex.sample_cube(
-                env_flat, env_w, scene.env_mip_x, scene.env_mip_y,
-                scene.env_mip_size, direction, lod,
+            return tex.sample_cube_quad(
+                env_flat, env_w, scene.env_rect, direction, lod
             )[..., :3]
 
         def brdf_sample(uv):
@@ -210,7 +209,7 @@ def deferred_frame(
     if settings.enable_cas:
         color = jnp.clip(cas_sharpen(color, params.cas_sharpness), 0.0, 1.0)
 
-    object_id = jnp.where(g["valid"], scene.object_ids[g["model_id"]], jnp.uint32(0))
+    object_id = jnp.where(g["valid"], g["object_id_f"].astype(jnp.uint32), jnp.uint32(0))
 
     new_state = FrameState(
         taa_history=new_history,

@@ -43,6 +43,9 @@ class RenderSettings:
     # set False when the scene has no alpha-masked models (host knows at
     # load time); skips tracing the masked raster pass entirely
     has_masked_models: bool = True
+    # which material slots (base, mr, normal, emissive) exist anywhere in the
+    # scene; absent slots skip their texture taps entirely (static)
+    slot_enabled: tuple = (True, True, True, True)
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     tile_h: int = 16
@@ -109,18 +112,18 @@ class DeviceScene:
     object_ids: jnp.ndarray = None         # (M,) u32
     bounds_min: jnp.ndarray = None         # (M, 3)
     bounds_max: jnp.ndarray = None         # (M, 3)
-    # material atlas ((AH, AW, 4); width is static via the shape)
-    atlas_img: jnp.ndarray = None
-    mip_x: jnp.ndarray = None              # (n_tex, MAX_MIPS) i32
-    mip_y: jnp.ndarray = None
-    mip_w: jnp.ndarray = None
-    mip_h: jnp.ndarray = None
-    # environment cube (separate small atlas) + BRDF LUT
-    env_img: jnp.ndarray = None            # (EH, EW, 4) f32
-    env_mip_x: jnp.ndarray = None          # (6, MAX_MIPS) i32
-    env_mip_y: jnp.ndarray = None
-    env_mip_size: jnp.ndarray = None
+    # material quad atlas ((AH, AW, 16): each texel's 2x2 bilinear footprint;
+    # width is static via the shape) + packed (n_tex*MAX_MIPS, 4) rect table
+    quad_img: jnp.ndarray = None
+    mip_rect: jnp.ndarray = None
+    # environment cube quad atlas + rect table; BRDF LUT sampled directly
+    env_quad: jnp.ndarray = None           # (EH, EW, 16) f32
+    env_rect: jnp.ndarray = None           # (6*MAX_MIPS, 4) i32
     brdf_lut: jnp.ndarray = None           # (32, 128, 2) f32
+    # ONE static per-triangle record: [per-vertex blocks 48 | model record 48
+    # | model_id 1] -- the per-frame material resolve gathers a single row
+    # per pixel (TPU gathers are latency-bound; see ops/texture.py)
+    tri_attr: jnp.ndarray = None           # (T, 97) f32
 
 
 @jax.tree_util.register_dataclass

@@ -22,7 +22,9 @@ from ..core.logging import log_info, log_warning
 from ..scene.build import SceneData, build_scene
 from ..scene.camera import Camera
 from ..scene.scene_json import SceneLightDesc, load_scene_json
-from ..textures.atlas import build_atlas
+from ..ops.texture import pack_mip_rect
+from ..textures.atlas import build_atlas, build_quad_atlas
+from .packing import pack_model_record, pack_tri_attr
 from ..textures.dds import load_dds
 from ..textures.image import TextureCache, generate_mips, solid_color_texture
 from .forward import forward_frame
@@ -65,7 +67,7 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
             tex_ids[mi, si] = path_to_id[f"{path}|{_SLOT_SRGB[si]}"]
             has_map[mi, si] = True
 
-    atlas = build_atlas(chains)
+    atlas = build_quad_atlas(chains)
 
     # Environment cube (prefiltered mip chain) + BRDF LUT.
     env_path = assets_root / "Textures" / "output_pmrem.dds"
@@ -76,18 +78,16 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         face_chains = []
         for face in range(6):
             face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
-        env_atlas = build_atlas(face_chains)
+        env_atlas = build_quad_atlas(face_chains, wrap=False)
         env_img = env_atlas.data
-        env_mip_x = env_atlas.mip_x
-        env_mip_y = env_atlas.mip_y
-        env_mip_size = env_atlas.mip_w  # square faces
+        env_rect = pack_mip_rect(
+            env_atlas.mip_x, env_atlas.mip_y, env_atlas.mip_w, env_atlas.mip_h
+        )
     else:
         if env_dds is None:
             log_warning(f"environment cube not found at {env_path}; IBL will be flat")
-        env_img = np.full((8, 128, 4), 0.1, np.float32)
-        env_mip_x = np.zeros((6, 14), np.int32)
-        env_mip_y = np.zeros((6, 14), np.int32)
-        env_mip_size = np.ones((6, 14), np.int32)
+        env_img = np.full((8, 128, 16), 0.1, np.float32)
+        env_rect = np.tile(np.array([[0, 0, 1, 1]], np.int32), (6 * 14, 1))
 
     lut_path = assets_root / "Textures" / "PreintegratedGF.dds"
     lut_dds = load_dds(lut_path) if lut_path.is_file() else None
@@ -105,6 +105,9 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
             [np.broadcast_to(scale, (32, 128)), np.broadcast_to(bias, (32, 128))],
             axis=-1,
         ).astype(np.float32)
+
+    model_rec = pack_model_record(data, tex_ids, has_map)
+    tri_attr = pack_tri_attr(data, model_rec)
 
     dev = DeviceScene(
         position=jnp.asarray(data.position),
@@ -128,16 +131,12 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        atlas_img=jnp.asarray(atlas.data),
-        mip_x=jnp.asarray(atlas.mip_x),
-        mip_y=jnp.asarray(atlas.mip_y),
-        mip_w=jnp.asarray(atlas.mip_w),
-        mip_h=jnp.asarray(atlas.mip_h),
-        env_img=jnp.asarray(env_img),
-        env_mip_x=jnp.asarray(env_mip_x),
-        env_mip_y=jnp.asarray(env_mip_y),
-        env_mip_size=jnp.asarray(env_mip_size),
+        quad_img=jnp.asarray(atlas.data),
+        mip_rect=jnp.asarray(pack_mip_rect(atlas.mip_x, atlas.mip_y, atlas.mip_w, atlas.mip_h)),
+        env_quad=jnp.asarray(env_img),
+        env_rect=jnp.asarray(env_rect),
         brdf_lut=jnp.asarray(brdf_lut),
+        tri_attr=jnp.asarray(tri_attr),
     )
     return dev, env_mip_count
 
@@ -179,8 +178,17 @@ class Renderer:
             raise ValueError(f"failed to load scene {scene_path}")
         # skip the masked raster pass when no model needs it (static setting)
         has_masked = bool((self.scene_data.alpha_mode == 1).any())
-        if settings.has_masked_models != has_masked:
-            settings = dataclasses.replace(settings, has_masked_models=has_masked)
+        slot_enabled = tuple(
+            bool(any(tp[si] for tp in self.scene_data.texture_paths))
+            for si in range(4)
+        )
+        if (
+            settings.has_masked_models != has_masked
+            or settings.slot_enabled != slot_enabled
+        ):
+            settings = dataclasses.replace(
+                settings, has_masked_models=has_masked, slot_enabled=slot_enabled
+            )
             self.settings = settings
 
         _models, light, camera_desc = load_scene_json(scene_path)

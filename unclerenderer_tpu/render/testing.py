@@ -13,7 +13,7 @@ from .. import mathlib as m
 from ..scene.build import SceneData, SceneModel
 from ..scene.gltf import GltfMaterial
 from ..scene.mesh import compute_mesh_bounds, create_cube, create_sphere
-from ..textures.atlas import build_atlas
+from ..textures.atlas import build_atlas, build_quad_atlas
 from ..textures.image import default_grid_texture, generate_mips, solid_color_texture
 from .params import DeviceScene
 
@@ -120,7 +120,12 @@ def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool
         chains.append(generate_mips(default_grid_texture(64)))
         tex_ids[::2, 0] = 1
         has_map[::2, 0] = True
-    atlas = build_atlas(chains)
+    atlas = build_quad_atlas(chains)
+    from ..ops.texture import pack_mip_rect
+    from .packing import pack_model_record, pack_tri_attr
+
+    model_rec = pack_model_record(data, tex_ids, has_map)
+    tri_attr = pack_tri_attr(data, model_rec)
     return DeviceScene(
         position=jnp.asarray(data.position),
         normal=jnp.asarray(data.normal),
@@ -143,16 +148,12 @@ def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        atlas_img=jnp.asarray(atlas.data),
-        mip_x=jnp.asarray(atlas.mip_x),
-        mip_y=jnp.asarray(atlas.mip_y),
-        mip_w=jnp.asarray(atlas.mip_w),
-        mip_h=jnp.asarray(atlas.mip_h),
-        env_img=jnp.full((8, 128, 4), 0.1, jnp.float32),
-        env_mip_x=jnp.zeros((6, 14), jnp.int32),
-        env_mip_y=jnp.zeros((6, 14), jnp.int32),
-        env_mip_size=jnp.ones((6, 14), jnp.int32),
+        quad_img=jnp.asarray(atlas.data),
+        mip_rect=jnp.asarray(pack_mip_rect(atlas.mip_x, atlas.mip_y, atlas.mip_w, atlas.mip_h)),
+        env_quad=jnp.full((8, 128, 16), 0.1, jnp.float32),
+        env_rect=jnp.tile(jnp.asarray([[0, 0, 1, 1]], jnp.int32), (6 * 14, 1)),
         brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
+        tri_attr=jnp.asarray(tri_attr),
     ), data
 
 

@@ -78,6 +78,7 @@ def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAt
         atlas.data = np.zeros((8, 128, 4), np.float32)
         return atlas
 
+
     # Sort rectangles by height (desc) for decent shelf utilization; keep
     # (tex, mip) identity with each.
     rects = []
@@ -101,8 +102,9 @@ def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAt
         x, y = packer.place(w + pad, h + pad)
         places[(t, lv)] = (x, y)
 
+    channels = texture_mips[0][0].shape[-1]
     height = _round_up(max(packer.height, 8), 8)
-    data = np.zeros((height, width, 4), np.float32)
+    data = np.zeros((height, width, channels), np.float32)
     for t, mips in enumerate(texture_mips):
         for lv, img in enumerate(mips):
             x, y = places[(t, lv)]
@@ -126,3 +128,30 @@ def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAt
         f"{width}x{height} ({data.nbytes / 1e6:.1f} MB f32)"
     )
     return atlas
+
+
+def build_quad_atlas(texture_mips: list[list[np.ndarray]], wrap: bool = True) -> TextureAtlas:
+    """Like build_atlas, but each texel stores its 2x2 bilinear footprint
+    (16 channels: RGBA of (y,x), (y,x+1), (y+1,x), (y+1,x+1)), with the +1
+    neighbors wrapped (or clamped) within the mip.
+
+    TPU gathers are latency-bound (~tens of ns per element regardless of
+    width), so fetching a whole bilinear footprint per gather cuts the
+    dominant cost of texture sampling by 4x for 4x memory.
+    """
+    quad_mips = []
+    for chain in texture_mips:
+        quads = []
+        for img in chain:
+            mode = "wrap" if wrap else "edge"
+            if mode == "wrap":
+                xp = np.roll(img, -1, axis=1)
+                yp = np.roll(img, -1, axis=0)
+                xyp = np.roll(xp, -1, axis=0)
+            else:
+                xp = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+                yp = np.concatenate([img[1:], img[-1:]], axis=0)
+                xyp = np.concatenate([xp[1:], xp[-1:]], axis=0)
+            quads.append(np.concatenate([img, xp, yp, xyp], axis=-1))
+        quad_mips.append(quads)
+    return build_atlas(quad_mips)
