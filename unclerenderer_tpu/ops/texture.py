@@ -335,3 +335,94 @@ def sample_cube_quad(
     a = tap(l0)
     b = tap(l1)
     return a * (1.0 - frac) + b * frac
+
+
+# ---------------------------------------------------------------------------
+# Pyramid sampling: arithmetic mip layout (textures/atlas.py
+# build_pyramid_quad_atlas).  Mip L of a texture with base rect
+# (x0, y0, w0, h0) sits at x = x0 + 2*(w0 - (w0 >> L)) with size
+# (w0 >> L, h0 >> L) -- computable per pixel with shifts, so sampling needs
+# ZERO table gathers (small-table gathers are pathologically slow on TPU;
+# measured 146ms for 2M lookups in a 16KB table vs 19ms from 20MB).
+# ---------------------------------------------------------------------------
+
+
+def _pyramid_rect(rect0, level):
+    """rect0: (..., 4) float (x0, y0, w0, h0); level: (...,) int32 ->
+    (x, y, w, h) of that mip, level clamped to the chain length."""
+    x0 = rect0[..., 0].astype(jnp.int32)
+    y0 = rect0[..., 1].astype(jnp.int32)
+    w0 = rect0[..., 2].astype(jnp.int32)
+    h0 = rect0[..., 3].astype(jnp.int32)
+    # max level = log2(max(w0, h0)); sizes are powers of two so float log2
+    # is exact after rounding.
+    mx = jnp.maximum(w0, h0).astype(jnp.float32)
+    lmax = jnp.round(jnp.log2(jnp.maximum(mx, 1.0))).astype(jnp.int32)
+    lv = jnp.clip(level, 0, lmax)
+    w = jnp.maximum(w0 >> lv, 1)
+    h = jnp.maximum(h0 >> lv, 1)
+    x = x0 + 2 * (w0 - jnp.maximum(w0 >> lv, 1))
+    return x, y0, w, h
+
+
+def sample_pyramid_bilinear(
+    quad_flat: jnp.ndarray,
+    atlas_width: int,
+    rect0: jnp.ndarray,
+    uv: jnp.ndarray,
+    level: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    """One bilinear tap = one 16-channel quad gather; mip rect arithmetic."""
+    x, y, w, h = _pyramid_rect(rect0, level)
+    tx = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    ty = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    fx0 = jnp.floor(tx)
+    fy0 = jnp.floor(ty)
+    fx = (tx - fx0)[..., None]
+    fy = (ty - fy0)[..., None]
+    ix = _wrap_index(fx0.astype(jnp.int32), w, address_mode)
+    iy = _wrap_index(fy0.astype(jnp.int32), h, address_mode)
+    flat = (y + iy) * atlas_width + (x + ix)
+    quad = jnp.take(quad_flat, flat, axis=0)
+    top = quad[..., 0:4] * (1.0 - fx) + quad[..., 4:8] * fx
+    bot = quad[..., 8:12] * (1.0 - fx) + quad[..., 12:16] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_pyramid_trilinear(
+    quad_flat: jnp.ndarray,
+    atlas_width: int,
+    rect0: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    a = sample_pyramid_bilinear(quad_flat, atlas_width, rect0, uv, l0, address_mode)
+    b = sample_pyramid_bilinear(quad_flat, atlas_width, rect0, uv, l0 + 1, address_mode)
+    return a * (1.0 - frac) + b * frac
+
+
+def sample_cube_pyramid(
+    env_quad_flat: jnp.ndarray,
+    atlas_width: int,
+    face_rect0,
+    direction: jnp.ndarray,
+    lod: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cubemap sampling over the pyramid atlas.  face_rect0: (6, 4) traced
+    array; the per-pixel face select uses 6 static slices + where (no
+    gather)."""
+    face, uv = cube_direction_to_face_uv(direction)
+    rect = jnp.zeros(face.shape + (4,), jnp.float32)
+    for f in range(6):
+        rect = jnp.where((face == f)[..., None], face_rect0[f].astype(jnp.float32), rect)
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    a = sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, l0, ADDRESS_CLAMP)
+    b = sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, l0 + 1, ADDRESS_CLAMP)
+    return a * (1.0 - frac) + b * frac

@@ -167,13 +167,15 @@ def raster_masked_combine(
     ca = scene.color.reshape(t_count, 3, 4)[..., 3]
     num_ca = interp_coef(ca[:, 0], ca[:, 1], ca[:, 2])
 
+    from . import packing as PK
+
     m_depth, m_tri = _rasterize_alpha(
         setup,
         num_u,
         num_v,
         num_ca,
         num_1,
-        scene.tex_ids[model, SLOT_BASE],
+        scene.tri_mrec[:, PK.M_RECT + SLOT_BASE * 4 : PK.M_RECT + SLOT_BASE * 4 + 4],
         scene.has_map[model, SLOT_BASE],
         scene.base_color_alpha[model],
         scene.alpha_cutoff[model],
@@ -192,7 +194,7 @@ def _rasterize_alpha(
     num_v: jnp.ndarray,
     num_ca: jnp.ndarray,
     num_1: jnp.ndarray,
-    base_tex: jnp.ndarray,
+    base_rect0: jnp.ndarray,
     has_base: jnp.ndarray,
     alpha_scale: jnp.ndarray,
     cutoff: jnp.ndarray,
@@ -229,7 +231,7 @@ def _rasterize_alpha(
     nca = pad(num_ca).reshape(n_chunks, chunk, 3)
     n1 = pad(num_1).reshape(n_chunks, chunk, 3)
     valid = pad(setup.valid, fill=False).reshape(n_chunks, chunk)
-    c_tex = pad(base_tex).reshape(n_chunks, chunk)
+    c_rect = pad(base_rect0).reshape(n_chunks, chunk, 4)
     c_has = pad(has_base, fill=False).reshape(n_chunks, chunk)
     c_scale = pad(alpha_scale).reshape(n_chunks, chunk)
     c_cut = pad(cutoff).reshape(n_chunks, chunk)
@@ -245,7 +247,7 @@ def _rasterize_alpha(
 
     def chunk_step(carry, inputs):
         best_key, best_id = carry
-        (c_coef, c_nu, c_nv, c_nca, c_n1, c_valid, tex_id, has, a_scale, cut, c_base) = inputs
+        (c_coef, c_nu, c_nv, c_nca, c_n1, c_valid, rect0, has, a_scale, cut, c_base) = inputs
         qx_e = qx[:, :, None]
         qy_e = qy[:, :, None]
 
@@ -271,11 +273,10 @@ def _rasterize_alpha(
         ca = form(c_nca[:, 0], c_nca[:, 1], c_nca[:, 2]) / denom
 
         uv = jnp.stack([u, v], axis=-1)
-        texel = tex.sample_quad_bilinear(
+        texel = tex.sample_pyramid_bilinear(
             quad_flat,
             atlas_width,
-            scene.mip_rect,
-            jnp.broadcast_to(tex_id[None, None, :], u.shape),
+            jnp.broadcast_to(rect0[None, None, :, :], u.shape + (4,)),
             uv,
             jnp.zeros(u.shape, jnp.int32),
         )
@@ -299,7 +300,7 @@ def _rasterize_alpha(
     (best_key, best_id), _ = jax.lax.scan(
         chunk_step,
         init,
-        (coef_c, nu, nv, nca, n1, valid, c_tex, c_has, c_scale, c_cut, bases),
+        (coef_c, nu, nv, nca, n1, valid, c_rect, c_has, c_scale, c_cut, bases),
     )
     hit = best_key >= 0.0
     depth = jnp.where(hit, best_key, 0.0)
@@ -326,24 +327,21 @@ def resolve_materials(
     """Visibility buffer -> interpolated attributes + sampled material values.
 
     Ports the material half of ``DeferredBasePass.hlsl`` PSMain /
-    ``ForwardPS.hlsl`` PSMain: per-slot KHR uv transforms, base color *
-    vertex color * factors, metallic/roughness from the .b/.g channels,
-    emissive, TBN normal mapping with the 2-channel reconstruct-Z convention
-    of the deferred path.
-
-    Gather discipline (TPU gathers are latency-bound): ONE per-pixel row
-    gather of the packed tri record (vertex attrs + screen coords + model
-    constants, render/packing.py) plus one quad gather per texture tap.
+    ``ForwardPS.hlsl`` PSMain.  Gather discipline (TPU gathers are
+    latency-bound, with a lowering cliff above 64-wide rows): TWO per-pixel
+    row gathers -- the (T, 57) geometry record and the (T, 64) model
+    record -- plus one 16-channel quad gather per texture tap with
+    arithmetic mip rects (render/packing.py, ops/texture.py).
     """
     from . import packing as PK
 
     width, height = settings.width, settings.height
-    t_count = scene.tri_attr.shape[0]
+    t_count = scene.tri_geo.shape[0]
 
-    # per-frame record: screen-space homogeneous coords prepended
-    rec = jnp.concatenate([pix_h.reshape(t_count, 9), scene.tri_attr], axis=1)
+    rec_geo = jnp.concatenate([pix_h.reshape(t_count, 9), scene.tri_geo], axis=1)
     safe_id = jnp.maximum(tri_id, 0)
-    av = rec[safe_id]  # (H, W, 9 + 97) -- THE gather
+    av = rec_geo[safe_id]     # (H, W, 57) gather #1
+    mrec = scene.tri_mrec[safe_id]  # (H, W, 64) gather #2
     valid = tri_id >= 0
 
     p0 = av[..., 0:3]
@@ -383,15 +381,13 @@ def resolve_materials(
     uv = interp(10, 2)
     v_color = interp(12, 4)
 
-    mrec = av[..., 9 + 48 :]  # model record + id
     M = lambda c, n=1: mrec[..., c : c + n] if n > 1 else mrec[..., c]
-    model_id = mrec[..., PK.MREC].astype(jnp.int32)
-    has = M(PK.M_HAS, 4) > 0.5  # (H, W, 4)
-    tex_ids = mrec[..., PK.M_TEX : PK.M_TEX + 4].astype(jnp.int32)
-    uv_os = mrec[..., PK.M_UVOS : PK.M_UVOS + 16]
-    uv_rot = mrec[..., PK.M_UVROT : PK.M_UVROT + 8]
+    model_id = mrec[..., PK.M_ID].astype(jnp.int32)
+    has = M(PK.M_HAS, 4) > 0.5
+    uv_os = M(PK.M_UVOS, 16)
+    uv_rot = M(PK.M_UVROT, 8)
+    rects = M(PK.M_RECT, 16)
 
-    # screen-derivative LOD uses the raw uv; slot scales fold in per slot.
     same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
     same_y = jnp.diff(tri_id, axis=0, append=tri_id[-1:, :]) == 0
 
@@ -402,19 +398,16 @@ def resolve_materials(
         suv = tex.apply_texture_transform(
             uv, uv_os[..., slot * 4 : slot * 4 + 4], uv_rot[..., slot * 2 : slot * 2 + 2]
         )
-        tid = tex_ids[..., slot]
-        rect0 = jnp.take(scene.mip_rect, tid * 14, axis=0)  # mip0 size for LOD
+        rect0 = rects[..., slot * 4 : slot * 4 + 4]
         scale = uv_os[..., slot * 4 + 2 : slot * 4 + 4]
         lod = tex.uv_screen_lod(
             suv,
-            rect0[..., 2].astype(jnp.float32) * jnp.abs(scale[..., 0]),
-            rect0[..., 3].astype(jnp.float32) * jnp.abs(scale[..., 1]),
+            rect0[..., 2] * jnp.abs(scale[..., 0]),
+            rect0[..., 3] * jnp.abs(scale[..., 1]),
             same_x,
             same_y,
         )
-        return tex.sample_quad_trilinear(
-            quad_flat, atlas_width, scene.mip_rect, tid, suv, lod
-        )
+        return tex.sample_pyramid_trilinear(quad_flat, atlas_width, rect0, suv, lod)
 
     albedo = M(PK.M_BCF, 3) * v_color[..., :3]
     alpha = M(PK.M_ALPHA) * v_color[..., 3]

@@ -33,7 +33,7 @@ from ..ops import texture as tex
 from ..ops.cull import frustum_cull, occlusion_cull
 from ..ops.hzb import build_hzb, hzb_layout
 from ..ops.post import auto_exposure_ev, cas_sharpen, temporal_aa, tonemap
-from ..ops.shadow import shadow_factor
+from ..ops.shadow import pack_shadow9, shadow_factor_packed
 from ..ops.sky import apply_atmosphere, sky_view_directions
 from . import common
 from .params import DeviceScene, FrameParams, FrameState, RenderSettings
@@ -73,8 +73,9 @@ def deferred_frame(
         shadow_map = common.raster_shadow(
             scene, params.light_view_proj, opaque_mask | masked_mask, settings
         )
+        shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
-        shadow_map = None
+        shadow9 = None
 
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
@@ -102,8 +103,9 @@ def deferred_frame(
     f0 = 0.04 + (g["albedo"] - 0.04) * g["metallic"][..., None]
 
     if settings.enable_shadows:
-        shadow = shadow_factor(
-            shadow_map,
+        shadow = shadow_factor_packed(
+            shadow9,
+            settings.shadow_map_size,
             g["world_pos"],
             params.light_view_proj,
             params.shadow_strength,
@@ -127,24 +129,19 @@ def deferred_frame(
         env_w = scene.env_quad.shape[1]
 
         def env_sample(direction, lod):
-            return tex.sample_cube_quad(
-                env_flat, env_w, scene.env_rect, direction, lod
+            return tex.sample_cube_pyramid(
+                env_flat, env_w, scene.env_rect0, direction, lod
             )[..., :3]
 
+        quad_flat = scene.quad_img.reshape(-1, 16)
+        aw = scene.quad_img.shape[1]
+
         def brdf_sample(uv):
-            lut = scene.brdf_lut
-            lh, lw = lut.shape[:2]
-            x = jnp.clip(uv[..., 0] * lw - 0.5, 0.0, lw - 1.0)
-            y = jnp.clip(uv[..., 1] * lh - 0.5, 0.0, lh - 1.0)
-            x0 = jnp.floor(x).astype(jnp.int32)
-            y0 = jnp.floor(y).astype(jnp.int32)
-            x1 = jnp.minimum(x0 + 1, lw - 1)
-            y1 = jnp.minimum(y0 + 1, lh - 1)
-            fx = (x - x0)[..., None]
-            fy = (y - y0)[..., None]
-            return (lut[y0, x0] * (1 - fx) + lut[y0, x1] * fx) * (1 - fy) + (
-                lut[y1, x0] * (1 - fx) + lut[y1, x1] * fx
-            ) * fy
+            rect0 = scene.brdf_rect0  # (4,) static slice, broadcasts
+            return tex.sample_pyramid_bilinear(
+                quad_flat, aw, rect0, uv,
+                jnp.zeros(uv.shape[:-1], jnp.int32), tex.ADDRESS_CLAMP,
+            )[..., :2]
 
         n_world = pbr.normalize(g["normal"])
         v_world = pbr.normalize(params.camera_pos - g["world_pos"])

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import pbr
 from ..ops import texture as tex
-from ..ops.shadow import shadow_factor
+from ..ops.shadow import pack_shadow9, shadow_factor_packed
 from ..ops.sky import apply_atmosphere, sky_view_directions
 from . import common
 from .params import DeviceScene, FrameParams, RenderSettings
@@ -44,8 +44,9 @@ def forward_frame(
         shadow_map = common.raster_shadow(
             scene, params.light_view_proj, shadow_mask, settings
         )
+        shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
-        shadow_map = None
+        shadow9 = None
 
     g = common.resolve_materials(scene, pix_h, tri_id, settings)
 
@@ -56,8 +57,9 @@ def forward_frame(
     f0 = 0.04 + (g["albedo"] - 0.04) * g["metallic"][..., None]
 
     if settings.enable_shadows:
-        shadow = shadow_factor(
-            shadow_map,
+        shadow = shadow_factor_packed(
+            shadow9,
+            settings.shadow_map_size,
             g["world_pos"],
             params.light_view_proj,
             params.shadow_strength,
@@ -79,28 +81,19 @@ def forward_frame(
         env_w = scene.env_quad.shape[1]
 
         def env_sample(direction, lod):
-            return tex.sample_cube_quad(
-                env_flat, env_w, scene.env_rect, direction, lod
+            return tex.sample_cube_pyramid(
+                env_flat, env_w, scene.env_rect0, direction, lod
             )[..., :3]
 
+        quad_flat = scene.quad_img.reshape(-1, 16)
+        aw = scene.quad_img.shape[1]
+
         def brdf_sample(uv):
-            lut = scene.brdf_lut
-            h, w = lut.shape[:2]
-            x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
-            y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
-            x0 = jnp.floor(x).astype(jnp.int32)
-            y0 = jnp.floor(y).astype(jnp.int32)
-            x1 = jnp.minimum(x0 + 1, w - 1)
-            y1 = jnp.minimum(y0 + 1, h - 1)
-            fx = (x - x0)[..., None]
-            fy = (y - y0)[..., None]
-            t00 = lut[y0, x0]
-            t10 = lut[y0, x1]
-            t01 = lut[y1, x0]
-            t11 = lut[y1, x1]
-            return (t00 * (1 - fx) + t10 * fx) * (1 - fy) + (
-                t01 * (1 - fx) + t11 * fx
-            ) * fy
+            rect0 = scene.brdf_rect0  # (4,) static slice, broadcasts
+            return tex.sample_pyramid_bilinear(
+                quad_flat, aw, rect0, uv,
+                jnp.zeros(uv.shape[:-1], jnp.int32), tex.ADDRESS_CLAMP,
+            )[..., :2]
 
         ambient = pbr.ibl_ambient(
             g["albedo"],

@@ -112,18 +112,17 @@ class DeviceScene:
     object_ids: jnp.ndarray = None         # (M,) u32
     bounds_min: jnp.ndarray = None         # (M, 3)
     bounds_max: jnp.ndarray = None         # (M, 3)
-    # material quad atlas ((AH, AW, 16): each texel's 2x2 bilinear footprint;
-    # width is static via the shape) + packed (n_tex*MAX_MIPS, 4) rect table
+    # material pyramid quad atlas ((AH, AW, 16): each texel's 2x2 bilinear
+    # footprint, arithmetic mip layout -- see textures/atlas.py). Also holds
+    # the BRDF LUT (clamp quads) at brdf_rect0.
     quad_img: jnp.ndarray = None
-    mip_rect: jnp.ndarray = None
-    # environment cube quad atlas + rect table; BRDF LUT sampled directly
+    brdf_rect0: jnp.ndarray = None         # (4,) f32 (x0, y0, w0, h0)
+    # environment cube pyramid quad atlas + per-face base rects
     env_quad: jnp.ndarray = None           # (EH, EW, 16) f32
-    env_rect: jnp.ndarray = None           # (6*MAX_MIPS, 4) i32
-    brdf_lut: jnp.ndarray = None           # (32, 128, 2) f32
-    # ONE static per-triangle record: [per-vertex blocks 48 | model record 48
-    # | model_id 1] -- the per-frame material resolve gathers a single row
-    # per pixel (TPU gathers are latency-bound; see ops/texture.py)
-    tri_attr: jnp.ndarray = None           # (T, 97) f32
+    env_rect0: jnp.ndarray = None          # (6, 4) f32
+    # two-gather material resolve records (render/packing.py)
+    tri_geo: jnp.ndarray = None            # (T, 48) f32 vertex attributes
+    tri_mrec: jnp.ndarray = None           # (T, 64) f32 model constants
 
 
 @jax.tree_util.register_dataclass

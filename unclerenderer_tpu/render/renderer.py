@@ -22,9 +22,8 @@ from ..core.logging import log_info, log_warning
 from ..scene.build import SceneData, build_scene
 from ..scene.camera import Camera
 from ..scene.scene_json import SceneLightDesc, load_scene_json
-from ..ops.texture import pack_mip_rect
-from ..textures.atlas import build_atlas, build_quad_atlas
-from .packing import pack_model_record, pack_tri_attr
+from ..textures.atlas import build_pyramid_quad_atlas
+from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
 from ..textures.dds import load_dds
 from ..textures.image import TextureCache, generate_mips, solid_color_texture
 from .forward import forward_frame
@@ -67,9 +66,21 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
             tex_ids[mi, si] = path_to_id[f"{path}|{_SLOT_SRGB[si]}"]
             has_map[mi, si] = True
 
-    atlas = build_quad_atlas(chains)
+    # power-of-two guard for the pyramid layout (reference assets comply;
+    # odd sizes get a simple host-side resample)
+    def _pow2ify(mips):
+        h, w = mips[0].shape[:2]
+        if (w & (w - 1)) == 0 and (h & (h - 1)) == 0:
+            return mips
+        nw = 1 << int(np.ceil(np.log2(max(w, 1))))
+        nh = 1 << int(np.ceil(np.log2(max(h, 1))))
+        yi = (np.arange(nh) * h // nh).clip(0, h - 1)
+        xi = (np.arange(nw) * w // nw).clip(0, w - 1)
+        return generate_mips(mips[0][yi][:, xi])
 
-    # Environment cube (prefiltered mip chain) + BRDF LUT.
+    chains = [_pow2ify(c) for c in chains]
+
+    # Environment cube (prefiltered mip chain) as its own pyramid atlas.
     env_path = assets_root / "Textures" / "output_pmrem.dds"
     env_mip_count = 1.0
     env_dds = load_dds(env_path) if env_path.is_file() else None
@@ -78,21 +89,18 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         face_chains = []
         for face in range(6):
             face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
-        env_atlas = build_quad_atlas(face_chains, wrap=False)
-        env_img = env_atlas.data
-        env_rect = pack_mip_rect(
-            env_atlas.mip_x, env_atlas.mip_y, env_atlas.mip_w, env_atlas.mip_h
-        )
+        env_img, env_rect0 = build_pyramid_quad_atlas(face_chains, wrap=False)
     else:
         if env_dds is None:
             log_warning(f"environment cube not found at {env_path}; IBL will be flat")
         env_img = np.full((8, 128, 16), 0.1, np.float32)
-        env_rect = np.tile(np.array([[0, 0, 1, 1]], np.int32), (6 * 14, 1))
+        env_rect0 = np.zeros((6, 4), np.int32)
+        env_rect0[:, 2:] = 1
 
     lut_path = assets_root / "Textures" / "PreintegratedGF.dds"
     lut_dds = load_dds(lut_path) if lut_path.is_file() else None
     if lut_dds is not None:
-        brdf_lut = lut_dds.mips[0][0][..., :2].astype(np.float32)
+        brdf_img = lut_dds.mips[0][0].astype(np.float32)
     else:
         log_warning(f"BRDF LUT not found at {lut_path}; using analytic fallback")
         # Karis analytic approximation keeps IBL usable without the asset.
@@ -101,13 +109,24 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         a = rough * rough
         scale = 1.0 - a * 0.5 - 0.25 * (1.0 - nv)
         bias = a * 0.25 * nv
-        brdf_lut = np.stack(
-            [np.broadcast_to(scale, (32, 128)), np.broadcast_to(bias, (32, 128))],
-            axis=-1,
-        ).astype(np.float32)
+        brdf_img = np.zeros((32, 128, 4), np.float32)
+        brdf_img[..., 0] = scale
+        brdf_img[..., 1] = bias
 
-    model_rec = pack_model_record(data, tex_ids, has_map)
-    tri_attr = pack_tri_attr(data, model_rec)
+    # The BRDF LUT joins the material atlas (clamp addressing, mip 0 only).
+    brdf_index = len(chains)
+    chains.append(generate_mips(brdf_img))
+    wraps = [True] * (len(chains) - 1) + [False]
+
+    quad_img, rect0 = build_pyramid_quad_atlas(chains, wrap=wraps)
+    brdf_rect0 = rect0[brdf_index].astype(np.float32)
+
+    # per-(model, slot) base rects; absent slots point at the white texture
+    slot_rect0 = rect0[tex_ids].astype(np.float32)  # (M, 4, 4)
+
+    model_rec = pack_model_record(data, has_map, slot_rect0)
+    tri_geo = pack_tri_geo(data)
+    tri_mrec = pack_tri_mrec(data, model_rec)
 
     dev = DeviceScene(
         position=jnp.asarray(data.position),
@@ -131,12 +150,12 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        quad_img=jnp.asarray(atlas.data),
-        mip_rect=jnp.asarray(pack_mip_rect(atlas.mip_x, atlas.mip_y, atlas.mip_w, atlas.mip_h)),
+        quad_img=jnp.asarray(quad_img),
+        brdf_rect0=jnp.asarray(brdf_rect0),
         env_quad=jnp.asarray(env_img),
-        env_rect=jnp.asarray(env_rect),
-        brdf_lut=jnp.asarray(brdf_lut),
-        tri_attr=jnp.asarray(tri_attr),
+        env_rect0=jnp.asarray(env_rect0.astype(np.float32)),
+        tri_geo=jnp.asarray(tri_geo),
+        tri_mrec=jnp.asarray(tri_mrec),
     )
     return dev, env_mip_count
 

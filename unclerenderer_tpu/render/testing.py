@@ -13,7 +13,7 @@ from .. import mathlib as m
 from ..scene.build import SceneData, SceneModel
 from ..scene.gltf import GltfMaterial
 from ..scene.mesh import compute_mesh_bounds, create_cube, create_sphere
-from ..textures.atlas import build_atlas, build_quad_atlas
+from ..textures.atlas import build_pyramid_quad_atlas
 from ..textures.image import default_grid_texture, generate_mips, solid_color_texture
 from .params import DeviceScene
 
@@ -120,12 +120,13 @@ def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool
         chains.append(generate_mips(default_grid_texture(64)))
         tex_ids[::2, 0] = 1
         has_map[::2, 0] = True
-    atlas = build_quad_atlas(chains)
-    from ..ops.texture import pack_mip_rect
-    from .packing import pack_model_record, pack_tri_attr
+    quad_img, rect0 = build_pyramid_quad_atlas(chains)
+    from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
 
-    model_rec = pack_model_record(data, tex_ids, has_map)
-    tri_attr = pack_tri_attr(data, model_rec)
+    slot_rect0 = rect0[tex_ids].astype(np.float32)
+    model_rec = pack_model_record(data, has_map, slot_rect0)
+    tri_geo = pack_tri_geo(data)
+    tri_mrec = pack_tri_mrec(data, model_rec)
     return DeviceScene(
         position=jnp.asarray(data.position),
         normal=jnp.asarray(data.normal),
@@ -148,12 +149,12 @@ def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        quad_img=jnp.asarray(atlas.data),
-        mip_rect=jnp.asarray(pack_mip_rect(atlas.mip_x, atlas.mip_y, atlas.mip_w, atlas.mip_h)),
+        quad_img=jnp.asarray(quad_img),
+        brdf_rect0=jnp.asarray(rect0[0].astype(np.float32)),
         env_quad=jnp.full((8, 128, 16), 0.1, jnp.float32),
-        env_rect=jnp.tile(jnp.asarray([[0, 0, 1, 1]], jnp.int32), (6 * 14, 1)),
-        brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
-        tri_attr=jnp.asarray(tri_attr),
+        env_rect0=jnp.zeros((6, 4), jnp.float32).at[:, 2:].set(1.0),
+        tri_geo=jnp.asarray(tri_geo),
+        tri_mrec=jnp.asarray(tri_mrec),
     ), data
 
 

@@ -155,3 +155,70 @@ def build_quad_atlas(texture_mips: list[list[np.ndarray]], wrap: bool = True) ->
             quads.append(np.concatenate([img, xp, yp, xyp], axis=-1))
         quad_mips.append(quads)
     return build_atlas(quad_mips)
+
+
+def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
+    """Quad atlas with an *arithmetic* mip layout: each texture's mips sit in
+    one row, mip L at x-offset 2*(w0 - (w0 >> L)) from the texture origin.
+    A sampler can compute any mip rectangle from just (x0, y0, w0, h0) --
+    no per-pixel mip-table gathers (small-table gathers are pathologically
+    slow on TPU).
+
+    Requires power-of-two texture sizes (all reference assets comply);
+    non-pow2 inputs are padded up with wrapped content so WRAP sampling
+    stays correct at the original frequency... they are instead rejected
+    with an assert for now.
+
+    wrap may be a bool or a per-texture list of bools (WRAP vs CLAMP quads).
+
+    Returns (data (H, W, 16) f32, rect0 (n_tex, 4) i32 = (x0, y0, w0, h0)).
+    """
+    n = len(texture_mips)
+    rect0 = np.zeros((n, 4), np.int32)
+    if n == 0:
+        return np.zeros((8, 128, 16), np.float32), rect0
+    wraps = [wrap] * n if isinstance(wrap, bool) else list(wrap)
+
+    rows = []
+    for t, chain in enumerate(texture_mips):
+        h0, w0 = chain[0].shape[:2]
+        assert (w0 & (w0 - 1)) == 0 and (h0 & (h0 - 1)) == 0, (
+            f"pyramid atlas requires power-of-two textures, got {w0}x{h0}"
+        )
+        rows.append((h0, 2 * w0, t))
+    rows.sort(key=lambda r: (-r[0], -r[1]))
+
+    width = max(128, 1 << int(np.ceil(np.log2(max(r[1] for r in rows)))))
+    total_area = sum(r[0] * r[1] for r in rows)
+    while width * width < total_area * 1.3 and width < 16384:
+        width *= 2
+
+    packer = _ShelfPacker(width)
+    places = {}
+    for h, w, t in rows:
+        places[t] = packer.place(w, h)
+    height = _round_up(max(packer.height, 8), 8)
+    data = np.zeros((height, width, 16), np.float32)
+
+    for t, chain in enumerate(texture_mips):
+        x0, y0 = places[t]
+        h0, w0 = chain[0].shape[:2]
+        rect0[t] = (x0, y0, w0, h0)
+        for lv, img in enumerate(chain):
+            if wraps[t]:
+                xp = np.roll(img, -1, axis=1)
+                yp = np.roll(img, -1, axis=0)
+                xyp = np.roll(xp, -1, axis=0)
+            else:
+                xp = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+                yp = np.concatenate([img[1:], img[-1:]], axis=0)
+                xyp = np.concatenate([xp[1:], xp[-1:]], axis=0)
+            quad = np.concatenate([img, xp, yp, xyp], axis=-1)
+            xl = x0 + 2 * (w0 - (w0 >> lv)) if lv > 0 else x0
+            h, w = img.shape[:2]
+            data[y0 : y0 + h, xl : xl + w] = quad
+    log_info(
+        f"pyramid quad atlas: {n} textures into {width}x{height} "
+        f"({data.nbytes / 1e6:.1f} MB f32)"
+    )
+    return data, rect0
