@@ -44,6 +44,7 @@ def deferred_frame(
     params: FrameParams,
     state: FrameState,
     settings: RenderSettings,
+    shadow_map: jnp.ndarray | None = None,
 ) -> tuple[dict, FrameState]:
     width, height = settings.width, settings.height
     layout, _total = hzb_layout(width // 2, height // 2)
@@ -67,12 +68,16 @@ def deferred_frame(
             )
             model_visible = model_visible & ~(occluded & state.hzb_valid)
 
-    # --- 2. shadow map
+    # --- 2. shadow map.  Casters are NOT camera-frustum culled (an object
+    # behind the camera still casts; the reference culls against the light
+    # frustum instead).  The host may pass a cached map (static light+scene).
     opaque_mask, masked_mask = common.tri_draw_masks(scene, model_visible)
     if settings.enable_shadows:
-        shadow_map = common.raster_shadow(
-            scene, params.light_view_proj, opaque_mask | masked_mask, settings
-        )
+        if shadow_map is None:
+            cast_o, cast_m = common.tri_draw_masks(scene, params.model_visible)
+            shadow_map = common.raster_shadow(
+                scene, params.light_view_proj, cast_o | cast_m, settings
+            )
         shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
         shadow9 = None

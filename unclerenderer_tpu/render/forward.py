@@ -24,7 +24,10 @@ from .params import DeviceScene, FrameParams, RenderSettings
 
 
 def forward_frame(
-    scene: DeviceScene, params: FrameParams, settings: RenderSettings
+    scene: DeviceScene,
+    params: FrameParams,
+    settings: RenderSettings,
+    shadow_map: jnp.ndarray | None = None,
 ) -> dict:
     """Render one forward frame.  Returns dict with 'color' (H, W, 3) linear
     [0,1]-clamped, 'depth', 'tri_id', 'object_id'."""
@@ -40,10 +43,10 @@ def forward_frame(
         )
 
     if settings.enable_shadows:
-        shadow_mask = opaque_mask | masked_mask
-        shadow_map = common.raster_shadow(
-            scene, params.light_view_proj, shadow_mask, settings
-        )
+        if shadow_map is None:
+            shadow_map = common.raster_shadow(
+                scene, params.light_view_proj, opaque_mask | masked_mask, settings
+            )
         shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
         shadow9 = None

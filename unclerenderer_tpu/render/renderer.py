@@ -256,6 +256,9 @@ class Renderer:
         self._deferred_fn = jax.jit(deferred_frame, static_argnames=("settings",))
         self._taa_history_ready = False
         self._frame_counter = 0
+        self._shadow_cache = None
+        self._shadow_key = None
+        self._shadow_fn = None
 
     def frame_params(self, delta_time: float = 1.0 / 60.0) -> FrameParams:
         view = self.camera.view_matrix()
@@ -305,16 +308,46 @@ class Renderer:
             delta_time=jnp.float32(delta_time),
         )
 
+    def _shadow_map(self, params) -> "jnp.ndarray | None":
+        """Cached shadow map: geometry and light are static scene-side, so
+        the map only re-renders when the light or visibility changes (the
+        reference re-renders every frame; caching is free perf here)."""
+        if not self.settings.enable_shadows:
+            return None
+        key = (
+            tuple(np.asarray(params.light_dir).tolist()),
+            tuple(np.asarray(self.scene_data.visible_mask).tolist()),
+        )
+        if self._shadow_cache is None or key != self._shadow_key:
+            from . import common
+
+            if self._shadow_fn is None:
+                def shadow_fn(scene, light_vp, mask):
+                    from .common import raster_shadow
+
+                    return raster_shadow(scene, light_vp, mask, self.settings)
+
+                self._shadow_fn = jax.jit(shadow_fn)
+            opaque, masked = common.tri_draw_masks(
+                self.device_scene, jnp.asarray(self.scene_data.visible_mask)
+            )
+            self._shadow_cache = self._shadow_fn(
+                self.device_scene, params.light_view_proj, opaque | masked
+            )
+            self._shadow_key = key
+        return self._shadow_cache
+
     def render_frame(self, delta_time: float = 1.0 / 60.0) -> dict:
         params = self.frame_params(delta_time)
+        shadow_map = self._shadow_map(params)
         if self.settings.renderer_type == "deferred":
             out, self.frame_state = self._deferred_fn(
-                self.device_scene, params, self.frame_state, self.settings
+                self.device_scene, params, self.frame_state, self.settings, shadow_map
             )
             if self.settings.enable_taa:
                 self._taa_history_ready = True
         else:
-            out = self._forward_fn(self.device_scene, params, self.settings)
+            out = self._forward_fn(self.device_scene, params, self.settings, shadow_map)
         self._frame_counter += 1
         return out
 
