@@ -101,6 +101,7 @@ def ibl_ambient(
     brdf_lut_sample_fn,
     env_mip_count,
     roughness,
+    env_sample_level_fn=None,
 ):
     """Split-sum IBL (``DeferredLighting.hlsl:76-91`` / ``ForwardPS.hlsl:125-137``):
     prefiltered env cube at mip = roughness * (mips-1) for specular, last mip
@@ -117,6 +118,13 @@ def ibl_ambient(
     brdf = brdf_lut_sample_fn(jnp.stack([n_dot_v, roughness], axis=-1))
     specular_ibl = prefiltered * (f0 * brdf[..., 0:1] + brdf[..., 1:2])
 
-    irradiance = env_sample_fn(n_world, jnp.broadcast_to(max_mip, roughness.shape))
+    # the reference samples the last mip at an exact integer level
+    # (DeferredLighting.hlsl:90): one bilinear tap, no mip blend needed.
+    if env_sample_level_fn is not None:
+        irradiance = env_sample_level_fn(
+            n_world, jnp.broadcast_to(max_mip, roughness.shape).astype(jnp.int32)
+        )
+    else:
+        irradiance = env_sample_fn(n_world, jnp.broadcast_to(max_mip, roughness.shape))
     diffuse_ibl = irradiance * albedo * (1.0 - metallic[..., None])
     return diffuse_ibl + specular_ibl

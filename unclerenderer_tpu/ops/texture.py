@@ -426,3 +426,19 @@ def sample_cube_pyramid(
     a = sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, l0, ADDRESS_CLAMP)
     b = sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, l0 + 1, ADDRESS_CLAMP)
     return a * (1.0 - frac) + b * frac
+
+
+def sample_cube_pyramid_level(
+    env_quad_flat: jnp.ndarray,
+    atlas_width: int,
+    face_rect0,
+    direction: jnp.ndarray,
+    level: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-tap cube sample at an integer mip (the reference's
+    SampleLevel(maxMip) irradiance fetch)."""
+    face, uv = cube_direction_to_face_uv(direction)
+    rect = jnp.zeros(face.shape + (4,), jnp.float32)
+    for f in range(6):
+        rect = jnp.where((face == f)[..., None], face_rect0[f].astype(jnp.float32), rect)
+    return sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, level, ADDRESS_CLAMP)

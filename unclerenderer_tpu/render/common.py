@@ -407,6 +407,9 @@ def resolve_materials(
             same_x,
             same_y,
         )
+        if settings.texture_filter == "bilinear":
+            level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)
+            return tex.sample_pyramid_bilinear(quad_flat, atlas_width, rect0, suv, level)
         return tex.sample_pyramid_trilinear(quad_flat, atlas_width, rect0, suv, lod)
 
     albedo = M(PK.M_BCF, 3) * v_color[..., :3]

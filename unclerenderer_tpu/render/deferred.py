@@ -138,6 +138,11 @@ def deferred_frame(
                 env_flat, env_w, scene.env_rect0, direction, lod
             )[..., :3]
 
+        def env_sample_level(direction, level):
+            return tex.sample_cube_pyramid_level(
+                env_flat, env_w, scene.env_rect0, direction, level
+            )[..., :3]
+
         quad_flat = scene.quad_img.reshape(-1, 16)
         aw = scene.quad_img.shape[1]
 
@@ -153,6 +158,7 @@ def deferred_frame(
         ambient = pbr.ibl_ambient(
             g["albedo"], g["metallic"], f0, n_world, v_world,
             env_sample, brdf_sample, params.env_mip_count, g["roughness"],
+            env_sample_level_fn=env_sample_level,
         )
     else:
         ambient = jnp.zeros_like(direct)

@@ -88,6 +88,11 @@ def forward_frame(
                 env_flat, env_w, scene.env_rect0, direction, lod
             )[..., :3]
 
+        def env_sample_level(direction, level):
+            return tex.sample_cube_pyramid_level(
+                env_flat, env_w, scene.env_rect0, direction, level
+            )[..., :3]
+
         quad_flat = scene.quad_img.reshape(-1, 16)
         aw = scene.quad_img.shape[1]
 
@@ -108,6 +113,7 @@ def forward_frame(
             brdf_sample,
             params.env_mip_count,
             g["roughness"],
+            env_sample_level_fn=env_sample_level,
         )
     else:
         ambient = jnp.zeros_like(direct)
