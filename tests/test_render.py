@@ -199,3 +199,27 @@ def test_pica_pica_small_render(reference_assets):
     vis = np.asarray(out["model_visible"])
     # culling keeps a subset (some of the 170 models are off-screen)
     assert 0 < vis.sum() < 170
+
+
+def test_reload_scene_and_overlay(reference_assets):
+    s = RenderSettings(renderer_type="forward", enable_ibl=False, enable_sky=False,
+                       enable_shadows=False, **SMALL)
+    r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
+    r.render_frame()
+    fut = r.reload_scene(reference_assets / "Scenes" / "Duck.json")
+    fut.result(timeout=60)
+    assert r.poll_reload()
+    assert r.scene_data.num_triangles > 4000  # duck, not box
+    out = r.render_frame()
+    assert (np.asarray(out["tri_id"]) >= 0).sum() > 50
+    img = r.render_overlay_u8()
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+
+def test_debug_text_overlay():
+    from unclerenderer_tpu.core.debugprint import draw_text
+
+    img = np.zeros((64, 128, 3), np.float32)
+    draw_text(img, 2, 2, "CULLED: 42/170")
+    assert img.max() > 0.5  # glyphs drawn
+    assert (img > 0.5).sum() > 50

@@ -435,3 +435,73 @@ class Renderer:
         )
         self._frame_counter = int(data["frame_counter"])
         self._taa_history_ready = bool(data["taa_valid"])
+
+    def reload_scene(self, scene_path, background: bool = True):
+        """Async scene reload (the reference's StartAsyncSceneReload,
+        ``Application.cpp:1011-1135``): builds the new scene + atlases on the
+        task pool, then swaps on the next render_frame() call."""
+        from ..core.tasks import schedule_task
+
+        scene_path = Path(scene_path)
+
+        def build():
+            data = build_scene(scene_path, self.assets_root)
+            if data is None:
+                raise ValueError(f"failed to load scene {scene_path}")
+            dev, mips = _build_device_scene(data, self.assets_root)
+            return scene_path, data, dev, mips
+
+        if not background:
+            self._apply_reload(build())
+            return None
+        future = schedule_task(build)
+        self._pending_reload = future
+        return future
+
+    def _apply_reload(self, built) -> None:
+        scene_path, data, dev, mips = built
+        self.scene_data = data
+        self.device_scene = dev
+        self.env_mip_count = mips
+        self.frame_state = FrameState.initial(self.settings.width, self.settings.height)
+        self._taa_history_ready = False
+        self._shadow_cache = None
+        self._shadow_key = None
+        _models, light, camera_desc = load_scene_json(scene_path)
+        if light is not None:
+            self.light = light
+        if camera_desc is not None:
+            self.camera.position = camera_desc.position
+            if camera_desc.look_at is not None:
+                self.camera.set_look_at(camera_desc.look_at)
+            elif camera_desc.rotation_euler is not None:
+                self.camera.set_rotation_euler_degrees(camera_desc.rotation_euler)
+        log_info(f"scene reloaded: {scene_path}")
+
+    def poll_reload(self) -> bool:
+        """Swap in a finished background reload (call per frame like the
+        reference's CompleteAsyncSceneReload poll).  True once swapped."""
+        future = getattr(self, "_pending_reload", None)
+        if future is None or not future.done():
+            return False
+        self._pending_reload = None
+        self._apply_reload(future.result())
+        return True
+
+    def render_overlay_u8(self, delta_time: float = 1.0 / 60.0):
+        """Render with the debug stats overlay composited (the reference's
+        GPU debug print block)."""
+        from ..core.debugprint import stats_overlay
+
+        out = self.render_frame(delta_time)
+        color = np.asarray(out["color"])
+        visible = int(np.asarray(out.get("model_visible", np.ones(1))).sum())
+        stats = {
+            "models_total": self.scene_data.num_models,
+            "models_visible": visible,
+            "models_culled": self.scene_data.num_models - visible,
+            "triangles_total": self.scene_data.num_triangles,
+            "exposure_ev": float(self.frame_state.exposure_ev),
+        }
+        img = stats_overlay(np.clip(color, 0, 1), stats)
+        return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
