@@ -54,7 +54,10 @@ def bin_triangles(
     chunk: int,
     max_span: int = 2,
     budget_factor: float = 3.0,
+    tri_ids: jnp.ndarray | None = None,
 ) -> BinnedTriangles:
+    """tri_ids (optional) maps local rows of a compacted setup back to
+    global triangle ids for the output id buffers."""
     n_tx = -(-width // tile_w)
     n_ty = -(-height // tile_h)
     n_tiles = n_tx * n_ty
@@ -117,6 +120,9 @@ def bin_triangles(
     pair_src = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
     blocks_tid = jnp.where(slot_valid, sorted_tri[pair_src], 0)
     blocks_valid = slot_valid.astype(jnp.float32)
+    out_tid = blocks_tid if tri_ids is None else jnp.where(
+        slot_valid, tri_ids[blocks_tid], 0
+    )
     overflow = jnp.maximum(
         starts[n_tiles] - jnp.sum(blocks_valid).astype(jnp.int32), 0
     )
@@ -127,7 +133,7 @@ def bin_triangles(
 
     return BinnedTriangles(
         coef=coef,
-        tri_id=blocks_tid[:, None, :],
+        tri_id=out_tid[:, None, :],
         valid=blocks_valid[:, None, :],
         blk_tile=blk_tile,
         blk_first=blk_first,

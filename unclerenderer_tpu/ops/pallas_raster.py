@@ -370,11 +370,25 @@ def rasterize_binned(
         bins, width, height, tile_h, tile_w, chunk, y_offset
     )
 
-    # Medium triangles: second binning level with coarse tiles.
-    mid_setup = RasterSetup(coef=setup.coef, valid=bins.big_mask, bbox=setup.bbox)
+    t_count = setup.coef.shape[0]
+
+    def compact(mask, cap):
+        # indices of True entries first (argsort of booleans), fixed cap
+        order = jnp.argsort(~mask)
+        idx = order[:cap]
+        return idx, mask[idx]
+
+    # Medium triangles: second binning level with coarse tiles, over a
+    # COMPACTED list (the full-T grid would spend more time skipping empty
+    # chunks than rasterizing).
+    cap_mid = min(t_count, max(big_chunk, -(-(t_count // 2) // big_chunk) * big_chunk))
+    mid_idx, mid_valid = compact(bins.big_mask, cap_mid)
+    mid_setup = RasterSetup(
+        coef=setup.coef[mid_idx], valid=mid_valid, bbox=setup.bbox[:, mid_idx]
+    )
     mid_bins = bin_triangles(
         mid_setup, width, height, big_tile_h, big_tile_w, big_chunk,
-        max_span=4, budget_factor=2.0,
+        max_span=4, budget_factor=2.0, tri_ids=mid_idx,
     )
     mid_key, mid_id = _run_binned_kernel(
         mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset
@@ -383,14 +397,28 @@ def rasterize_binned(
     key_img = jnp.where(take_mid, mid_key, key_img)
     id_img = jnp.where(take_mid, mid_id, id_img)
 
-    # Remaining giant triangles (walls/floors): brute-force, few by now.
-    # setup.coef already carries the flipped key when depth_mode is MIN, so
-    # run the brute-force pass in MAX mode and merge in key space.
-    giant_setup = RasterSetup(coef=setup.coef, valid=mid_bins.big_mask, bbox=setup.bbox)
-    big_depth, big_id = rasterize_pallas(
+    # overflow of the mid compaction joins the giant list
+    mid_overflow = bins.big_mask & (
+        jnp.zeros(t_count, bool).at[mid_idx].set(True) == False  # noqa: E712
+    )
+
+    # Remaining giant triangles (walls/floors): brute-force over a small
+    # compacted list; ids remap through the compaction index afterwards.
+    giant_global = (
+        jnp.zeros(t_count, bool).at[mid_idx].set(mid_bins.big_mask) | mid_overflow
+    )
+    cap_g = min(t_count, max(big_chunk, -(-(t_count // 8) // big_chunk) * big_chunk))
+    g_idx, g_valid = compact(giant_global, cap_g)
+    giant_setup = RasterSetup(
+        coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
+    )
+    big_depth, big_id_local = rasterize_pallas(
         giant_setup, width, height,
         tile_h=big_tile_h, tile_w=big_tile_w, chunk=big_chunk,
         y_offset=y_offset,
+    )
+    big_id = jnp.where(
+        big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
     )
     big_key = jnp.where(big_id >= 0, big_depth, -1.0)
 
