@@ -99,26 +99,28 @@ def profile_deferred_passes(renderer, iterations: int = 3) -> PassTimingStats:
     model_visible = params.model_visible & visible
 
     opaque_mask, masked_mask = common.tri_draw_masks(scene, model_visible)
+    # NOTE: the scene is always an explicit jit argument -- closing over it
+    # would bake the 100s-of-MB atlas into the compile payload.
     if settings.enable_shadows:
         shadow_fn = jax.jit(
-            lambda m: common.raster_shadow(scene, params.light_view_proj, m, settings)
+            lambda sc, m: common.raster_shadow(sc, params.light_view_proj, m, settings)
         )
-        timed("ShadowMap", shadow_fn, opaque_mask | masked_mask)
+        timed("ShadowMap", shadow_fn, scene, opaque_mask | masked_mask)
 
     vert_fn = jax.jit(
-        lambda vp: common.vertex_stage(scene, vp, settings.width, settings.height)
+        lambda sc, vp: common.vertex_stage(sc, vp, settings.width, settings.height)
     )
-    clip, pix_h = timed("VertexStage", vert_fn, params.view_proj)
+    clip, pix_h = timed("VertexStage", vert_fn, scene, params.view_proj)
 
-    raster_fn = jax.jit(lambda c, p, m: common.raster_opaque(scene, c, p, m, settings))
-    depth, tri_id = timed("GBuffer(Visibility)", raster_fn, clip, pix_h, opaque_mask)
+    raster_fn = jax.jit(lambda sc, c, p, m: common.raster_opaque(sc, c, p, m, settings))
+    depth, tri_id = timed("GBuffer(Visibility)", raster_fn, scene, clip, pix_h, opaque_mask)
 
     if settings.enable_hzb:
         hzb_fn = jax.jit(lambda d: build_hzb(d, layout))
         timed("Build HZB", hzb_fn, depth)
 
-    resolve_fn = jax.jit(lambda p, t: common.resolve_materials(scene, p, t, settings))
-    g = timed("MaterialResolve", resolve_fn, pix_h, tri_id)
+    resolve_fn = jax.jit(lambda sc, p, t: common.resolve_materials(sc, p, t, settings))
+    g = timed("MaterialResolve", resolve_fn, scene, pix_h, tri_id)
 
     from ..ops import pbr
 

@@ -46,9 +46,11 @@ class RenderSettings:
     # which material slots (base, mr, normal, emissive) exist anywhere in the
     # scene; absent slots skip their texture taps entirely (static)
     slot_enabled: tuple = (True, True, True, True)
-    # "trilinear" (reference parity) or "bilinear" (nearest mip; halves the
-    # dominant texture-gather cost)
-    texture_filter: str = "trilinear"
+    # "bilinear" (nearest mip -- halves the dominant texture-gather cost) or
+    # "trilinear".  The reference uses anisotropic filtering, which neither
+    # matches exactly; bilinear is the speed default, trilinear the quality
+    # option (see ARCHITECTURE.md deviations).
+    texture_filter: str = "bilinear"
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     tile_h: int = 16
