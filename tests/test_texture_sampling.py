@@ -1,0 +1,93 @@
+"""Texture sampling ops: pyramid quad atlas vs direct numpy filtering."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from unclerenderer_tpu.ops import texture as tex
+from unclerenderer_tpu.textures.atlas import build_pyramid_quad_atlas
+from unclerenderer_tpu.textures.image import generate_mips
+
+
+def _bilinear_wrap(img, u, v):
+    h, w = img.shape[:2]
+    tx, ty = u * w - 0.5, v * h - 0.5
+    x0, y0 = int(np.floor(tx)), int(np.floor(ty))
+    fx, fy = tx - x0, ty - y0
+    def t(x, y):
+        return img[y % h, x % w]
+    top = t(x0, y0) * (1 - fx) + t(x0 + 1, y0) * fx
+    bot = t(x0, y0 + 1) * (1 - fx) + t(x0 + 1, y0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def test_pyramid_bilinear_matches_numpy():
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 64, 4)).astype(np.float32)
+    mips = generate_mips(img)
+    data, rect0 = build_pyramid_quad_atlas([mips])
+    flat = jnp.asarray(data.reshape(-1, 16))
+    aw = data.shape[1]
+    r0 = jnp.asarray(np.broadcast_to(rect0[0].astype(np.float32), (8, 4)))
+    uvs = rng.random((8, 2)).astype(np.float32)
+    for level, ref_img in [(0, mips[0]), (1, mips[1]), (2, mips[2])]:
+        out = np.asarray(
+            tex.sample_pyramid_bilinear(
+                flat, aw, r0, jnp.asarray(uvs), jnp.full(8, level, jnp.int32)
+            )
+        )
+        for i, (u, v) in enumerate(uvs):
+            np.testing.assert_allclose(
+                out[i], _bilinear_wrap(ref_img, u, v), atol=1e-5
+            )
+
+
+def test_pyramid_level_clamps_to_chain_end():
+    img = np.full((16, 16, 4), 0.0, np.float32)
+    img[:8] = 1.0  # mean 0.5 at the 1x1 tail
+    mips = generate_mips(img)
+    data, rect0 = build_pyramid_quad_atlas([mips])
+    flat = jnp.asarray(data.reshape(-1, 16))
+    r0 = jnp.asarray(rect0[0].astype(np.float32))[None, :]
+    out = np.asarray(
+        tex.sample_pyramid_bilinear(
+            flat, data.shape[1], r0,
+            jnp.asarray([[0.3, 0.7]], jnp.float32), jnp.asarray([13], jnp.int32),
+        )
+    )
+    np.testing.assert_allclose(out[0], 0.5, atol=1e-6)
+
+
+def test_pyramid_trilinear_blends():
+    img = np.zeros((8, 8, 4), np.float32)  # mip0 = 0
+    mips = generate_mips(img)
+    mips[1] = np.ones_like(mips[1])  # mip1 = 1 (synthetic)
+    data, rect0 = build_pyramid_quad_atlas([mips])
+    flat = jnp.asarray(data.reshape(-1, 16))
+    r0 = jnp.asarray(rect0[0].astype(np.float32))[None, :]
+    out = np.asarray(
+        tex.sample_pyramid_trilinear(
+            flat, data.shape[1], r0,
+            jnp.asarray([[0.5, 0.5]], jnp.float32), jnp.asarray([0.25], jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(out[0], 0.25, atol=1e-5)
+
+
+def test_cube_pyramid_face_selection():
+    # six faces with distinct constant colors
+    chains = []
+    for f in range(6):
+        img = np.full((4, 4, 4), (f + 1) / 6.0, np.float32)
+        chains.append(generate_mips(img))
+    data, rect0 = build_pyramid_quad_atlas(chains, wrap=False)
+    flat = jnp.asarray(data.reshape(-1, 16))
+    r0 = jnp.asarray(rect0.astype(np.float32))
+    dirs = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.float32,
+    )
+    out = np.asarray(
+        tex.sample_cube_pyramid(flat, data.shape[1], r0, dirs, jnp.zeros(6, jnp.float32))
+    )
+    np.testing.assert_allclose(out[:, 0], (np.arange(6) + 1) / 6.0, atol=1e-5)
