@@ -2,6 +2,7 @@ from .raster import (
     RasterSetup,
     viewport_homogeneous,
     triangle_setup,
+    triangle_setup_expanded,
     rasterize,
     CULL_NONE,
     CULL_BACK,
@@ -9,4 +10,3 @@ from .raster import (
     DEPTH_MAX,
     DEPTH_MIN,
 )
-from .interpolate import barycentrics, interpolate, interpolate_many

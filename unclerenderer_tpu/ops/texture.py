@@ -25,84 +25,6 @@ def _wrap_index(i: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
     return jnp.clip(i, 0, size - 1)
 
 
-def sample_atlas_bilinear(
-    atlas_flat: jnp.ndarray,
-    atlas_width: int,
-    mip_x: jnp.ndarray,
-    mip_y: jnp.ndarray,
-    mip_w: jnp.ndarray,
-    mip_h: jnp.ndarray,
-    tex_id: jnp.ndarray,
-    uv: jnp.ndarray,
-    level: jnp.ndarray,
-    address_mode: int = ADDRESS_WRAP,
-) -> jnp.ndarray:
-    """One bilinear tap at an integer mip level.
-
-    atlas_flat: (AH*AW, 4) f32.  mip_*: (n_tex, MAX_MIPS) i32 tables.
-    tex_id: (...,) i32; uv: (..., 2) f32; level: (...,) i32.
-    Returns (..., 4) f32.
-    """
-    max_mips = mip_x.shape[1]
-    level = jnp.clip(level, 0, max_mips - 1)
-    rx = mip_x[tex_id, level].astype(jnp.float32)
-    ry = mip_y[tex_id, level].astype(jnp.float32)
-    rw = mip_w[tex_id, level]
-    rh = mip_h[tex_id, level]
-
-    tx = uv[..., 0] * rw.astype(jnp.float32) - 0.5
-    ty = uv[..., 1] * rh.astype(jnp.float32) - 0.5
-    x0 = jnp.floor(tx)
-    y0 = jnp.floor(ty)
-    fx = (tx - x0)[..., None]
-    fy = (ty - y0)[..., None]
-
-    ix0 = _wrap_index(x0.astype(jnp.int32), rw, address_mode)
-    ix1 = _wrap_index(x0.astype(jnp.int32) + 1, rw, address_mode)
-    iy0 = _wrap_index(y0.astype(jnp.int32), rh, address_mode)
-    iy1 = _wrap_index(y0.astype(jnp.int32) + 1, rh, address_mode)
-
-    bx = rx.astype(jnp.int32)
-    by = ry.astype(jnp.int32)
-
-    def tap(ix, iy):
-        flat = (by + iy) * atlas_width + (bx + ix)
-        return jnp.take(atlas_flat, flat, axis=0)
-
-    t00 = tap(ix0, iy0)
-    t10 = tap(ix1, iy0)
-    t01 = tap(ix0, iy1)
-    t11 = tap(ix1, iy1)
-    top = t00 * (1.0 - fx) + t10 * fx
-    bot = t01 * (1.0 - fx) + t11 * fx
-    return top * (1.0 - fy) + bot * fy
-
-
-def sample_atlas_trilinear(
-    atlas_flat: jnp.ndarray,
-    atlas_width: int,
-    mip_x: jnp.ndarray,
-    mip_y: jnp.ndarray,
-    mip_w: jnp.ndarray,
-    mip_h: jnp.ndarray,
-    tex_id: jnp.ndarray,
-    uv: jnp.ndarray,
-    lod: jnp.ndarray,
-    address_mode: int = ADDRESS_WRAP,
-) -> jnp.ndarray:
-    """Trilinear: blend two bilinear taps around fractional LOD."""
-    lod = jnp.maximum(lod, 0.0)
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
-    a = sample_atlas_bilinear(
-        atlas_flat, atlas_width, mip_x, mip_y, mip_w, mip_h, tex_id, uv, l0, address_mode
-    )
-    b = sample_atlas_bilinear(
-        atlas_flat, atlas_width, mip_x, mip_y, mip_w, mip_h, tex_id, uv, l0 + 1, address_mode
-    )
-    return a * (1.0 - frac) + b * frac
-
-
 def uv_screen_lod(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
                   same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel LOD from screen-space UV derivatives.
@@ -175,53 +97,6 @@ def cube_direction_to_face_uv(direction: jnp.ndarray):
     return face, uv
 
 
-def sample_cube(
-    atlas_flat: jnp.ndarray,
-    atlas_width: int,
-    face_mip_x: jnp.ndarray,
-    face_mip_y: jnp.ndarray,
-    face_mip_size: jnp.ndarray,
-    direction: jnp.ndarray,
-    lod: jnp.ndarray,
-) -> jnp.ndarray:
-    """Sample a cubemap packed as 6 mip chains in the atlas.
-
-    face_mip_x/y/size: (6, MAX_MIPS) i32.  direction: (..., 3).  lod: (...,).
-    Per-face bilinear with edge clamp (no seamless filtering; visually close
-    to the reference at the mips IBL uses).
-    """
-    face, uv = cube_direction_to_face_uv(direction)
-    max_mips = face_mip_x.shape[1]
-    lod = jnp.clip(lod, 0.0, float(max_mips - 1))
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
-
-    def tap(level):
-        sz = face_mip_size[face, level]
-        rx = face_mip_x[face, level]
-        ry = face_mip_y[face, level]
-        t = uv * sz.astype(jnp.float32)[..., None] - 0.5
-        t0 = jnp.floor(t)
-        f = t - t0
-        i0 = jnp.clip(t0.astype(jnp.int32), 0, (sz - 1)[..., None])
-        i1 = jnp.clip(t0.astype(jnp.int32) + 1, 0, (sz - 1)[..., None])
-
-        def g(ix, iy):
-            flat = (ry + iy) * atlas_width + (rx + ix)
-            return jnp.take(atlas_flat, flat, axis=0)
-
-        t00 = g(i0[..., 0], i0[..., 1])
-        t10 = g(i1[..., 0], i0[..., 1])
-        t01 = g(i0[..., 0], i1[..., 1])
-        t11 = g(i1[..., 0], i1[..., 1])
-        fx = f[..., 0:1]
-        fy = f[..., 1:2]
-        return (t00 * (1 - fx) + t10 * fx) * (1 - fy) + (t01 * (1 - fx) + t11 * fx) * fy
-
-    a = tap(l0)
-    b = tap(jnp.minimum(l0 + 1, max_mips - 1))
-    return a * (1.0 - frac) + b * frac
-
 
 # ---------------------------------------------------------------------------
 # Quad-tap sampling: one gather per bilinear tap.
@@ -237,125 +112,18 @@ def sample_cube(
 _MIP_RECT_LEVELS = 14
 
 
-def sample_quad_bilinear(
-    quad_flat: jnp.ndarray,
-    atlas_width: int,
-    mip_rect: jnp.ndarray,
-    tex_id: jnp.ndarray,
-    uv: jnp.ndarray,
-    level: jnp.ndarray,
-    address_mode: int = ADDRESS_WRAP,
-) -> jnp.ndarray:
-    """One bilinear tap with a single 16-channel quad gather.
-
-    quad_flat: (AH*AW, 16) quad atlas.  mip_rect: (n_tex * MAX_MIPS, 4) i32
-    packed (x, y, w, h) rows.  tex_id/level/uv per pixel.
-    """
-    # rect lookup: one small-table row gather
-    rect = jnp.take(mip_rect, tex_id * _MIP_RECT_LEVELS + level, axis=0)
-    rx = rect[..., 0]
-    ry = rect[..., 1]
-    rw = rect[..., 2]
-    rh = rect[..., 3]
-
-    tx = uv[..., 0] * rw.astype(jnp.float32) - 0.5
-    ty = uv[..., 1] * rh.astype(jnp.float32) - 0.5
-    x0 = jnp.floor(tx)
-    y0 = jnp.floor(ty)
-    fx = (tx - x0)[..., None]
-    fy = (ty - y0)[..., None]
-    ix = _wrap_index(x0.astype(jnp.int32), rw, address_mode)
-    iy = _wrap_index(y0.astype(jnp.int32), rh, address_mode)
-
-    flat = (ry + iy) * atlas_width + (rx + ix)
-    quad = jnp.take(quad_flat, flat, axis=0)  # (..., 16)
-    t00 = quad[..., 0:4]
-    t10 = quad[..., 4:8]
-    t01 = quad[..., 8:12]
-    t11 = quad[..., 12:16]
-    top = t00 * (1.0 - fx) + t10 * fx
-    bot = t01 * (1.0 - fx) + t11 * fx
-    return top * (1.0 - fy) + bot * fy
-
-
-def pack_mip_rect(mip_x, mip_y, mip_w, mip_h):
-    """(n_tex, MAX_MIPS) tables -> one (n_tex*MAX_MIPS, 4) i32 record so the
-    per-pixel rect lookup is a single row gather."""
-    import numpy as np
-
-    n_tex, levels = np.asarray(mip_x).shape
-    assert levels == _MIP_RECT_LEVELS, "MAX_MIPS mismatch"
-    rec = np.stack(
-        [np.asarray(mip_x), np.asarray(mip_y), np.asarray(mip_w), np.asarray(mip_h)],
-        axis=-1,
-    ).reshape(n_tex * levels, 4)
-    return rec.astype(np.int32)
-
-
-def sample_quad_trilinear(
-    quad_flat: jnp.ndarray,
-    atlas_width: int,
-    mip_rect: jnp.ndarray,
-    tex_id: jnp.ndarray,
-    uv: jnp.ndarray,
-    lod: jnp.ndarray,
-    address_mode: int = ADDRESS_WRAP,
-) -> jnp.ndarray:
-    lod = jnp.maximum(lod, 0.0)
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    l0 = jnp.clip(l0, 0, _MIP_RECT_LEVELS - 1)
-    l1 = jnp.clip(l0 + 1, 0, _MIP_RECT_LEVELS - 1)
-    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
-    a = sample_quad_bilinear(quad_flat, atlas_width, mip_rect, tex_id, uv, l0, address_mode)
-    b = sample_quad_bilinear(quad_flat, atlas_width, mip_rect, tex_id, uv, l1, address_mode)
-    return a * (1.0 - frac) + b * frac
-
-
-def sample_cube_quad(
-    env_quad_flat: jnp.ndarray,
-    atlas_width: int,
-    env_rect: jnp.ndarray,
-    direction: jnp.ndarray,
-    lod: jnp.ndarray,
-) -> jnp.ndarray:
-    """Cubemap sample via the quad atlas: one quad gather + one rect lookup
-    per mip level (trilinear = 2).  env_rect: (6*MAX_MIPS, 4) i32; quads are
-    built with edge-clamp (per-face, no seam filtering)."""
-    face, uv = cube_direction_to_face_uv(direction)
-    lod = jnp.clip(lod, 0.0, float(_MIP_RECT_LEVELS - 1))
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.clip(l0 + 1, 0, _MIP_RECT_LEVELS - 1)
-    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
-
-    def tap(level):
-        return sample_quad_bilinear(
-            env_quad_flat, atlas_width, env_rect, face, uv, level, ADDRESS_CLAMP
-        )
-
-    a = tap(l0)
-    b = tap(l1)
-    return a * (1.0 - frac) + b * frac
-
-
-# ---------------------------------------------------------------------------
-# Pyramid sampling: arithmetic mip layout (textures/atlas.py
-# build_pyramid_quad_atlas).  Mip L of a texture with base rect
-# (x0, y0, w0, h0) sits at x = x0 + 2*(w0 - (w0 >> L)) with size
-# (w0 >> L, h0 >> L) -- computable per pixel with shifts, so sampling needs
-# ZERO table gathers (small-table gathers are pathologically slow on TPU;
-# measured 146ms for 2M lookups in a 16KB table vs 19ms from 20MB).
-# ---------------------------------------------------------------------------
-
-
 def _pyramid_rect(rect0, level):
     """rect0: (..., 4) float (x0, y0, w0, h0); level: (...,) int32 ->
-    (x, y, w, h) of that mip, level clamped to the chain length."""
+    (x, y, w, h) of that mip, level clamped to the chain length.
+
+    Mip L of a pow2 texture sits at x-offset 2*(w0 - (w0 >> L)) in the
+    pyramid atlas row (textures/atlas.py build_pyramid_quad_atlas), so the
+    rect computes with shifts -- no per-pixel table lookups.
+    """
     x0 = rect0[..., 0].astype(jnp.int32)
     y0 = rect0[..., 1].astype(jnp.int32)
     w0 = rect0[..., 2].astype(jnp.int32)
     h0 = rect0[..., 3].astype(jnp.int32)
-    # max level = log2(max(w0, h0)); sizes are powers of two so float log2
-    # is exact after rounding.
     mx = jnp.maximum(w0, h0).astype(jnp.float32)
     lmax = jnp.round(jnp.log2(jnp.maximum(mx, 1.0))).astype(jnp.int32)
     lv = jnp.clip(level, 0, lmax)

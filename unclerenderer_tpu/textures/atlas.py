@@ -130,33 +130,6 @@ def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAt
     return atlas
 
 
-def build_quad_atlas(texture_mips: list[list[np.ndarray]], wrap: bool = True) -> TextureAtlas:
-    """Like build_atlas, but each texel stores its 2x2 bilinear footprint
-    (16 channels: RGBA of (y,x), (y,x+1), (y+1,x), (y+1,x+1)), with the +1
-    neighbors wrapped (or clamped) within the mip.
-
-    TPU gathers are latency-bound (~tens of ns per element regardless of
-    width), so fetching a whole bilinear footprint per gather cuts the
-    dominant cost of texture sampling by 4x for 4x memory.
-    """
-    quad_mips = []
-    for chain in texture_mips:
-        quads = []
-        for img in chain:
-            mode = "wrap" if wrap else "edge"
-            if mode == "wrap":
-                xp = np.roll(img, -1, axis=1)
-                yp = np.roll(img, -1, axis=0)
-                xyp = np.roll(xp, -1, axis=0)
-            else:
-                xp = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-                yp = np.concatenate([img[1:], img[-1:]], axis=0)
-                xyp = np.concatenate([xp[1:], xp[-1:]], axis=0)
-            quads.append(np.concatenate([img, xp, yp, xyp], axis=-1))
-        quad_mips.append(quads)
-    return build_atlas(quad_mips)
-
-
 def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
     """Quad atlas with an *arithmetic* mip layout: each texture's mips sit in
     one row, mip L at x-offset 2*(w0 - (w0 >> L)) from the texture origin.
