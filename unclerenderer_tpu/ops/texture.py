@@ -152,7 +152,7 @@ def sample_pyramid_bilinear(
     ix = _wrap_index(fx0.astype(jnp.int32), w, address_mode)
     iy = _wrap_index(fy0.astype(jnp.int32), h, address_mode)
     flat = (y + iy) * atlas_width + (x + ix)
-    quad = jnp.take(quad_flat, flat, axis=0)
+    quad = jnp.take(quad_flat, flat, axis=0).astype(jnp.float32)
     top = quad[..., 0:4] * (1.0 - fx) + quad[..., 4:8] * fx
     bot = quad[..., 8:12] * (1.0 - fx) + quad[..., 12:16] * fx
     return top * (1.0 - fy) + bot * fy

@@ -117,9 +117,10 @@ class DeviceScene:
     object_ids: jnp.ndarray = None         # (M,) u32
     bounds_min: jnp.ndarray = None         # (M, 3)
     bounds_max: jnp.ndarray = None         # (M, 3)
-    # material pyramid quad atlas ((AH, AW, 16): each texel's 2x2 bilinear
-    # footprint, arithmetic mip layout -- see textures/atlas.py). Also holds
-    # the BRDF LUT (clamp quads) at brdf_rect0.
+    # material pyramid quad atlas ((AH, AW, 16) bf16: each texel's 2x2
+    # bilinear footprint, arithmetic mip layout -- see textures/atlas.py);
+    # texel data is 8-bit sourced, so bf16 storage halves gather bytes at
+    # negligible precision cost. Also holds the BRDF LUT at brdf_rect0.
     quad_img: jnp.ndarray = None
     brdf_rect0: jnp.ndarray = None         # (4,) f32 (x0, y0, w0, h0)
     # environment cube pyramid quad atlas + per-face base rects

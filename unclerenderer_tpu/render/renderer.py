@@ -150,9 +150,9 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        quad_img=jnp.asarray(quad_img),
+        quad_img=jnp.asarray(quad_img, jnp.bfloat16),
         brdf_rect0=jnp.asarray(brdf_rect0),
-        env_quad=jnp.asarray(env_img),
+        env_quad=jnp.asarray(env_img, jnp.bfloat16),
         env_rect0=jnp.asarray(env_rect0.astype(np.float32)),
         tri_geo=jnp.asarray(tri_geo),
         tri_mrec=jnp.asarray(tri_mrec),
