@@ -223,3 +223,19 @@ def test_debug_text_overlay():
     draw_text(img, 2, 2, "CULLED: 42/170")
     assert img.max() > 0.5  # glyphs drawn
     assert (img > 0.5).sum() > 50
+
+
+def test_combined_material_atlas_equivalence(reference_assets):
+    """The fused 11-channel material atlas (one quad gather for all slots,
+    render/renderer.py COMBINED_C) must match per-slot taps bit-for-bit when
+    no resampling occurs (single-map scene)."""
+    imgs = {}
+    for mode in (True, False):
+        s = RenderSettings(
+            renderer_type="deferred", enable_combined_material=mode, **SMALL
+        )
+        r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
+        assert r.settings.combined_material is mode
+        assert r.device_scene.quad_img.shape[-1] == (64 if mode else 16)
+        imgs[mode] = np.asarray(r.render_frame()["color"])
+    np.testing.assert_allclose(imgs[True], imgs[False], atol=1e-5)

@@ -91,3 +91,42 @@ def test_cube_pyramid_face_selection():
         tex.sample_cube_pyramid(flat, data.shape[1], r0, dirs, jnp.zeros(6, jnp.float32))
     )
     np.testing.assert_allclose(out[:, 0], (np.arange(6) + 1) / 6.0, atol=1e-5)
+
+
+def test_table_matmul_matches_gather_bilinear():
+    """Hat-function matmul sampling (ops/texture.py sample_table_bilinear_matmul)
+    must match the quad-gather sampler exactly (CLAMP, mip 0)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from unclerenderer_tpu.ops import texture as tex
+    from unclerenderer_tpu.textures.atlas import build_pyramid_quad_atlas
+
+    rng = np.random.default_rng(7)
+    table = rng.random((16, 32, 4), np.float32)
+    quad, rect0 = build_pyramid_quad_atlas([[table]], wrap=False)
+    uv = jnp.asarray(rng.random((64, 2), np.float32))
+    ref = tex.sample_pyramid_bilinear(
+        jnp.asarray(quad).reshape(-1, 16), quad.shape[1],
+        jnp.asarray(rect0[0], jnp.float32), uv,
+        jnp.zeros((64,), jnp.int32), tex.ADDRESS_CLAMP,
+    )
+    got = tex.sample_table_bilinear_matmul(jnp.asarray(table), uv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_cube_tail_matmul_matches_gather():
+    import numpy as np
+    import jax.numpy as jnp
+    from unclerenderer_tpu.ops import texture as tex
+    from unclerenderer_tpu.textures.atlas import build_pyramid_quad_atlas
+
+    rng = np.random.default_rng(11)
+    tail = rng.random((6, 4, 4, 4), np.float32)
+    quad, rect0 = build_pyramid_quad_atlas([[tail[f]] for f in range(6)], wrap=False)
+    dirs = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+    ref = tex.sample_cube_pyramid_level(
+        jnp.asarray(quad).reshape(-1, 16), quad.shape[1],
+        jnp.asarray(rect0, jnp.float32), dirs, jnp.zeros((128,), jnp.int32),
+    )
+    got = tex.sample_cube_tail_matmul(jnp.asarray(tail), dirs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

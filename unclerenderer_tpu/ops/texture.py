@@ -101,11 +101,13 @@ def cube_direction_to_face_uv(direction: jnp.ndarray):
 # ---------------------------------------------------------------------------
 # Quad-tap sampling: one gather per bilinear tap.
 #
-# TPU gathers are latency-bound (tens of ns per element, nearly independent
-# of row width), so the quad atlas (textures/atlas.py build_quad_atlas)
-# stores each texel's full 2x2 bilinear footprint in one 16-channel row and
-# sampling fetches it with a single row gather.  Wrap for the +1 neighbors is
-# baked into the quads at build time.
+# The quad atlas (textures/atlas.py build_pyramid_quad_atlas) stores each
+# texel's full 2x2 bilinear footprint in one row and sampling fetches it with
+# a single row gather.  Wrap for the +1 neighbors is baked into the quads at
+# build time.  Measured TPU gather costs (2M rows, big table): row width
+# matters less than its shape -- bf16 64-wide ~ bf16 16-wide ~ half of f32
+# 16-wide, while NON-power-of-two widths (44, 48) are ~2.3x slower.  Keep
+# quad rows a power of two and in bf16.
 # ---------------------------------------------------------------------------
 
 
@@ -141,10 +143,22 @@ def sample_pyramid_bilinear(
     level: jnp.ndarray,
     address_mode: int = ADDRESS_WRAP,
 ) -> jnp.ndarray:
-    """One bilinear tap = one 16-channel quad gather; mip rect arithmetic."""
+    """One bilinear tap = one quad-record gather; mip rect arithmetic.
+
+    quad_flat is (H*W, 4*C): the 2x2 footprint of a C-channel texture
+    (corner order TL, TR, BL, BR) -- C=4 for single textures, C=16 for the
+    combined material atlas (keep 4*C a power of two: non-pow2 gather row
+    widths are ~2.3x slower). Returns (..., C)."""
+    c = quad_flat.shape[-1] // 4
     x, y, w, h = _pyramid_rect(rect0, level)
     tx = uv[..., 0] * w.astype(jnp.float32) - 0.5
     ty = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    if address_mode == ADDRESS_CLAMP:
+        # D3D clamps each tap: below half a texel both taps land on texel 0,
+        # so the blend fraction must die out (clamping only the index would
+        # wrongly blend texels 0 and 1 there).
+        tx = jnp.clip(tx, 0.0, w.astype(jnp.float32) - 1.0)
+        ty = jnp.clip(ty, 0.0, h.astype(jnp.float32) - 1.0)
     fx0 = jnp.floor(tx)
     fy0 = jnp.floor(ty)
     fx = (tx - fx0)[..., None]
@@ -153,9 +167,54 @@ def sample_pyramid_bilinear(
     iy = _wrap_index(fy0.astype(jnp.int32), h, address_mode)
     flat = (y + iy) * atlas_width + (x + ix)
     quad = jnp.take(quad_flat, flat, axis=0).astype(jnp.float32)
-    top = quad[..., 0:4] * (1.0 - fx) + quad[..., 4:8] * fx
-    bot = quad[..., 8:12] * (1.0 - fx) + quad[..., 12:16] * fx
+    top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
+    bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def sample_table_bilinear_matmul(
+    table: jnp.ndarray, uv: jnp.ndarray
+) -> jnp.ndarray:
+    """Bilinear sample of a SMALL table via hat-function matmuls -- no gather.
+
+    Small-table gathers hit a pathological XLA path on TPU (measured 146 ms
+    for a 16 KB table at 2M indices), but a dense (P, TW) @ (TW, TH*C)
+    matmul runs on the MXU in ~1 ms.  Bilinear weights are hat functions
+    max(0, 1 - |t - i|), which reproduce 2-tap linear filtering exactly.
+    CLAMP addressing, half-texel centers (D3D SampleLevel mip-0 semantics).
+
+    table: (TH, TW, C) traced; uv: (..., 2) in [0, 1].  Returns (..., C).
+    Use for the BRDF LUT and env irradiance tail; cost scales with TH*TW*C,
+    so keep tables at most a few thousand entries.
+    """
+    th, tw, c = table.shape
+    shape = uv.shape[:-1]
+    tx = jnp.clip(uv[..., 0] * tw - 0.5, 0.0, tw - 1.0).reshape(-1)
+    ty = jnp.clip(uv[..., 1] * th - 0.5, 0.0, th - 1.0).reshape(-1)
+    ix = jnp.arange(tw, dtype=jnp.float32)
+    iy = jnp.arange(th, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[:, None] - ix[None, :]))  # (P, TW)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty[:, None] - iy[None, :]))  # (P, TH)
+    # rows first: (P, TW) @ (TW, TH*C), then the column mix elementwise
+    z = wx @ table.transpose(1, 0, 2).reshape(tw, th * c)  # (P, TH*C)
+    out = jnp.sum(z.reshape(-1, th, c) * wy[..., None], axis=1)
+    return out.reshape(shape + (c,))
+
+
+def sample_cube_tail_matmul(
+    tail: jnp.ndarray, direction: jnp.ndarray
+) -> jnp.ndarray:
+    """Cubemap bilinear sample of a small per-face tail table (the
+    reference's SampleLevel(maxMip) irradiance fetch,
+    ``DeferredLighting.hlsl:85-87``) -- per-face hat matmuls + face select,
+    no gathers.  tail: (6, TH, TW, C); direction: (..., 3)."""
+    face, uv = cube_direction_to_face_uv(direction)
+    out = sample_table_bilinear_matmul(tail[0], uv)
+    for f in range(1, 6):
+        out = jnp.where(
+            (face == f)[..., None], sample_table_bilinear_matmul(tail[f], uv), out
+        )
+    return out
 
 
 def sample_pyramid_trilinear(

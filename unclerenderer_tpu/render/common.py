@@ -211,7 +211,7 @@ def _rasterize_alpha(
     n_tiles = n_ty * n_tx
     pix = tile_h * tile_w
 
-    quad_flat = scene.quad_img.reshape(-1, 16)
+    quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
     atlas_width = scene.quad_img.shape[1]
 
     t = setup.coef.shape[0]
@@ -330,18 +330,34 @@ def resolve_materials(
     ``ForwardPS.hlsl`` PSMain.  Gather discipline (TPU gathers are
     latency-bound, with a lowering cliff above 64-wide rows): TWO per-pixel
     row gathers -- the (T, 57) geometry record and the (T, 64) model
-    record -- plus one 16-channel quad gather per texture tap with
-    arithmetic mip rects (render/packing.py, ops/texture.py).
+    record -- plus quad gathers with arithmetic mip rects for the texture
+    taps: ONE 64-channel combined-material tap when
+    ``settings.combined_material`` (all maps fused at scene build,
+    render/renderer.py), else one 16-channel tap per enabled slot
+    (render/packing.py, ops/texture.py).
     """
     from . import packing as PK
 
     width, height = settings.width, settings.height
     t_count = scene.tri_geo.shape[0]
 
-    rec_geo = jnp.concatenate([pix_h.reshape(t_count, 9), scene.tri_geo], axis=1)
+    # ONE (T, 128) record gather: [9 pix_h | 48 tri_geo | 64 tri_mrec | 7 pad]
+    # (f32 gathers from small tables cost the same at 57, 64 or 128 wide --
+    # measured ~33 ms/2M rows -- so merging the geometry and model records
+    # halves the record-gather cost; pad to a power of two).
+    rec = jnp.concatenate(
+        [
+            pix_h.reshape(t_count, 9),
+            scene.tri_geo,
+            scene.tri_mrec,
+            jnp.zeros((t_count, 7), jnp.float32),
+        ],
+        axis=1,
+    )
     safe_id = jnp.maximum(tri_id, 0)
-    av = rec_geo[safe_id]     # (H, W, 57) gather #1
-    mrec = scene.tri_mrec[safe_id]  # (H, W, 64) gather #2
+    full = rec[safe_id]       # (H, W, 128): the single per-pixel record gather
+    av = full[..., 0:57]
+    mrec = full[..., 57:121]
     valid = tri_id >= 0
 
     p0 = av[..., 0:3]
@@ -391,7 +407,7 @@ def resolve_materials(
     same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
     same_y = jnp.diff(tri_id, axis=0, append=tri_id[-1:, :]) == 0
 
-    quad_flat = scene.quad_img.reshape(-1, 16)
+    quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
     atlas_width = scene.quad_img.shape[1]
 
     def sample_slot(slot):
@@ -414,30 +430,43 @@ def resolve_materials(
 
     albedo = M(PK.M_BCF, 3) * v_color[..., :3]
     alpha = M(PK.M_ALPHA) * v_color[..., 3]
-    if settings.slot_enabled[SLOT_BASE]:
-        base_sample = sample_slot(SLOT_BASE)
-        albedo = jnp.where(has[..., SLOT_BASE : SLOT_BASE + 1], albedo * base_sample[..., :3], albedo)
-        alpha = jnp.where(has[..., SLOT_BASE], alpha * base_sample[..., 3], alpha)
-
     metallic = M(PK.M_METAL)
     roughness = M(PK.M_ROUGH)
-    if settings.slot_enabled[SLOT_MR]:
-        mr_sample = sample_slot(SLOT_MR)
-        metallic = jnp.where(has[..., SLOT_MR], metallic * mr_sample[..., 2], metallic)
-        roughness = jnp.where(has[..., SLOT_MR], roughness * mr_sample[..., 1], roughness)
-
     emissive = M(PK.M_EMISSIVE, 3)
-    if settings.slot_enabled[SLOT_EMISSIVE]:
-        em_sample = sample_slot(SLOT_EMISSIVE)
-        emissive = jnp.where(
-            has[..., SLOT_EMISSIVE : SLOT_EMISSIVE + 1], emissive * em_sample[..., :3], emissive
-        )
 
-    if settings.slot_enabled[SLOT_NORMAL]:
-        nm_sample = sample_slot(SLOT_NORMAL)
+    if settings.combined_material:
+        # All maps fused into one 16-channel texture (renderer.py COMBINED_C):
+        # a single quad gather serves every slot.  Absent maps are baked
+        # neutral (1s / flat normal), so factor math needs no has_map selects.
+        s = sample_slot(0)  # shared rect + transform live in slot 0
+        albedo = albedo * s[..., 0:3]
+        alpha = alpha * s[..., 3]
+        roughness = roughness * s[..., 4]
+        metallic = metallic * s[..., 5]
+        emissive = emissive * s[..., 8:11]
+        nm_rg = s[..., 6:8]
+    else:
+        if settings.slot_enabled[SLOT_BASE]:
+            base_sample = sample_slot(SLOT_BASE)
+            albedo = jnp.where(has[..., SLOT_BASE : SLOT_BASE + 1], albedo * base_sample[..., :3], albedo)
+            alpha = jnp.where(has[..., SLOT_BASE], alpha * base_sample[..., 3], alpha)
+
+        if settings.slot_enabled[SLOT_MR]:
+            mr_sample = sample_slot(SLOT_MR)
+            metallic = jnp.where(has[..., SLOT_MR], metallic * mr_sample[..., 2], metallic)
+            roughness = jnp.where(has[..., SLOT_MR], roughness * mr_sample[..., 1], roughness)
+
+        if settings.slot_enabled[SLOT_EMISSIVE]:
+            em_sample = sample_slot(SLOT_EMISSIVE)
+            emissive = jnp.where(
+                has[..., SLOT_EMISSIVE : SLOT_EMISSIVE + 1], emissive * em_sample[..., :3], emissive
+            )
+        nm_rg = sample_slot(SLOT_NORMAL)[..., :2] if settings.slot_enabled[SLOT_NORMAL] else None
+
+    if nm_rg is not None:
         # Deferred path: RG -> reconstruct Z (DeferredBasePass.hlsl:88-90); the
         # BC5 normal maps only carry RG anyway, so this serves both paths.
-        rg = nm_sample[..., :2] * 2.0 - 1.0
+        rg = nm_rg * 2.0 - 1.0
         tangent_normal = jnp.concatenate([rg, pbr.reconstruct_normal_z(rg)[..., None]], axis=-1)
         mapped = pbr.apply_normal_map(v_normal, tangent4, tangent_normal)
         shading_normal = jnp.where(

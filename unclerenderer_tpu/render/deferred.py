@@ -130,7 +130,7 @@ def deferred_frame(
     )
 
     if settings.enable_ibl:
-        env_flat = scene.env_quad.reshape(-1, 16)
+        env_flat = scene.env_quad.reshape(-1, scene.env_quad.shape[-1])
         env_w = scene.env_quad.shape[1]
 
         def env_sample(direction, lod):
@@ -139,19 +139,13 @@ def deferred_frame(
             )[..., :3]
 
         def env_sample_level(direction, level):
-            return tex.sample_cube_pyramid_level(
-                env_flat, env_w, scene.env_rect0, direction, level
-            )[..., :3]
-
-        quad_flat = scene.quad_img.reshape(-1, 16)
-        aw = scene.quad_img.shape[1]
+            # level is always the last mip; its texels live in env_tail and
+            # sample via hat matmuls instead of an atlas gather
+            del level
+            return tex.sample_cube_tail_matmul(scene.env_tail, direction)[..., :3]
 
         def brdf_sample(uv):
-            rect0 = scene.brdf_rect0  # (4,) static slice, broadcasts
-            return tex.sample_pyramid_bilinear(
-                quad_flat, aw, rect0, uv,
-                jnp.zeros(uv.shape[:-1], jnp.int32), tex.ADDRESS_CLAMP,
-            )[..., :2]
+            return tex.sample_table_bilinear_matmul(scene.brdf_lut, uv)
 
         n_world = pbr.normalize(g["normal"])
         v_world = pbr.normalize(params.camera_pos - g["world_pos"])

@@ -51,6 +51,13 @@ class RenderSettings:
     # matches exactly; bilinear is the speed default, trilinear the quality
     # option (see ARCHITECTURE.md deviations).
     texture_filter: str = "bilinear"
+    # user knob: allow fusing material maps into the combined atlas
+    enable_combined_material: bool = True
+    # True when the scene atlas fuses all material maps into one 16-channel
+    # texture per material (render/renderer.py COMBINED_C): the resolve does
+    # ONE quad gather instead of one per slot.  Set by the Renderer at scene
+    # build (requires per-model slots to share one KHR texture transform).
+    combined_material: bool = False
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     tile_h: int = 16
@@ -117,15 +124,21 @@ class DeviceScene:
     object_ids: jnp.ndarray = None         # (M,) u32
     bounds_min: jnp.ndarray = None         # (M, 3)
     bounds_max: jnp.ndarray = None         # (M, 3)
-    # material pyramid quad atlas ((AH, AW, 16) bf16: each texel's 2x2
-    # bilinear footprint, arithmetic mip layout -- see textures/atlas.py);
-    # texel data is 8-bit sourced, so bf16 storage halves gather bytes at
-    # negligible precision cost. Also holds the BRDF LUT at brdf_rect0.
+    # material pyramid quad atlas, bf16: each texel's 2x2 bilinear footprint,
+    # arithmetic mip layout -- see textures/atlas.py.  (AH, AW, 64) when
+    # combined_material (one fused 16-channel texture per material), else
+    # (AH, AW, 16) per-map quads.  Texel data is 8-bit sourced, so bf16
+    # storage halves gather bytes at negligible precision cost.
     quad_img: jnp.ndarray = None
-    brdf_rect0: jnp.ndarray = None         # (4,) f32 (x0, y0, w0, h0)
+    # BRDF split-sum LUT, sampled with hat-function matmuls instead of
+    # gathers (small-table gathers are pathologically slow on TPU; see
+    # ops/texture.py sample_table_bilinear_matmul)
+    brdf_lut: jnp.ndarray = None           # (TH, TW, 2) f32
     # environment cube pyramid quad atlas + per-face base rects
     env_quad: jnp.ndarray = None           # (EH, EW, 16) f32
     env_rect0: jnp.ndarray = None          # (6, 4) f32
+    # last env mip per face (the irradiance tap), matmul-sampled like the LUT
+    env_tail: jnp.ndarray = None           # (6, th, tw, 4) f32
     # two-gather material resolve records (render/packing.py)
     tri_geo: jnp.ndarray = None            # (T, 48) f32 vertex attributes
     tri_mrec: jnp.ndarray = None           # (T, 64) f32 model constants

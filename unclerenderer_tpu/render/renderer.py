@@ -31,8 +31,70 @@ from .params import DeviceScene, FrameParams, FrameState, RenderSettings
 
 _SLOT_SRGB = (True, False, False, True)  # base, mr, normal, emissive
 
+# Combined material texture: every map of a material resampled to one
+# resolution and fused into an 11-channel texel, so the material resolve
+# costs ONE quad gather per pixel instead of one per slot (TPU row gathers
+# are latency-bound: ~55 ms per 2M rows whether 16 or 64 channels wide).
+# Channel layout (absent maps baked to neutral values so `sample * factor`
+# needs no has_map select); padded to 16 so the quad record is 64 channels --
+# non-power-of-two row widths hit a ~2.3x slower XLA gather path (measured:
+# 44/48-wide 84-94 ms vs 64-wide 37-55 ms per 2M rows).
+COMBINED_C = 16  # 0:4 base RGBA | 4 roughness, 5 metallic | 6:8 normal RG | 8:11 emissive RGB | 11:16 pad
+_COMBINED_NEUTRAL = np.array([1, 1, 1, 1, 1, 1, 0.5, 0.5, 1, 1, 1, 0, 0, 0, 0, 0], np.float32)
+# slot -> (combined channels, source channels); MR follows glTF G=rough B=metal
+_COMBINED_SLOT_CH = (
+    (slice(0, 4), slice(0, 4)),
+    (slice(4, 6), slice(1, 3)),
+    (slice(6, 8), slice(0, 2)),
+    (slice(8, 11), slice(0, 3)),
+)
 
-def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene, float]:
+
+def _resize_bilinear(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Host-side bilinear resample (half-texel centers, clamp)."""
+    h, w = img.shape[:2]
+    if (h, w) == (th, tw):
+        return img
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * (h / th) - 0.5
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    r0 = img[y0]
+    r1 = img[y1]
+    top = r0[:, x0] * (1.0 - fx) + r0[:, x1] * fx
+    bot = r1[:, x0] * (1.0 - fx) + r1[:, x1] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _combined_chain(slot_chains: list) -> list[np.ndarray]:
+    """Fuse up to 4 single-map mip chains (or None) into one 11-channel
+    chain at the max resolution; baked source mips are preserved by pairing
+    combined level L with the source level of matching size."""
+    tw = max((c[0].shape[1] for c in slot_chains if c), default=1)
+    th = max((c[0].shape[0] for c in slot_chains if c), default=1)
+    levels = max(int(np.log2(max(tw, th))) + 1, 1)
+    out = []
+    for lv in range(levels):
+        w, h = max(tw >> lv, 1), max(th >> lv, 1)
+        img = np.tile(_COMBINED_NEUTRAL, (h, w, 1))
+        for si, chain in enumerate(slot_chains):
+            if chain is None:
+                continue
+            shift = int(np.log2(tw)) - int(np.log2(max(chain[0].shape[1], 1)))
+            src = chain[min(max(lv - shift, 0), len(chain) - 1)]
+            dst_sl, src_sl = _COMBINED_SLOT_CH[si]
+            img[..., dst_sl] = _resize_bilinear(src, h, w)[..., src_sl]
+        out.append(img)
+    return out
+
+
+def _build_device_scene(
+    data: SceneData, assets_root: Path, allow_combined: bool = True
+) -> tuple[DeviceScene, float, bool]:
     """Assemble all device arrays: geometry, material tables, atlases."""
     cache = TextureCache()
     chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]  # 0 = white
@@ -90,12 +152,14 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         for face in range(6):
             face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
         env_img, env_rect0 = build_pyramid_quad_atlas(face_chains, wrap=False)
+        env_tail = np.stack([chain[-1][..., :4] for chain in face_chains])
     else:
         if env_dds is None:
             log_warning(f"environment cube not found at {env_path}; IBL will be flat")
         env_img = np.full((8, 128, 16), 0.1, np.float32)
         env_rect0 = np.zeros((6, 4), np.int32)
         env_rect0[:, 2:] = 1
+        env_tail = np.full((6, 1, 1, 4), 0.1, np.float32)
 
     lut_path = assets_root / "Textures" / "PreintegratedGF.dds"
     lut_dds = load_dds(lut_path) if lut_path.is_file() else None
@@ -113,18 +177,59 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         brdf_img[..., 0] = scale
         brdf_img[..., 1] = bias
 
-    # The BRDF LUT joins the material atlas (clamp addressing, mip 0 only).
-    brdf_index = len(chains)
-    chains.append(generate_mips(brdf_img))
-    wraps = [True] * (len(chains) - 1) + [False]
+    # Combined-material eligibility: every model's present slots must share
+    # one KHR texture transform (one gather = one UV). All reference scenes
+    # qualify; a violating scene falls back to per-slot taps.
+    ut, ur = data.uv_transform, data.uv_rotation
+    combined = allow_combined and bool(has_map.any())
+    shared_os = np.tile(np.array([0, 0, 1, 1], np.float32), (n_models, 1))
+    shared_rot = np.tile(np.array([1, 0], np.float32), (n_models, 1))
+    for mi in range(n_models):
+        slots = np.nonzero(has_map[mi])[0]
+        if len(slots) == 0:
+            continue
+        s0 = slots[0]
+        shared_os[mi], shared_rot[mi] = ut[mi, s0], ur[mi, s0]
+        if any(
+            not (np.allclose(ut[mi, s], ut[mi, s0]) and np.allclose(ur[mi, s], ur[mi, s0]))
+            for s in slots[1:]
+        ):
+            combined = False
 
-    quad_img, rect0 = build_pyramid_quad_atlas(chains, wrap=wraps)
-    brdf_rect0 = rect0[brdf_index].astype(np.float32)
-
-    # per-(model, slot) base rects; absent slots point at the white texture
-    slot_rect0 = rect0[tex_ids].astype(np.float32)  # (M, 4, 4)
+    if combined:
+        # One fused 11-channel texture per distinct slot-id combination;
+        # the BRDF LUT rides along in channels 0:2 (clamp quads, mip 0).
+        combo_of: dict[tuple, int] = {}
+        model_combo = np.zeros(n_models, np.int32)
+        combo_chains: list[list[np.ndarray]] = []
+        for mi in range(n_models):
+            key = tuple(
+                int(tex_ids[mi, s]) if has_map[mi, s] else -1 for s in range(4)
+            )
+            if key not in combo_of:
+                combo_of[key] = len(combo_chains)
+                combo_chains.append(
+                    _combined_chain(
+                        [chains[tex_ids[mi, s]] if has_map[mi, s] else None for s in range(4)]
+                    )
+                )
+            model_combo[mi] = combo_of[key]
+        quad_img, rect0 = build_pyramid_quad_atlas(combo_chains, wrap=True)
+        slot_rect0 = np.repeat(
+            rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
+        )  # (M, 4, 4): every slot = the combined rect
+    else:
+        quad_img, rect0 = build_pyramid_quad_atlas(chains, wrap=True)
+        # per-(model, slot) base rects; absent slots point at the white texture
+        slot_rect0 = rect0[tex_ids].astype(np.float32)  # (M, 4, 4)
 
     model_rec = pack_model_record(data, has_map, slot_rect0)
+    if combined:
+        # The combined resolve reads slot 0's transform as the shared one.
+        from . import packing as PK
+
+        model_rec[:, PK.M_UVOS : PK.M_UVOS + 4] = shared_os
+        model_rec[:, PK.M_UVROT : PK.M_UVROT + 2] = shared_rot
     tri_geo = pack_tri_geo(data)
     tri_mrec = pack_tri_mrec(data, model_rec)
 
@@ -151,13 +256,14 @@ def _build_device_scene(data: SceneData, assets_root: Path) -> tuple[DeviceScene
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
         quad_img=jnp.asarray(quad_img, jnp.bfloat16),
-        brdf_rect0=jnp.asarray(brdf_rect0),
+        brdf_lut=jnp.asarray(brdf_img[..., :2]),
         env_quad=jnp.asarray(env_img, jnp.bfloat16),
         env_rect0=jnp.asarray(env_rect0.astype(np.float32)),
+        env_tail=jnp.asarray(env_tail),
         tri_geo=jnp.asarray(tri_geo),
         tri_mrec=jnp.asarray(tri_mrec),
     )
-    return dev, env_mip_count
+    return dev, env_mip_count, combined
 
 
 class Renderer:
@@ -240,9 +346,12 @@ class Renderer:
         except (OSError, ValueError):
             self.background = np.array([0.1, 0.1, 0.15], np.float32)
 
-        self.device_scene, self.env_mip_count = _build_device_scene(
-            self.scene_data, self.assets_root
+        self.device_scene, self.env_mip_count, combined = _build_device_scene(
+            self.scene_data, self.assets_root, settings.enable_combined_material
         )
+        if settings.combined_material != combined:
+            settings = dataclasses.replace(settings, combined_material=combined)
+            self.settings = settings
         self.frame_state = FrameState.initial(settings.width, settings.height)
         log_info(
             f"renderer init: {self.scene_data.num_models} models, "
@@ -448,8 +557,10 @@ class Renderer:
             data = build_scene(scene_path, self.assets_root)
             if data is None:
                 raise ValueError(f"failed to load scene {scene_path}")
-            dev, mips = _build_device_scene(data, self.assets_root)
-            return scene_path, data, dev, mips
+            dev, mips, combined = _build_device_scene(
+                data, self.assets_root, self.settings.enable_combined_material
+            )
+            return scene_path, data, dev, mips, combined
 
         if not background:
             self._apply_reload(build())
@@ -459,10 +570,14 @@ class Renderer:
         return future
 
     def _apply_reload(self, built) -> None:
-        scene_path, data, dev, mips = built
+        scene_path, data, dev, mips, combined = built
         self.scene_data = data
         self.device_scene = dev
         self.env_mip_count = mips
+        if self.settings.combined_material != combined:
+            self.settings = dataclasses.replace(
+                self.settings, combined_material=combined
+            )
         self.frame_state = FrameState.initial(self.settings.width, self.settings.height)
         self._taa_history_ready = False
         self._shadow_cache = None

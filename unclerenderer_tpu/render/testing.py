@@ -150,9 +150,10 @@ def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
         quad_img=jnp.asarray(quad_img, jnp.bfloat16),
-        brdf_rect0=jnp.asarray(rect0[0].astype(np.float32)),
+        brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
         env_quad=jnp.full((8, 128, 16), 0.1, jnp.bfloat16),
         env_rect0=jnp.zeros((6, 4), jnp.float32).at[:, 2:].set(1.0),
+        env_tail=jnp.full((6, 1, 1, 4), 0.1, jnp.float32),
         tri_geo=jnp.asarray(tri_geo),
         tri_mrec=jnp.asarray(tri_mrec),
     ), data

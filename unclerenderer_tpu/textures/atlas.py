@@ -144,12 +144,16 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
 
     wrap may be a bool or a per-texture list of bools (WRAP vs CLAMP quads).
 
-    Returns (data (H, W, 16) f32, rect0 (n_tex, 4) i32 = (x0, y0, w0, h0)).
+    Works for any channel count C (all chains must agree): single textures
+    are C=4, the combined material atlas is C=11 (render/renderer.py).
+
+    Returns (data (H, W, 4*C) f32, rect0 (n_tex, 4) i32 = (x0, y0, w0, h0)).
     """
     n = len(texture_mips)
     rect0 = np.zeros((n, 4), np.int32)
     if n == 0:
         return np.zeros((8, 128, 16), np.float32), rect0
+    channels = texture_mips[0][0].shape[-1]
     wraps = [wrap] * n if isinstance(wrap, bool) else list(wrap)
 
     rows = []
@@ -171,7 +175,7 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
     for h, w, t in rows:
         places[t] = packer.place(w, h)
     height = _round_up(max(packer.height, 8), 8)
-    data = np.zeros((height, width, 16), np.float32)
+    data = np.zeros((height, width, 4 * channels), np.float32)
 
     for t, chain in enumerate(texture_mips):
         x0, y0 = places[t]
