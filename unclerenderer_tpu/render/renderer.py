@@ -201,19 +201,23 @@ def _build_device_scene(
         # the BRDF LUT rides along in channels 0:2 (clamp quads, mip 0).
         combo_of: dict[tuple, int] = {}
         model_combo = np.zeros(n_models, np.int32)
-        combo_chains: list[list[np.ndarray]] = []
+        combo_keys: list[tuple] = []
         for mi in range(n_models):
             key = tuple(
                 int(tex_ids[mi, s]) if has_map[mi, s] else -1 for s in range(4)
             )
             if key not in combo_of:
-                combo_of[key] = len(combo_chains)
-                combo_chains.append(
-                    _combined_chain(
-                        [chains[tex_ids[mi, s]] if has_map[mi, s] else None for s in range(4)]
-                    )
-                )
+                combo_of[key] = len(combo_keys)
+                combo_keys.append(key)
             model_combo[mi] = combo_of[key]
+        # fuse each distinct combo on the task pool (the resizes dominate
+        # scene-load time otherwise)
+        combo_chains = parallel_map(
+            lambda key: _combined_chain(
+                [chains[key[s]] if key[s] >= 0 else None for s in range(4)]
+            ),
+            combo_keys,
+        )
         quad_img, rect0 = build_pyramid_quad_atlas(combo_chains, wrap=True)
         slot_rect0 = np.repeat(
             rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
