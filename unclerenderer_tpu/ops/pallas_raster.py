@@ -332,6 +332,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset):
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
+        "mid_divisor", "giant_divisor",
     ),
 )
 def rasterize_binned(
@@ -348,6 +349,8 @@ def rasterize_binned(
     big_tile_h: int = 32,
     big_tile_w: int = 128,
     big_chunk: int = 32,
+    mid_divisor: int = 8,
+    giant_divisor: int = 32,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -356,6 +359,13 @@ def rasterize_binned(
     3. brute-force kernel for the remaining giant ones (walls, floors).
 
     Work scales with (pairs x tile pixels) instead of (tiles x triangles).
+
+    mid/giant_divisor size the compacted level capacities (t_count //
+    divisor).  Measured on pica_pica (76k tris, 1080p): 2.2k mid / 0.3k
+    giant, so the defaults carry 4-10x margin; a scene that overflows the
+    mid cap spills to giant, and a giant overflow is counted in
+    BinnedTriangles.overflow / Renderer.stats() -- raise the divisors'
+    settings (RenderSettings.bin_mid_divisor/bin_giant_divisor) if so.
     """
     from .binning import bin_triangles
 
@@ -381,7 +391,7 @@ def rasterize_binned(
     # Medium triangles: second binning level with coarse tiles, over a
     # COMPACTED list (the full-T grid would spend more time skipping empty
     # chunks than rasterizing).
-    cap_mid = min(t_count, max(big_chunk, -(-(t_count // 2) // big_chunk) * big_chunk))
+    cap_mid = min(t_count, max(big_chunk, -(-(t_count // mid_divisor) // big_chunk) * big_chunk))
     mid_idx, mid_valid = compact(bins.big_mask, cap_mid)
     mid_setup = RasterSetup(
         coef=setup.coef[mid_idx], valid=mid_valid, bbox=setup.bbox[:, mid_idx]
@@ -407,7 +417,7 @@ def rasterize_binned(
     giant_global = (
         jnp.zeros(t_count, bool).at[mid_idx].set(mid_bins.big_mask) | mid_overflow
     )
-    cap_g = min(t_count, max(big_chunk, -(-(t_count // 8) // big_chunk) * big_chunk))
+    cap_g = min(t_count, max(big_chunk, -(-(t_count // giant_divisor) // big_chunk) * big_chunk))
     g_idx, g_valid = compact(giant_global, cap_g)
     giant_setup = RasterSetup(
         coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]

@@ -70,6 +70,8 @@ def _dispatch_raster(setup, width, height, tile_h, tile_w, chunk, depth_mode, se
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
             max_span=settings.bin_max_span,
             budget_factor=settings.bin_budget_factor,
+            mid_divisor=settings.bin_mid_divisor,
+            giant_divisor=settings.bin_giant_divisor,
         )
     return rasterize(
         setup, width, height,

@@ -67,6 +67,10 @@ class RenderSettings:
     shadow_chunk: int = 128
     bin_max_span: int = 2
     bin_budget_factor: float = 3.0
+    # compacted mid/giant raster level capacities = T // divisor (see
+    # ops/pallas_raster.py rasterize_binned)
+    bin_mid_divisor: int = 8
+    bin_giant_divisor: int = 32
 
 
 @jax.tree_util.register_dataclass
