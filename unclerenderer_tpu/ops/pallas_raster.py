@@ -383,8 +383,10 @@ def rasterize_binned(
     t_count = setup.coef.shape[0]
 
     def compact(mask, cap):
-        # indices of True entries first (argsort of booleans), fixed cap
-        order = jnp.argsort(~mask)
+        # indices of True entries first (argsort of booleans), fixed cap;
+        # unstable: consumers gather through the returned indices, so the
+        # order among True entries is irrelevant
+        order = jnp.argsort(~mask, stable=False)
         idx = order[:cap]
         return idx, mask[idx]
 
