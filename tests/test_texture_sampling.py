@@ -130,3 +130,43 @@ def test_cube_tail_matmul_matches_gather():
     )
     got = tex.sample_cube_tail_matmul(jnp.asarray(tail), dirs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(16, 4), (4, 16), (32, 2), (2, 2)])
+def test_pyramid_every_mip_nonsquare(shape):
+    """Tall chains have tail mips past width saturation; each mip of every
+    aspect ratio must read back exactly (regression: tall tail mips used to
+    share one atlas slot and overwrite each other)."""
+    rng = np.random.default_rng(3)
+    h, w = shape
+    img = rng.random((h, w, 4)).astype(np.float32)
+    mips = generate_mips(img)
+    assert len(mips) == int(np.log2(max(h, w))) + 1
+    # a second tall texture in the same atlas guards against cross-texture
+    # corruption from out-of-slot writes
+    img2 = rng.random((h, w, 4)).astype(np.float32)
+    data, rect0 = build_pyramid_quad_atlas([mips, generate_mips(img2)])
+    flat = jnp.asarray(data.reshape(-1, 16))
+    aw = data.shape[1]
+    for level, ref_img in enumerate(mips):
+        mh, mw = ref_img.shape[:2]
+        # texel-center taps reproduce the mip texels exactly
+        uv = np.stack(
+            np.meshgrid(
+                (np.arange(mw) + 0.5) / mw, (np.arange(mh) + 0.5) / mh
+            ),
+            axis=-1,
+        ).reshape(-1, 2).astype(np.float32)
+        r0 = jnp.asarray(
+            np.broadcast_to(rect0[0].astype(np.float32), (uv.shape[0], 4))
+        )
+        out = np.asarray(
+            tex.sample_pyramid_bilinear(
+                flat, aw, r0, jnp.asarray(uv),
+                jnp.full(uv.shape[0], level, jnp.int32),
+            )
+        )
+        np.testing.assert_allclose(
+            out, ref_img.reshape(-1, 4), atol=1e-5,
+            err_msg=f"shape {shape} mip {level}",
+        )

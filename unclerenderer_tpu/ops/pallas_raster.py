@@ -92,18 +92,25 @@ def _raster_kernel(
 
         k_best = jnp.max(key, axis=0, keepdims=True)
         k_arg = jnp.argmax(key, axis=0).astype(jnp.int32)[None, :]
+        k_id = c * chunk + k_arg  # argmax = first max -> min id within chunk
 
         acc_key = key_ref[0]
         acc_id = id_ref[0]
         better = k_best > acc_key
+        # depth ties resolve to the min triangle id, matching the XLA
+        # rasterize() exactly (rows are in ascending-id order here)
+        tie = (k_best == acc_key) & (k_best >= 0.0)
         key_ref[0] = jnp.where(better, k_best, acc_key)
-        id_ref[0] = jnp.where(better, c * chunk + k_arg, acc_id)
+        id_ref[0] = jnp.where(
+            better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
+        )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset"
+        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
+        "interpret",
     ),
 )
 def rasterize_pallas(
@@ -115,6 +122,7 @@ def rasterize_pallas(
     chunk: int = 64,
     depth_mode: int = DEPTH_MAX,
     y_offset: int = 0,
+    interpret: bool = False,
 ):
     """Brute-force Pallas raster (every tile scans every chunk, with SMEM
     skip bits).  Use rasterize_binned for real scenes."""
@@ -182,6 +190,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32),
         ],
+        interpret=interpret,
     )(overlap, coef, valid)
 
     return _untile(
@@ -266,11 +275,16 @@ def _binned_kernel(
     acc_key = key_ref[0]
     acc_id = id_ref[0]
     better = k_best > acc_key
+    # cross-block depth ties also resolve to the min global triangle id
+    # (bit-compatible with the XLA rasterize() for coplanar pixels)
+    tie = (k_best == acc_key) & (k_best >= 0.0)
     key_ref[0] = jnp.where(better, k_best, acc_key)
-    id_ref[0] = jnp.where(better, k_id, acc_id)
+    id_ref[0] = jnp.where(
+        better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
+    )
 
 
-def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset):
+def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, interpret=False):
     """Launch the binned kernel for one level; returns (key_img, id_img)
     cropped to (height, width), key = -1 where empty."""
     pad_w = -(-width // tile_w) * tile_w
@@ -308,6 +322,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset):
             jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32),
         ],
+        interpret=interpret,
     )(bins.blk_tile, bins.blk_first, bins.coef, bins.tri_id, bins.valid)
 
     used = bins.tile_used[:, None, None]
@@ -332,7 +347,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset):
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
-        "mid_divisor", "giant_divisor",
+        "mid_divisor", "giant_divisor", "interpret",
     ),
 )
 def rasterize_binned(
@@ -351,6 +366,7 @@ def rasterize_binned(
     big_chunk: int = 32,
     mid_divisor: int = 8,
     giant_divisor: int = 32,
+    interpret: bool = False,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -363,9 +379,14 @@ def rasterize_binned(
     mid/giant_divisor size the compacted level capacities (t_count //
     divisor).  Measured on pica_pica (76k tris, 1080p): 2.2k mid / 0.3k
     giant, so the defaults carry 4-10x margin; a scene that overflows the
-    mid cap spills to giant, and a giant overflow is counted in
-    BinnedTriangles.overflow / Renderer.stats() -- raise the divisors'
-    settings (RenderSettings.bin_mid_divisor/bin_giant_divisor) if so.
+    mid cap spills to giant.
+
+    Returns (depth, tri_id, stats) where stats carries scalar i32 overflow
+    counters: ``pair_overflow`` (fine/mid pairs dropped at the bin budget)
+    and ``giant_truncated`` (giant triangles beyond the compaction cap that
+    were NOT rasterized).  Surface them (Renderer.stats()) like the
+    reference's on-screen culling counters (``GpuDebugPrintStats.hlsl``);
+    raise RenderSettings.bin_* when nonzero.
     """
     from .binning import bin_triangles
 
@@ -377,18 +398,20 @@ def rasterize_binned(
         max_span=max_span, budget_factor=budget_factor,
     )
     key_img, id_img = _run_binned_kernel(
-        bins, width, height, tile_h, tile_w, chunk, y_offset
+        bins, width, height, tile_h, tile_w, chunk, y_offset, interpret
     )
 
     t_count = setup.coef.shape[0]
 
     def compact(mask, cap):
-        # indices of True entries first (argsort of booleans), fixed cap;
-        # unstable: consumers gather through the returned indices, so the
-        # order among True entries is irrelevant
-        order = jnp.argsort(~mask, stable=False)
-        idx = order[:cap]
-        return idx, mask[idx]
+        # indices of True entries first, fixed cap, preserving ascending
+        # order (so compacted-local id order == global id order and the
+        # kernels' min-id tie-breaks stay exact); single packed sort.
+        idx_bits = max((t_count - 1).bit_length(), 1)
+        iota = jnp.arange(t_count, dtype=jnp.int32)
+        packed = jnp.where(mask, 0, jnp.int32(1 << idx_bits)) + iota
+        sp = jnp.sort(packed)[:cap]
+        return sp & jnp.int32((1 << idx_bits) - 1), sp < jnp.int32(1 << idx_bits)
 
     # Medium triangles: second binning level with coarse tiles, over a
     # COMPACTED list (the full-T grid would spend more time skipping empty
@@ -403,11 +426,15 @@ def rasterize_binned(
         max_span=4, budget_factor=2.0, tri_ids=mid_idx,
     )
     mid_key, mid_id = _run_binned_kernel(
-        mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset
+        mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset, interpret
     )
     take_mid = mid_key > key_img
+    tie_mid = (mid_key == key_img) & (mid_key >= 0.0)
     key_img = jnp.where(take_mid, mid_key, key_img)
-    id_img = jnp.where(take_mid, mid_id, id_img)
+    id_img = jnp.where(
+        take_mid, mid_id,
+        jnp.where(tie_mid, jnp.minimum(mid_id, id_img), id_img),
+    )
 
     # overflow of the mid compaction joins the giant list
     mid_overflow = bins.big_mask & (
@@ -421,13 +448,16 @@ def rasterize_binned(
     )
     cap_g = min(t_count, max(big_chunk, -(-(t_count // giant_divisor) // big_chunk) * big_chunk))
     g_idx, g_valid = compact(giant_global, cap_g)
+    giant_truncated = (
+        jnp.sum(giant_global).astype(jnp.int32) - jnp.sum(g_valid).astype(jnp.int32)
+    )
     giant_setup = RasterSetup(
         coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
     )
     big_depth, big_id_local = rasterize_pallas(
         giant_setup, width, height,
         tile_h=big_tile_h, tile_w=big_tile_w, chunk=big_chunk,
-        y_offset=y_offset,
+        y_offset=y_offset, interpret=interpret,
     )
     big_id = jnp.where(
         big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
@@ -435,8 +465,12 @@ def rasterize_binned(
     big_key = jnp.where(big_id >= 0, big_depth, -1.0)
 
     take_big = big_key > key_img
+    tie_big = (big_key == key_img) & (big_key >= 0.0)
     key_img = jnp.where(take_big, big_key, key_img)
-    id_img = jnp.where(take_big, big_id, id_img)
+    id_img = jnp.where(
+        take_big, big_id,
+        jnp.where(tie_big, jnp.minimum(big_id, id_img), id_img),
+    )
 
     hit = key_img >= 0.0
     if depth_mode == DEPTH_MAX:
@@ -444,4 +478,8 @@ def rasterize_binned(
     else:
         depth = jnp.where(hit, 1.0 - key_img, 1.0)
     tri_id = jnp.where(hit, id_img, -1)
-    return depth, tri_id
+    stats = {
+        "pair_overflow": bins.overflow + mid_bins.overflow,
+        "giant_truncated": giant_truncated,
+    }
+    return depth, tri_id, stats

@@ -131,7 +131,10 @@ def _pyramid_rect(rect0, level):
     lv = jnp.clip(level, 0, lmax)
     w = jnp.maximum(w0 >> lv, 1)
     h = jnp.maximum(h0 >> lv, 1)
-    x = x0 + 2 * (w0 - jnp.maximum(w0 >> lv, 1))
+    # Tail levels of tall (h0 > w0) textures all have w == 1; each sits one
+    # extra column right (must match textures/atlas.py build_pyramid_quad_atlas).
+    lw = jnp.round(jnp.log2(jnp.maximum(w0.astype(jnp.float32), 1.0))).astype(jnp.int32)
+    x = x0 + 2 * (w0 - w) + jnp.maximum(lv - lw, 0)
     return x, y0, w, h
 
 

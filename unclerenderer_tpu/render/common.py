@@ -62,6 +62,8 @@ def _use_pallas(settings: RenderSettings) -> bool:
 
 
 def _dispatch_raster(setup, width, height, tile_h, tile_w, chunk, depth_mode, settings):
+    """Returns (depth, tri_id, stats) -- stats carries the binned path's
+    overflow counters (zeros on the exhaustive XLA path, which never drops)."""
     if _use_pallas(settings):
         from ..ops.pallas_raster import rasterize_binned
 
@@ -73,10 +75,12 @@ def _dispatch_raster(setup, width, height, tile_h, tile_w, chunk, depth_mode, se
             mid_divisor=settings.bin_mid_divisor,
             giant_divisor=settings.bin_giant_divisor,
         )
-    return rasterize(
+    depth, tri_id = rasterize(
         setup, width, height,
         tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
     )
+    zero = jnp.zeros((), jnp.int32)
+    return depth, tri_id, {"pair_overflow": zero, "giant_truncated": zero}
 
 
 def raster_opaque(
@@ -110,7 +114,7 @@ def raster_shadow(
     clip = hom @ light_view_proj
     pix_h = viewport_homogeneous(clip, size, size)
     setup = triangle_setup_expanded(pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size)
-    depth, _ = _dispatch_raster(
+    depth, _, _stats = _dispatch_raster(
         setup, size, size,
         settings.tile_h, settings.tile_w, settings.shadow_chunk, DEPTH_MIN, settings,
     )

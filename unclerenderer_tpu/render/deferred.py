@@ -50,11 +50,16 @@ def deferred_frame(
     layout, _total = hzb_layout(width // 2, height // 2)
 
     # --- 1. GPU culling (unjittered camera VP, like BuildCameraFrustumPlanes)
+    # Per-cause counters mirror the reference's FRUSTUM/OCCLUDE on-screen
+    # split (``GpuDebugPrintStats.hlsl:33-47``).
     model_visible = params.model_visible
     unjittered_vp = params.view @ params.proj_unjittered
+    frustum_culled = jnp.zeros((), jnp.int32)
+    hzb_occluded = jnp.zeros((), jnp.int32)
     if settings.enable_gpu_culling:
         planes = frustum_planes(unjittered_vp)
         in_frustum = frustum_cull(scene.bounds_min, scene.bounds_max, planes)
+        frustum_culled = jnp.sum(model_visible & ~in_frustum).astype(jnp.int32)
         model_visible = model_visible & in_frustum
         if settings.enable_hzb:
             occluded = occlusion_cull(
@@ -66,7 +71,9 @@ def deferred_frame(
                 width // 2,
                 height // 2,
             )
-            model_visible = model_visible & ~(occluded & state.hzb_valid)
+            occluded = occluded & state.hzb_valid
+            hzb_occluded = jnp.sum(model_visible & occluded).astype(jnp.int32)
+            model_visible = model_visible & ~occluded
 
     # --- 2. shadow map.  Casters are NOT camera-frustum culled (an object
     # behind the camera still casts; the reference culls against the light
@@ -84,7 +91,9 @@ def deferred_frame(
 
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
-    depth, tri_id = common.raster_opaque(scene, clip, pix_h, opaque_mask, settings)
+    depth, tri_id, raster_stats = common.raster_opaque(
+        scene, clip, pix_h, opaque_mask, settings
+    )
     if settings.has_masked_models:
         depth, tri_id = common.raster_masked_combine(
             scene, clip, pix_h, masked_mask, depth, tri_id, settings
@@ -229,6 +238,9 @@ def deferred_frame(
         "tri_id": tri_id,
         "object_id": object_id,
         "model_visible": model_visible,
+        "raster_stats": raster_stats,
+        "frustum_culled": frustum_culled,
+        "hzb_occluded": hzb_occluded,
     }
     return out, new_state
 

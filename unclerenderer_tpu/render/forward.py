@@ -36,7 +36,9 @@ def forward_frame(
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
     opaque_mask, masked_mask = common.tri_draw_masks(scene, params.model_visible)
 
-    depth, tri_id = common.raster_opaque(scene, clip, pix_h, opaque_mask, settings)
+    depth, tri_id, raster_stats = common.raster_opaque(
+        scene, clip, pix_h, opaque_mask, settings
+    )
     if settings.has_masked_models:
         depth, tri_id = common.raster_masked_combine(
             scene, clip, pix_h, masked_mask, depth, tri_id, settings
@@ -132,4 +134,10 @@ def forward_frame(
     object_id = jnp.where(
         g["valid"], g["object_id_f"].astype(jnp.uint32), jnp.uint32(0)
     )
-    return {"color": color, "depth": depth, "tri_id": tri_id, "object_id": object_id}
+    return {
+        "color": color,
+        "depth": depth,
+        "tri_id": tri_id,
+        "object_id": object_id,
+        "raster_stats": raster_stats,
+    }

@@ -372,6 +372,7 @@ class Renderer:
         self._shadow_cache = None
         self._shadow_key = None
         self._shadow_fn = None
+        self._last_out = None
 
     def frame_params(self, delta_time: float = 1.0 / 60.0) -> FrameParams:
         view = self.camera.view_matrix()
@@ -462,7 +463,17 @@ class Renderer:
         else:
             out = self._forward_fn(self.device_scene, params, self.settings, shadow_map)
         self._frame_counter += 1
+        self._last_out = out
         return out
+
+    def _latest_out(self) -> dict:
+        """The most recently rendered frame's outputs; renders one frame only
+        if none exists yet.  stats()/pick() read THIS instead of advancing
+        the frame stream (the reference reads back the already-rendered
+        frame, ``Application.cpp:531-559``)."""
+        if getattr(self, "_last_out", None) is None:
+            self.render_frame()
+        return self._last_out
 
     def render_to_u8(self, delta_time: float = 1.0 / 60.0) -> np.ndarray:
         """Render and convert to (H, W, 3) uint8 exactly like the UNORM
@@ -476,11 +487,11 @@ class Renderer:
     # ------------------------------------------------------------------
 
     def pick(self, x: int, y: int) -> tuple[int, str]:
-        """Object picking: render and read the object id at pixel (x, y)
-        (replaces the reference's ObjectId pass + 1-px readback copy,
-        ``DeferredRenderer.cpp:873-979``).  Returns (object_id, model_name);
-        id 0 = background."""
-        out = self.render_frame()
+        """Object picking: read the object id at pixel (x, y) from the last
+        rendered frame (replaces the reference's ObjectId pass + 1-px
+        readback copy, ``DeferredRenderer.cpp:873-979``).  Returns
+        (object_id, model_name); id 0 = background."""
+        out = self._latest_out()
         object_id = int(np.asarray(out["object_id"][y, x]))
         name = ""
         if object_id > 0:
@@ -491,17 +502,24 @@ class Renderer:
         return object_id, name
 
     def stats(self) -> dict:
-        """Scene + culling stats (the reference's ImGui counters +
-        GpuDebugPrintStats culling counts)."""
-        out = self.render_frame()
+        """Scene + culling stats from the last rendered frame (the
+        reference's ImGui counters + GpuDebugPrintStats FRUSTUM/OCCLUDE
+        split), plus the binned raster's overflow counters.  Does not
+        advance the frame stream."""
+        out = self._latest_out()
         visible = np.asarray(out["model_visible"]) if "model_visible" in out else None
         total = self.scene_data.num_models
         n_visible = int(visible.sum()) if visible is not None else total
+        rs = out.get("raster_stats", {})
         return {
             "models_total": total,
             "models_visible": n_visible,
             "models_culled": total - n_visible,
+            "frustum_culled": int(np.asarray(out.get("frustum_culled", 0))),
+            "hzb_occluded": int(np.asarray(out.get("hzb_occluded", 0))),
             "triangles_total": self.scene_data.num_triangles,
+            "bin_pair_overflow": int(np.asarray(rs.get("pair_overflow", 0))),
+            "bin_giant_truncated": int(np.asarray(rs.get("giant_truncated", 0))),
             "exposure_ev": float(self.frame_state.exposure_ev),
             "taa_history_valid": bool(self.frame_state.taa_valid),
         }
@@ -586,6 +604,7 @@ class Renderer:
         self._taa_history_ready = False
         self._shadow_cache = None
         self._shadow_key = None
+        self._last_out = None
         _models, light, camera_desc = load_scene_json(scene_path)
         if light is not None:
             self.light = light

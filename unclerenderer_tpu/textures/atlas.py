@@ -162,7 +162,11 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
         assert (w0 & (w0 - 1)) == 0 and (h0 & (h0 - 1)) == 0, (
             f"pyramid atlas requires power-of-two textures, got {w0}x{h0}"
         )
-        rows.append((h0, 2 * w0, t))
+        # Tall (h0 > w0) chains have mips past the point the width saturates
+        # at 1; each of those gets its own extra column (the reader's
+        # _pyramid_rect arithmetic matches, ops/texture.py).
+        tail = max(h0.bit_length() - w0.bit_length(), 0)
+        rows.append((h0, 2 * w0 + tail, t))
     rows.sort(key=lambda r: (-r[0], -r[1]))
 
     width = max(128, 1 << int(np.ceil(np.log2(max(r[1] for r in rows)))))
@@ -191,8 +195,15 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
                 yp = np.concatenate([img[1:], img[-1:]], axis=0)
                 xyp = np.concatenate([xp[1:], xp[-1:]], axis=0)
             quad = np.concatenate([img, xp, yp, xyp], axis=-1)
-            xl = x0 + 2 * (w0 - (w0 >> lv)) if lv > 0 else x0
+            # Mip offset: 2*(w0 - w_lv) plus one extra column per tail level
+            # whose width already saturated at 1 (tall textures).  Must match
+            # ops/texture.py _pyramid_rect exactly.
+            lw0 = int(np.log2(w0))
+            xl = x0 + 2 * (w0 - max(w0 >> lv, 1)) + max(lv - lw0, 0)
             h, w = img.shape[:2]
+            assert (data[y0 : y0 + h, xl : xl + w] == 0).all(), (
+                f"pyramid atlas overlap at tex {t} mip {lv}"
+            )
             data[y0 : y0 + h, xl : xl + w] = quad
     log_info(
         f"pyramid quad atlas: {n} textures into {width}x{height} "
