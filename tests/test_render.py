@@ -127,7 +127,11 @@ def test_state_save_load(reference_assets, tmp_path):
 
 
 def test_multichip_matches_singlechip():
-    """The sharded frame must produce (nearly) the same image as single-chip."""
+    """The sharded frame is the SAME deferred body (render/deferred.py) under
+    shard_map with collective hooks; with the full feature set on (IBL,
+    alpha-masked geometry, HZB, TAA, auto-exposure, CAS) it must reproduce
+    the single-chip image -- including the slab-seam rows, where TAA/CAS use
+    ppermute halos instead of edge padding."""
     import functools
 
     from unclerenderer_tpu.parallel.multichip import (
@@ -142,28 +146,51 @@ def test_multichip_matches_singlechip():
 
     n = min(4, len(jax.devices()))
     settings = RenderSettings(
-        renderer_type="deferred", enable_ibl=False, enable_hzb=False,
-        enable_cas=False,  # CAS halo approximation differs at slab seams
+        renderer_type="deferred", enable_ibl=True, enable_hzb=True,
+        enable_cas=True, has_masked_models=True,
         width=64, height=16 * n, shadow_map_size=16 * n,
         tile_h=8, tile_w=64, chunk=32, shadow_chunk=32, raster_backend="xla",
     )
-    scene, data = synthetic_device_scene(4)
+    scene, data = synthetic_device_scene(8, with_masked=True)
     params = synthetic_frame_params(data, settings.width, settings.height)
-    state = FrameState.initial(settings.width, settings.height)
+    state_s = FrameState.initial(settings.width, settings.height)
+    state_m = FrameState.initial(settings.width, settings.height)
 
-    out_s, _ = jax.jit(lambda sc, p, st: deferred_frame(sc, p, st, settings))(
-        scene, params, state
-    )
+    single = jax.jit(lambda sc, p, st: deferred_frame(sc, p, st, settings))
     mesh = make_render_mesh(jax.devices()[:n])
-    out_m, _ = jax.jit(
+    multi = jax.jit(
         functools.partial(render_frame_multichip, settings=settings, mesh=mesh)
-    )(scene, params, state)
-    a = np.asarray(out_s["color"])
-    b = np.asarray(out_m["color"])
-    # Exposure path differs slightly (full-res mean vs pooled 16x16 samples);
-    # images must still agree closely.
-    assert np.abs(a - b).mean() < 0.02
-    assert np.abs(a - b).max() < 0.25
+    )
+    # two frames: the second exercises carried state (TAA history slabs,
+    # exposure adaptation, HZB occlusion built from gathered depth)
+    for frame in range(2):
+        out_s, state_s = single(scene, params, state_s)
+        out_m, state_m = multi(scene, params, state_m)
+        # the raster runs in global pixel coordinates on every slab:
+        # visibility must be BIT-identical to single-chip
+        np.testing.assert_array_equal(
+            np.asarray(out_m["tri_id"]), np.asarray(out_s["tri_id"])
+        )
+        a = np.asarray(out_s["color"])
+        b = np.asarray(out_m["color"])
+        # only fp summation order differs (exposure pooling partial sums)
+        np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f"frame {frame}")
+        # slab-seam rows specifically (TAA/CAS halo correctness)
+        slab_h = settings.height // n
+        for s in range(1, n):
+            seam = slice(s * slab_h - 1, s * slab_h + 1)
+            np.testing.assert_allclose(
+                b[seam], a[seam], atol=1e-5,
+                err_msg=f"frame {frame} seam {s}",
+            )
+    assert float(state_m.exposure_ev) == pytest.approx(
+        float(state_s.exposure_ev), abs=1e-4
+    )
+    assert (np.asarray(scene.alpha_mode) == 1).any()  # masked path exercised
+    assert bool(state_m.hzb_valid)
+    np.testing.assert_allclose(
+        np.asarray(state_m.hzb), np.asarray(state_s.hzb), atol=1e-6
+    )
 
 
 def test_compare_scenes_render(reference_assets):

@@ -86,9 +86,14 @@ def bin_triangles(
     max_span: int = 2,
     budget_factor: float = 3.0,
     tri_ids: jnp.ndarray | None = None,
+    y_offset=0,
 ) -> BinnedTriangles:
     """tri_ids (optional) maps local rows of a compacted setup back to
-    global triangle ids for the output id buffers."""
+    global triangle ids for the output id buffers.
+
+    y_offset (traced ok) bins against a row slab [y_offset, y_offset+height)
+    of the full viewport the (global-coordinate) bboxes live in; triangles
+    entirely outside the slab bin nowhere (sharded rendering)."""
     n_tx = -(-width // tile_w)
     n_ty = -(-height // tile_h)
     n_tiles = n_tx * n_ty
@@ -96,14 +101,18 @@ def bin_triangles(
     s_slots = max_span * max_span
 
     bbox = setup.bbox  # (4, T)
+    yoff = jnp.asarray(y_offset, jnp.float32)
+    by0 = jnp.clip(bbox[1] - yoff, 0.0, height - 1)
+    by1 = jnp.clip(bbox[3] - yoff, 0.0, height - 1)
+    row_in = (bbox[3] >= yoff) & (bbox[1] <= yoff + (height - 1))
     tx0 = (bbox[0] // tile_w).astype(jnp.int32)
-    ty0 = (bbox[1] // tile_h).astype(jnp.int32)
+    ty0 = (by0 // tile_h).astype(jnp.int32)
     tx1 = (bbox[2] // tile_w).astype(jnp.int32)
-    ty1 = (bbox[3] // tile_h).astype(jnp.int32)
+    ty1 = (by1 // tile_h).astype(jnp.int32)
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
-    small = setup.valid & (span_w <= max_span) & (span_h <= max_span)
-    big = setup.valid & ~small
+    small = setup.valid & row_in & (span_w <= max_span) & (span_h <= max_span)
+    big = setup.valid & row_in & ~small
 
     # (T, S) candidate tiles
     s = jnp.arange(s_slots, dtype=jnp.int32)

@@ -56,6 +56,7 @@ def _eval_chunk(coef_ref, valid_row, qx, qy):
 
 
 def _raster_kernel(
+    yoff_ref,     # (1,) f32 SMEM: slab row offset (global pixel coords)
     overlap_ref,  # (1, 1, n_chunks) i32 SMEM: per-chunk work bits for tile
     coef_ref,     # (1, 16, chunk)
     valid_ref,    # (1, 1, chunk) f32
@@ -66,7 +67,6 @@ def _raster_kernel(
     tile_w: int,
     chunk: int,
     n_tx: int,
-    y_offset: int,
 ):
     t = pl.program_id(0)
     c = pl.program_id(1)
@@ -82,7 +82,7 @@ def _raster_kernel(
         ty = t // n_tx
         tx = t % n_tx
         x0 = (tx * tile_w).astype(jnp.float32)
-        y0 = (ty * tile_h).astype(jnp.float32) + float(y_offset)
+        y0 = (ty * tile_h).astype(jnp.float32) + yoff_ref[0]
         col_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
         qx = x0 + jnp.mod(col_i, tile_w).astype(jnp.float32) + 0.5
         qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
@@ -109,7 +109,7 @@ def _raster_kernel(
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
+        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
         "interpret",
     ),
 )
@@ -121,11 +121,16 @@ def rasterize_pallas(
     tile_w: int = 128,
     chunk: int = 64,
     depth_mode: int = DEPTH_MAX,
-    y_offset: int = 0,
+    y_offset=0,
     interpret: bool = False,
 ):
     """Brute-force Pallas raster (every tile scans every chunk, with SMEM
-    skip bits).  Use rasterize_binned for real scenes."""
+    skip bits).  Use rasterize_binned for real scenes.
+
+    y_offset (traced ok) renders the row slab [y_offset, y_offset+height) of
+    the viewport the setup was built for, in GLOBAL pixel coordinates -- the
+    per-pixel math is bit-identical to the full-frame render (sharding
+    cannot change the image)."""
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
     n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
@@ -148,8 +153,9 @@ def rasterize_pallas(
     bbox = jnp.pad(setup.bbox, ((0, 0), (0, t_pad - t)))
     bbox = bbox.reshape(4, n_chunks, chunk)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    yoff = jnp.asarray(y_offset, jnp.float32)
     tx0 = (tile_ids % n_tx * tile_w).astype(jnp.float32)
-    ty0 = (tile_ids // n_tx * tile_h).astype(jnp.float32) + y_offset
+    ty0 = (tile_ids // n_tx * tile_h).astype(jnp.float32) + yoff
     ov = (
         (bbox[0][None] <= (tx0[:, None, None] + (tile_w - 1)))
         & (bbox[2][None] >= tx0[:, None, None])
@@ -166,6 +172,7 @@ def rasterize_pallas(
     grid_spec = pl.GridSpec(
         grid=(n_tiles, n_chunks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_chunks), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, COEF_COLS, chunk), lambda t, c: (c, 0, 0)),
             pl.BlockSpec((1, 1, chunk), lambda t, c: (c, 0, 0)),
@@ -181,7 +188,6 @@ def rasterize_pallas(
         tile_w=tile_w,
         chunk=chunk,
         n_tx=n_tx,
-        y_offset=int(y_offset),
     )
     best_key, best_id = pl.pallas_call(
         kernel,
@@ -191,7 +197,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32),
         ],
         interpret=interpret,
-    )(overlap, coef, valid)
+    )(yoff.reshape(1), overlap, coef, valid)
 
     return _untile(
         best_key.reshape(n_tiles, tile_h, tile_w),
@@ -231,6 +237,7 @@ def _untile(best_key, best_id, width, height, tile_h, tile_w, depth_mode):
 def _binned_kernel(
     blk_tile_ref,   # (n_blocks,) i32 scalar prefetch
     blk_first_ref,  # (n_blocks,) i32 scalar prefetch
+    yoff_ref,       # (1,) f32 scalar prefetch: slab row offset
     coef_ref,       # (1, 16, chunk)
     tid_ref,        # (1, 1, chunk) i32
     valid_ref,      # (1, 1, chunk) f32
@@ -241,7 +248,6 @@ def _binned_kernel(
     tile_w: int,
     chunk: int,
     n_tx: int,
-    y_offset: int,
 ):
     b = pl.program_id(0)
     pix = tile_h * tile_w
@@ -255,7 +261,7 @@ def _binned_kernel(
     ty = t // n_tx
     tx = t % n_tx
     x0 = (tx * tile_w).astype(jnp.float32)
-    y0 = (ty * tile_h).astype(jnp.float32) + float(y_offset)
+    y0 = (ty * tile_h).astype(jnp.float32) + yoff_ref[0]
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     qx = x0 + jnp.mod(col_i, tile_w).astype(jnp.float32) + 0.5
     qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
@@ -295,16 +301,16 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, int
     pix = tile_h * tile_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, COEF_COLS, chunk), lambda b, bt, bf: (b, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda b, bt, bf: (b, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda b, bt, bf: (b, 0, 0)),
+            pl.BlockSpec((1, COEF_COLS, chunk), lambda b, bt, bf, yo: (b, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda b, bt, bf, yo: (b, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda b, bt, bf, yo: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, pix), lambda b, bt, bf: (bt[b], 0, 0)),
-            pl.BlockSpec((1, 1, pix), lambda b, bt, bf: (bt[b], 0, 0)),
+            pl.BlockSpec((1, 1, pix), lambda b, bt, bf, yo: (bt[b], 0, 0)),
+            pl.BlockSpec((1, 1, pix), lambda b, bt, bf, yo: (bt[b], 0, 0)),
         ],
     )
     kernel = partial(
@@ -313,8 +319,8 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, int
         tile_w=tile_w,
         chunk=chunk,
         n_tx=n_tx,
-        y_offset=int(y_offset),
     )
+    yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
     best_key, best_id = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -323,7 +329,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, int
             jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32),
         ],
         interpret=interpret,
-    )(bins.blk_tile, bins.blk_first, bins.coef, bins.tri_id, bins.valid)
+    )(bins.blk_tile, bins.blk_first, yoff, bins.coef, bins.tri_id, bins.valid)
 
     used = bins.tile_used[:, None, None]
     best_key = jnp.where(used, best_key, -1.0).reshape(n_tiles, tile_h, tile_w)
@@ -345,7 +351,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, int
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode", "y_offset",
+        "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
         "mid_divisor", "giant_divisor", "interpret",
     ),
@@ -358,7 +364,7 @@ def rasterize_binned(
     tile_w: int = 64,
     chunk: int = 128,
     depth_mode: int = DEPTH_MAX,
-    y_offset: int = 0,
+    y_offset=0,
     max_span: int = 2,
     budget_factor: float = 3.0,
     big_tile_h: int = 32,
@@ -395,7 +401,7 @@ def rasterize_binned(
 
     bins = bin_triangles(
         setup, width, height, tile_h, tile_w, chunk,
-        max_span=max_span, budget_factor=budget_factor,
+        max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
     )
     key_img, id_img = _run_binned_kernel(
         bins, width, height, tile_h, tile_w, chunk, y_offset, interpret
@@ -423,7 +429,7 @@ def rasterize_binned(
     )
     mid_bins = bin_triangles(
         mid_setup, width, height, big_tile_h, big_tile_w, big_chunk,
-        max_span=4, budget_factor=2.0, tri_ids=mid_idx,
+        max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
     )
     mid_key, mid_id = _run_binned_kernel(
         mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset, interpret

@@ -16,10 +16,18 @@ def temporal_aa(
     history: jnp.ndarray,
     history_weight,
     use_history,
+    pad_fn=None,
 ) -> jnp.ndarray:
     """``TemporalAA.hlsl`` CSMain: 3x3 neighborhood min/max clamp of history,
-    lerp(current, clamped_history, weight).  current/history: (H, W, 3)."""
-    pad = jnp.pad(current, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    lerp(current, clamped_history, weight).  current/history: (H, W, 3).
+
+    pad_fn(img) -> (H+2, W+2, 3) supplies the 1-px neighborhood border; the
+    default is edge padding (frame boundary).  Sharded callers pass a halo
+    exchange so slab seams see their true neighbors (parallel/dist.py)."""
+    if pad_fn is None:
+        pad = jnp.pad(current, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    else:
+        pad = pad_fn(current)
     mn = current
     mx = current
     for dy in (-1, 0, 1):
@@ -58,6 +66,18 @@ def auto_exposure_ev(
     pooled = hdr[:ph, :pw].reshape(gh, ph // gh, gw, pw // gw, 3).mean(axis=(1, 3))
     lum = jnp.einsum("hwc,c->hw", jnp.maximum(pooled, 0.0), LUM_WEIGHTS)
     log_avg = jnp.mean(jnp.log2(jnp.maximum(lum, 1e-4)))
+    return ev_adapt(
+        log_avg, prev_ev, use_history, key, ev_min, ev_max,
+        speed_up, speed_down, delta_time,
+    )
+
+
+def ev_adapt(
+    log_avg, prev_ev, use_history, key, ev_min, ev_max,
+    speed_up, speed_down, delta_time,
+):
+    """EV target + exponential temporal adaptation (``AutoExposure.hlsl``
+    tail), shared by the single-chip and sharded exposure paths."""
     key_ev = jnp.log2(jnp.maximum(key, 1e-4))
     target = key_ev - log_avg
     target = jnp.clip(
@@ -67,6 +87,34 @@ def auto_exposure_ev(
     alpha = jnp.clip(1.0 - jnp.exp(-delta_time * speed), 0.0, 1.0)
     adapted = prev_ev + (target - prev_ev) * alpha
     return jnp.where(use_history, adapted, target)
+
+
+def pooled_log_luminance_slab(hdr_slab, row0, full_h: int, psum_fn):
+    """Sharded-exact version of auto_exposure_ev's pooling: each device
+    contributes its slab rows' partial sums to the global 16x16 cell grid
+    (cells may straddle slab boundaries), psum makes the grid exact on every
+    device, then the same mean-log2 reduction runs replicated.
+
+    hdr_slab: (slab_h, W, 3); row0: traced i32 first global row.
+    Returns log_avg (scalar), identical (up to fp sum order) to the
+    single-chip 16x16 pooling over the assembled frame.
+    """
+    slab_h, w = hdr_slab.shape[:2]
+    gh, gw = min(16, full_h), min(16, w)
+    cell_h = full_h // gh
+    ph, pw = gh * cell_h, w - w % gw
+    r_global = row0 + jnp.arange(slab_h, dtype=jnp.int32)
+    cell_of_row = jnp.clip(r_global // cell_h, 0, gh - 1)
+    w_rows = (
+        (cell_of_row[None, :] == jnp.arange(gh, dtype=jnp.int32)[:, None])
+        & (r_global[None, :] < ph)
+    ).astype(jnp.float32)  # (gh, slab_h)
+    # row-pool by matmul (MXU), then column-pool by reshape like single-chip
+    rowsum = jnp.einsum("gs,swc->gwc", w_rows, hdr_slab[:, :pw])
+    cellsum = rowsum.reshape(gh, gw, pw // gw, 3).sum(axis=2)
+    pooled = psum_fn(cellsum) / jnp.float32(cell_h * (pw // gw))
+    lum = jnp.einsum("hwc,c->hw", jnp.maximum(pooled, 0.0), LUM_WEIGHTS)
+    return jnp.mean(jnp.log2(jnp.maximum(lum, 1e-4)))
 
 
 def pbr_neutral_tonemap(color: jnp.ndarray) -> jnp.ndarray:
@@ -107,14 +155,17 @@ def tonemap(
     return color ** (1.0 / jnp.maximum(gamma, 1e-3))
 
 
-def cas_sharpen(color: jnp.ndarray, sharpness) -> jnp.ndarray:
+def cas_sharpen(color: jnp.ndarray, sharpness, pad_fn=None) -> jnp.ndarray:
     """``Cas.hlsl`` (AMD RCAS-style): cross-tap luma sharpening.
-    color: (H, W, 3) in [0,1] post-tonemap."""
+    color: (H, W, 3) in [0,1] post-tonemap.  pad_fn as in temporal_aa."""
     rcas_peak = 8.0 - 3.0
     rcas_inv_peak = 1.0 / rcas_peak
     eps = 0.0001
 
-    pad = jnp.pad(color, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    if pad_fn is None:
+        pad = jnp.pad(color, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    else:
+        pad = pad_fn(color)
     h, w = color.shape[:2]
     c = color
     n = pad[0:h, 1 : 1 + w]

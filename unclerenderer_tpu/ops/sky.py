@@ -63,20 +63,32 @@ def apply_atmosphere(view_dir, camera_pos, light_dir, light_color):
     return base_sky + scattered * sun_attenuation
 
 
-def sky_view_directions(width: int, height: int, camera_pos, view: jnp.ndarray, proj: jnp.ndarray):
+def sky_view_directions(
+    width: int,
+    height: int,
+    camera_pos,
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    row0=0,
+    out_h: int | None = None,
+):
     """Per-pixel world-space view direction through each pixel center.
 
     Inverts the viewport + projection mapping analytically: for the
     reference's projection (x' = x*m00, y' = y*m11, w' = z_view), the ray in
     view space is (ndc_x/m00, ndc_y/m11, 1).
+
+    row0/out_h select a horizontal slab of the full height-row viewport
+    (sharded rendering); the default is the whole frame.
     """
-    yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+    out_h = height if out_h is None else out_h
+    yy = (jnp.arange(out_h, dtype=jnp.float32)[:, None] + row0 + 0.5) / height
     xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
     ndc_x = xx * 2.0 - 1.0
     ndc_y = 1.0 - yy * 2.0
     vx = ndc_x / proj[0, 0]
     vy = ndc_y / proj[1, 1]
-    ones = jnp.ones((height, width), jnp.float32)
+    ones = jnp.ones((out_h, width), jnp.float32)
     view_ray = jnp.stack([vx * ones, vy * ones, ones], axis=-1)
     # view space -> world: rotate by the inverse (transpose) of the view
     # rotation (row-vector convention: world = view_ray @ R^T with R = view[:3,:3]).

@@ -26,19 +26,25 @@ def _wrap_index(i: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
 
 
 def uv_screen_lod(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
-                  same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray) -> jnp.ndarray:
+                  same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray,
+                  uv_above: jnp.ndarray | None = None,
+                  uv_below: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-pixel LOD from screen-space UV derivatives.
 
     uv: (H, W, 2).  base_w/base_h: (H, W) mip-0 texture size per pixel.
     same_tri_x/y: (H, W) bool -- whether the +x / +y neighbor belongs to the
     same triangle (derivatives across triangle edges are garbage; we fall
     back to the other direction or 0, akin to GPU quad helper lanes).
+
+    uv_above/uv_below: (1, W, 2) optional true neighbor rows when uv is a
+    row slab of a larger frame (sharded rendering); default = edge rows
+    (the frame-boundary behavior).
     """
     dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
-    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :])
+    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :] if uv_below is None else uv_below)
     # Backward difference where the forward neighbor crosses a triangle edge.
     bx = jnp.diff(uv, axis=1, prepend=uv[:, :1, :])
-    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :])
+    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :] if uv_above is None else uv_above)
     dx = jnp.where(same_tri_x[..., None], dx, bx)
     dy = jnp.where(same_tri_y[..., None], dy, by)
     sz = jnp.stack([base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)

@@ -61,15 +61,22 @@ def _use_pallas(settings: RenderSettings) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _dispatch_raster(setup, width, height, tile_h, tile_w, chunk, depth_mode, settings):
+def _dispatch_raster(
+    setup, width, height, tile_h, tile_w, chunk, depth_mode, settings, y_offset=0
+):
     """Returns (depth, tri_id, stats) -- stats carries the binned path's
-    overflow counters (zeros on the exhaustive XLA path, which never drops)."""
+    overflow counters (zeros on the exhaustive XLA path, which never drops).
+
+    y_offset (traced ok) renders rows [y_offset, y_offset+height) in GLOBAL
+    pixel coordinates, so a sharded slab render is bit-identical to the
+    corresponding rows of the full-frame render."""
     if _use_pallas(settings):
         from ..ops.pallas_raster import rasterize_binned
 
         return rasterize_binned(
             setup, width, height,
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
+            y_offset=y_offset,
             max_span=settings.bin_max_span,
             budget_factor=settings.bin_budget_factor,
             mid_divisor=settings.bin_mid_divisor,
@@ -78,6 +85,7 @@ def _dispatch_raster(setup, width, height, tile_h, tile_w, chunk, depth_mode, se
     depth, tri_id = rasterize(
         setup, width, height,
         tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
+        y_offset=y_offset,
     )
     zero = jnp.zeros((), jnp.int32)
     return depth, tri_id, {"pair_overflow": zero, "giant_truncated": zero}
@@ -89,13 +97,23 @@ def raster_opaque(
     pix_h: jnp.ndarray,
     tri_mask: jnp.ndarray,
     settings: RenderSettings,
+    dist=None,
 ):
+    """Visibility raster over the full frame, or over this device's row slab
+    when ``dist`` is sharded (traced y_offset, global pixel coordinates --
+    bit-identical to the full-frame render; parallel/dist.py)."""
     setup = triangle_setup_expanded(
         pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
     )
+    out_h = settings.height
+    y_off = 0
+    if dist is not None and dist.n_dev > 1:
+        out_h = dist.slab_h
+        y_off = dist.row0
     return _dispatch_raster(
-        setup, settings.width, settings.height,
-        settings.tile_h, settings.tile_w, settings.chunk, DEPTH_MAX, settings,
+        setup, settings.width, out_h,
+        min(settings.tile_h, out_h), settings.tile_w, settings.chunk,
+        DEPTH_MAX, settings, y_offset=y_off,
     )
 
 
@@ -104,9 +122,12 @@ def raster_shadow(
     light_view_proj: jnp.ndarray,
     tri_mask: jnp.ndarray,
     settings: RenderSettings,
+    dist=None,
 ):
     """Depth-only shadow raster: CULL_FRONT + LESS_EQUAL over a standard-Z
-    ortho projection (``Renderer.cpp:271-296``)."""
+    ortho projection (``Renderer.cpp:271-296``).  Sharded: each device
+    rasterizes a row slab of the map, then ``all_gather`` assembles the full
+    map on every device (every receiver samples everywhere)."""
     size = settings.shadow_map_size
     hom = jnp.concatenate(
         [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
@@ -114,10 +135,19 @@ def raster_shadow(
     clip = hom @ light_view_proj
     pix_h = viewport_homogeneous(clip, size, size)
     setup = triangle_setup_expanded(pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size)
+    out_h = size
+    y_off = 0
+    if dist is not None and dist.n_dev > 1:
+        assert size % dist.n_dev == 0, "shadow map must divide across the mesh"
+        out_h = size // dist.n_dev
+        y_off = jax.lax.axis_index(dist.axis) * out_h
     depth, _, _stats = _dispatch_raster(
-        setup, size, size,
-        settings.tile_h, settings.tile_w, settings.shadow_chunk, DEPTH_MIN, settings,
+        setup, size, out_h,
+        min(settings.tile_h, out_h), settings.tile_w, settings.shadow_chunk,
+        DEPTH_MIN, settings, y_offset=y_off,
     )
+    if dist is not None and dist.n_dev > 1:
+        depth = dist.all_gather_rows(depth)
     return depth
 
 
@@ -129,6 +159,7 @@ def raster_masked_combine(
     depth: jnp.ndarray,
     tri_id: jnp.ndarray,
     settings: RenderSettings,
+    dist=None,
 ):
     """Rasterize alpha-masked geometry with an in-raster alpha test, then
     depth-combine with the opaque visibility buffer.
@@ -140,6 +171,11 @@ def raster_masked_combine(
     setup = triangle_setup_expanded(
         pix_h, clip[:, 2], masked_mask, CULL_BACK, settings.width, settings.height
     )
+    out_h = settings.height
+    y_off = 0
+    if dist is not None and dist.n_dev > 1:
+        out_h = dist.slab_h
+        y_off = dist.row0
 
     # Per-triangle alpha inputs. The KHR transform is affine in uv, so it
     # folds into the per-vertex uvs and interpolates linearly.  Interpolation
@@ -187,6 +223,8 @@ def raster_masked_combine(
         scene.alpha_cutoff[model],
         scene,
         settings,
+        out_h,
+        y_off,
     )
     take_masked = m_depth > depth
     depth = jnp.where(take_masked, m_depth, depth)
@@ -206,10 +244,13 @@ def _rasterize_alpha(
     cutoff: jnp.ndarray,
     scene: DeviceScene,
     settings: RenderSettings,
+    out_h: int | None = None,
+    y_offset=0,
 ):
-    """Tile raster like ops.raster.rasterize with per-candidate alpha test."""
-    width, height = settings.width, settings.height
-    tile_h, tile_w = settings.tile_h, settings.tile_w
+    """Tile raster like ops.raster.rasterize with per-candidate alpha test.
+    out_h + y_offset (traced ok) render a row slab in global coordinates."""
+    width, height = settings.width, out_h or settings.height
+    tile_h, tile_w = min(settings.tile_h, height), settings.tile_w
     chunk = settings.chunk
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
@@ -247,7 +288,7 @@ def _rasterize_alpha(
     yy = jnp.arange(tile_h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(tile_w, dtype=jnp.float32)[None, :]
     qx0 = tx_idx[:, None, None] * tile_w + xx[None] + 0.5
-    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5
+    qy0 = ty_idx[:, None, None] * tile_h + yy[None] + 0.5 + jnp.asarray(y_offset, jnp.float32)
     qx = jnp.broadcast_to(qx0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
     qy = jnp.broadcast_to(qy0, (n_tiles, tile_h, tile_w)).reshape(n_tiles, pix)
 
@@ -329,6 +370,9 @@ def resolve_materials(
     pix_h: jnp.ndarray,
     tri_id: jnp.ndarray,
     settings: RenderSettings,
+    row0=0,
+    next_tri_row: jnp.ndarray | None = None,
+    row_halo=None,
 ):
     """Visibility buffer -> interpolated attributes + sampled material values.
 
@@ -344,7 +388,11 @@ def resolve_materials(
     """
     from . import packing as PK
 
-    width, height = settings.width, settings.height
+    # height from the visibility buffer: callers may resolve a row slab
+    # (sharded rendering) by passing a slab tri_id image + its first global
+    # row in row0 (traced ok); pixel centers stay in global coordinates so
+    # the interpolation is bit-identical to the full-frame resolve
+    width, height = settings.width, tri_id.shape[0]
     t_count = scene.tri_geo.shape[0]
 
     # ONE (T, 128) record gather: [9 pix_h | 48 tri_geo | 64 tri_mrec | 7 pad]
@@ -370,7 +418,7 @@ def resolve_materials(
     p1 = av[..., 3:6]
     p2 = av[..., 6:9]
 
-    yy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    yy = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.asarray(row0, jnp.float32)
     xx = jnp.arange(width, dtype=jnp.float32)[None, :]
     qx = xx + 0.5
     qy = yy + 0.5
@@ -410,8 +458,11 @@ def resolve_materials(
     uv_rot = M(PK.M_UVROT, 8)
     rects = M(PK.M_RECT, 16)
 
+    # forward-difference LOD neighbors; sharded callers pass the true row
+    # below the slab (ppermute) so seam rows pick the same mip as single-chip
+    append_y = tri_id[-1:, :] if next_tri_row is None else next_tri_row
     same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
-    same_y = jnp.diff(tri_id, axis=0, append=tri_id[-1:, :]) == 0
+    same_y = jnp.diff(tri_id, axis=0, append=append_y) == 0
 
     quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
     atlas_width = scene.quad_img.shape[1]
@@ -422,12 +473,16 @@ def resolve_materials(
         )
         rect0 = rects[..., slot * 4 : slot * 4 + 4]
         scale = uv_os[..., slot * 4 + 2 : slot * 4 + 4]
+        # sharded: true neighbor rows for the y derivatives at slab seams
+        ua, ub = row_halo(suv) if row_halo is not None else (None, None)
         lod = tex.uv_screen_lod(
             suv,
             rect0[..., 2] * jnp.abs(scale[..., 0]),
             rect0[..., 3] * jnp.abs(scale[..., 1]),
             same_x,
             same_y,
+            uv_above=ua,
+            uv_below=ub,
         )
         if settings.texture_filter == "bilinear":
             level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)

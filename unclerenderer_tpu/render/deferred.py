@@ -32,7 +32,14 @@ from ..ops import pbr
 from ..ops import texture as tex
 from ..ops.cull import frustum_cull, occlusion_cull
 from ..ops.hzb import build_hzb, hzb_layout
-from ..ops.post import auto_exposure_ev, cas_sharpen, temporal_aa, tonemap
+from ..ops.post import (
+    auto_exposure_ev,
+    cas_sharpen,
+    ev_adapt,
+    pooled_log_luminance_slab,
+    temporal_aa,
+    tonemap,
+)
 from ..ops.shadow import pack_shadow9, shadow_factor_packed
 from ..ops.sky import apply_atmosphere, sky_view_directions
 from . import common
@@ -45,8 +52,21 @@ def deferred_frame(
     state: FrameState,
     settings: RenderSettings,
     shadow_map: jnp.ndarray | None = None,
+    dist=None,
 ) -> tuple[dict, FrameState]:
+    """The ONE deferred frame implementation.  ``dist`` supplies the
+    collective hooks (parallel/dist.py): the default SingleChip renders the
+    whole frame; a RowShards instance (inside shard_map, see
+    parallel/multichip.py) renders this device's row slab with identical
+    math -- the shadow map and HZB source depth are all_gather'd, exposure
+    pooling is psum'd, TAA/CAS neighborhoods halo-exchange at slab seams."""
+    if dist is None:
+        from ..parallel.dist import SingleChip
+
+        dist = SingleChip(settings.height)
+    sharded = dist.n_dev > 1
     width, height = settings.width, settings.height
+    slab_h = dist.slab_h
     layout, _total = hzb_layout(width // 2, height // 2)
 
     # --- 1. GPU culling (unjittered camera VP, like BuildCameraFrustumPlanes)
@@ -83,7 +103,7 @@ def deferred_frame(
         if shadow_map is None:
             cast_o, cast_m = common.tri_draw_masks(scene, params.model_visible)
             shadow_map = common.raster_shadow(
-                scene, params.light_view_proj, cast_o | cast_m, settings
+                scene, params.light_view_proj, cast_o | cast_m, settings, dist
             )
         shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
@@ -92,17 +112,26 @@ def deferred_frame(
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
     depth, tri_id, raster_stats = common.raster_opaque(
-        scene, clip, pix_h, opaque_mask, settings
+        scene, clip, pix_h, opaque_mask, settings, dist
     )
     if settings.has_masked_models:
         depth, tri_id = common.raster_masked_combine(
-            scene, clip, pix_h, masked_mask, depth, tri_id, settings
+            scene, clip, pix_h, masked_mask, depth, tri_id, settings, dist
         )
+    raster_stats = {k: dist.psum(v) for k, v in raster_stats.items()}
 
-    g = common.resolve_materials(scene, pix_h, tri_id, settings)
+    g = common.resolve_materials(
+        scene, pix_h, tri_id, settings, row0=dist.row0,
+        next_tri_row=dist.row_below(tri_id) if sharded else None,
+        row_halo=(lambda x: (dist.row_above(x), dist.row_below(x))) if sharded else None,
+    )
 
-    # --- 6. HZB for next frame
-    new_hzb = build_hzb(depth, layout) if settings.enable_hzb else state.hzb
+    # --- 6. HZB for next frame (sharded: built replicated from the
+    # all_gather'd depth slabs so next frame's culling sees the full screen)
+    if settings.enable_hzb:
+        new_hzb = build_hzb(dist.all_gather_rows(depth), layout)
+    else:
+        new_hzb = state.hzb
 
     # --- 7. lighting (DeferredLighting.hlsl, view-space)
     view3 = params.view[:3, :3]
@@ -171,36 +200,57 @@ def deferred_frame(
     # --- 8. sky on empty pixels (depth GE test semantics)
     if settings.enable_sky:
         view_dir = sky_view_directions(
-            width, height, params.camera_pos, params.view, params.proj_unjittered
+            width, height, params.camera_pos, params.view, params.proj_unjittered,
+            row0=dist.row0, out_h=slab_h,
         )
         bg = apply_atmosphere(view_dir, params.camera_pos, params.light_dir, params.light_color)
     else:
-        bg = jnp.broadcast_to(params.background, (height, width, 3))
+        bg = jnp.broadcast_to(params.background, (slab_h, width, 3))
     valid = g["valid"][..., None]
     hdr = jnp.where(valid, lighting, bg)
 
-    # --- 9. TAA
+    # --- 9. TAA (sharded: ppermute halo rows so slab seams clamp against
+    # their true neighbors)
+    pad_fn = dist.halo2d if sharded else None
     if settings.enable_taa:
-        hdr = temporal_aa(hdr, state.taa_history, params.taa_history_weight, state.taa_valid)
+        hdr = temporal_aa(
+            hdr, state.taa_history, params.taa_history_weight, state.taa_valid,
+            pad_fn=pad_fn,
+        )
         new_history = hdr
         new_taa_valid = jnp.array(True)
     else:
         new_history = state.taa_history
         new_taa_valid = jnp.array(False)
 
-    # --- 10. auto exposure
+    # --- 10. auto exposure (sharded: per-slab partial sums of the global
+    # 16x16 luminance grid, psum'd -- exact regardless of slab alignment)
     if settings.enable_auto_exposure:
-        new_ev = auto_exposure_ev(
-            hdr,
-            state.exposure_ev,
-            state.exposure_valid,
-            params.auto_exposure_key,
-            params.auto_exposure_min,
-            params.auto_exposure_max,
-            params.auto_exposure_speed_up,
-            params.auto_exposure_speed_down,
-            params.delta_time,
-        )
+        if sharded:
+            log_avg = pooled_log_luminance_slab(hdr, dist.row0, height, dist.psum)
+            new_ev = ev_adapt(
+                log_avg,
+                state.exposure_ev,
+                state.exposure_valid,
+                params.auto_exposure_key,
+                params.auto_exposure_min,
+                params.auto_exposure_max,
+                params.auto_exposure_speed_up,
+                params.auto_exposure_speed_down,
+                params.delta_time,
+            )
+        else:
+            new_ev = auto_exposure_ev(
+                hdr,
+                state.exposure_ev,
+                state.exposure_valid,
+                params.auto_exposure_key,
+                params.auto_exposure_min,
+                params.auto_exposure_max,
+                params.auto_exposure_speed_up,
+                params.auto_exposure_speed_down,
+                params.delta_time,
+            )
         new_exposure_valid = jnp.array(True)
     else:
         new_ev = state.exposure_ev
@@ -216,9 +266,12 @@ def deferred_frame(
         params.tonemap_gamma,
     )
 
-    # --- 12. CAS (can overshoot slightly; the UNORM backbuffer clamps)
+    # --- 12. CAS (can overshoot slightly; the UNORM backbuffer clamps).
+    # Sharded: same halo exchange as TAA, so seam pixels sharpen exactly.
     if settings.enable_cas:
-        color = jnp.clip(cas_sharpen(color, params.cas_sharpness), 0.0, 1.0)
+        color = jnp.clip(
+            cas_sharpen(color, params.cas_sharpness, pad_fn=pad_fn), 0.0, 1.0
+        )
 
     object_id = jnp.where(g["valid"], g["object_id_f"].astype(jnp.uint32), jnp.uint32(0))
 

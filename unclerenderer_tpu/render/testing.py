@@ -110,7 +110,14 @@ def synthetic_scene_data(n_objects: int = 4, seed: int = 0) -> SceneData:
     return data
 
 
-def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool = True) -> DeviceScene:
+def synthetic_device_scene(
+    n_objects: int = 4,
+    seed: int = 0,
+    with_texture: bool = True,
+    with_masked: bool = False,
+) -> DeviceScene:
+    """with_masked gives every 4th model (starting at 1) an alpha-cutout
+    checker texture + MASK alpha mode, exercising the masked raster path."""
     data = synthetic_scene_data(n_objects, seed)
     n = data.num_models
     chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]
@@ -120,6 +127,14 @@ def synthetic_device_scene(n_objects: int = 4, seed: int = 0, with_texture: bool
         chains.append(generate_mips(default_grid_texture(64)))
         tex_ids[::2, 0] = 1
         has_map[::2, 0] = True
+    if with_masked and n > 1:
+        cut = default_grid_texture(32)
+        yy, xx = np.mgrid[0:32, 0:32]
+        cut[..., 3] = (((yy // 8) + (xx // 8)) % 2).astype(np.float32)
+        chains.append(generate_mips(cut))
+        tex_ids[1::4, 0] = len(chains) - 1
+        has_map[1::4, 0] = True
+        data.alpha_mode[1::4] = 1
     quad_img, rect0 = build_pyramid_quad_atlas(chains)
     from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
 
