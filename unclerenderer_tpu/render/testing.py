@@ -18,7 +18,13 @@ from ..textures.image import default_grid_texture, generate_mips, solid_color_te
 from .params import DeviceScene
 
 
-def synthetic_scene_data(n_objects: int = 4, seed: int = 0) -> SceneData:
+def synthetic_scene_data(
+    n_objects: int = 4, seed: int = 0, sphere_res: tuple = (12, 8), ground: bool = False
+) -> SceneData:
+    """sphere_res scales per-object triangle count (Sponza-class tiers);
+    ground adds a scene-sized floor + back wall from a handful of GIANT
+    triangles (the Sponza walls/floor workload for the raster's third level).
+    """
     rng = np.random.default_rng(seed)
     data = SceneData()
     pos_parts, nrm_parts, tan_parts, uv_parts, col_parts = [], [], [], [], []
@@ -29,7 +35,7 @@ def synthetic_scene_data(n_objects: int = 4, seed: int = 0) -> SceneData:
     scene_max = np.full(3, -np.inf, np.float32)
     side = max(1, int(np.ceil(np.sqrt(n_objects))))
     for i in range(n_objects):
-        mesh = create_cube(1.0) if i % 2 == 0 else create_sphere(0.6, 12, 8)
+        mesh = create_cube(1.0) if i % 2 == 0 else create_sphere(0.6, *sphere_res)
         gx, gz = i % side, i // side
         world = m.rotation_y(rng.uniform(0, 2 * np.pi)) @ m.translation(
             [gx * 2.0 - side, 0.0, gz * 2.0 + 2.0]
@@ -71,6 +77,49 @@ def synthetic_scene_data(n_objects: int = 4, seed: int = 0) -> SceneData:
         scene_max = np.maximum(scene_max, bmax_w)
         v_off += mesh.position.shape[0]
         t_off += tris.shape[0]
+
+    if ground:
+        # floor + back wall: few triangles spanning much of the screen (the
+        # giant-triangle raster level; Sponza's floor/walls equivalent)
+        ext = side * 2.5
+        for j, (scale, offset) in enumerate(
+            [((ext, 0.05, ext), (0.0, -1.0, ext * 0.4)),
+             ((ext, ext * 0.5, 0.05), (0.0, 0.0, ext * 0.9))]
+        ):
+            mesh = create_cube(1.0)
+            world = np.diag(list(scale) + [1.0]).astype(np.float32) @ m.translation(offset)
+            center_l, radius_l, bmin_l, bmax_l = compute_mesh_bounds(mesh)
+            bmin_w, bmax_w = m.transform_aabb(bmin_l, bmax_l, world)
+            hom = np.concatenate(
+                [mesh.position, np.ones((mesh.position.shape[0], 1), np.float32)], 1
+            )
+            pos_parts.append((hom @ world)[:, :3].astype(np.float32))
+            nrm = mesh.normal @ world[:3, :3]
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+            nrm_parts.append(nrm.astype(np.float32))
+            t3 = mesh.tangent[:, :3] @ world[:3, :3]
+            t3 /= np.maximum(np.linalg.norm(t3, axis=1, keepdims=True), 1e-20)
+            tan_parts.append(np.concatenate([t3, mesh.tangent[:, 3:4]], 1).astype(np.float32))
+            uv_parts.append(mesh.uv)
+            col_parts.append(mesh.color)
+            tris = mesh.indices.reshape(-1, 3).astype(np.uint32) + np.uint32(v_off)
+            tri_parts.append(tris)
+            idx = n_objects + j
+            tri_model_parts.append(np.full(tris.shape[0], idx, np.uint32))
+            mat = GltfMaterial()
+            mat.base_color_factor = np.array([0.6, 0.55, 0.5], np.float32)
+            mat.roughness_factor = 0.9
+            data.models.append(SceneModel(
+                name=f"ground_{j}", object_id=idx + 1, world=world.astype(np.float32),
+                center=((np.append(center_l, 1.0) @ world)[:3]).astype(np.float32),
+                radius=float(radius_l * max(scale)), bounds_min=bmin_w, bounds_max=bmax_w,
+                visible=True, material=mat, tri_start=t_off, tri_count=int(tris.shape[0]),
+            ))
+            data.texture_paths.append(("", "", "", ""))
+            scene_min = np.minimum(scene_min, bmin_w)
+            scene_max = np.maximum(scene_max, bmax_w)
+            v_off += mesh.position.shape[0]
+            t_off += tris.shape[0]
 
     position = np.concatenate(pos_parts)
     normal = np.concatenate(nrm_parts)
@@ -115,10 +164,12 @@ def synthetic_device_scene(
     seed: int = 0,
     with_texture: bool = True,
     with_masked: bool = False,
+    sphere_res: tuple = (12, 8),
+    ground: bool = False,
 ) -> DeviceScene:
     """with_masked gives every 4th model (starting at 1) an alpha-cutout
     checker texture + MASK alpha mode, exercising the masked raster path."""
-    data = synthetic_scene_data(n_objects, seed)
+    data = synthetic_scene_data(n_objects, seed, sphere_res=sphere_res, ground=ground)
     n = data.num_models
     chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]
     tex_ids = np.zeros((n, 4), np.int32)
