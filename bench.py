@@ -62,9 +62,14 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground):
         synthetic_frame_params,
     )
 
+    import dataclasses
+
     scene, data = synthetic_device_scene(
         n_objects, sphere_res=sphere_res, ground=ground
     )
+    # the synthetic scene has no MASK materials; skip the masked pass like
+    # the Renderer does for such scenes (static setting)
+    settings = dataclasses.replace(settings, has_masked_models=False)
     params = synthetic_frame_params(data, WIDTH, HEIGHT)
     state_box = [FrameState.initial(WIDTH, HEIGHT)]
     frame = jax.jit(functools.partial(deferred_frame, settings=settings))

@@ -266,3 +266,94 @@ def test_combined_material_atlas_equivalence(reference_assets):
         assert r.device_scene.quad_img.shape[-1] == (64 if mode else 16)
         imgs[mode] = np.asarray(r.render_frame()["color"])
     np.testing.assert_allclose(imgs[True], imgs[False], atol=1e-5)
+
+
+def test_scene_fallback_and_config_side_effects(tmp_path):
+    """Load-failure fallback ladder (DeferredRenderer.cpp:259-293 analog) +
+    honored config keys: a missing scene renders the procedural default, the
+    task system honors UseTaskSystem=0, and GpuTiming feeds stats()."""
+    from unclerenderer_tpu.core.config import RendererConfig
+    from unclerenderer_tpu.core import tasks
+
+    cfg = RendererConfig()
+    cfg.use_task_system = False
+    cfg.enable_gpu_timing = True
+    cfg.window_width = cfg.window_height = 64
+    s = RenderSettings(renderer_type="forward", enable_ibl=False, enable_sky=False,
+                       enable_shadows=False, **SMALL)
+    try:
+        r = Renderer(tmp_path / "does_not_exist.json", settings=s, config=cfg)
+        out = r.render_frame()
+        assert (np.asarray(out["tri_id"]) >= 0).sum() > 20  # default scene drawn
+        st = r.stats()
+        assert "frame_timing" in st and st["frame_timing"][0]["name"] == "Frame"
+    finally:
+        tasks.set_task_system_enabled(True)
+
+
+def test_graph_dump(reference_assets, tmp_path, monkeypatch):
+    from unclerenderer_tpu.core.config import RendererConfig
+
+    monkeypatch.chdir(tmp_path)
+    cfg = RendererConfig()
+    cfg.enable_graph_dump = True
+    s = RenderSettings(renderer_type="deferred", enable_ibl=False, **SMALL)
+    r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s, config=cfg)
+    r.render_frame()
+    dump = tmp_path / "render_graph_dump.txt"
+    assert dump.is_file() and dump.stat().st_size > 1000
+
+
+def test_masked_binned_matches_bruteforce():
+    """The binned masked-alpha raster (production) must reproduce the
+    exhaustive reference path exactly -- same alpha-tested coverage, depth,
+    and ids -- including big masked triangles that spill to the coarse
+    level (camera close to a masked sphere).
+
+    Note: exactness holds because both paths evaluate the same linear
+    forms; under different XLA fusion an isolated pixel right at the
+    alpha cutoff can flip coverage (observed: 1 px per frame at other
+    camera angles).  This camera has no borderline pixel, so the
+    assertion stays exact as a regression gate."""
+    import dataclasses
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="deferred", enable_ibl=False, enable_sky=False,
+        has_masked_models=True, width=256, height=256, shadow_map_size=64,
+        tile_h=16, tile_w=64, chunk=32, shadow_chunk=32, raster_backend="xla",
+    )
+    scene, data = synthetic_device_scene(8, with_masked=True)
+    # close to masked model 1 so its triangles span many tiles
+    params = synthetic_frame_params(
+        data, 256, 256, camera_pos=tuple(np.asarray(data.models[1].center) + [0.0, 0.3, -1.1])
+    )
+    state = FrameState.initial(256, 256)
+
+    outs = {}
+    for cap in (0, -1, 384):  # brute force, binned-full, binned-compacted
+        # (384 = the scene's exact masked count; the Renderer sizes the cap)
+        s = dataclasses.replace(base, masked_tri_cap=cap)
+        out, _ = jax.jit(lambda sc, p, st: deferred_frame(sc, p, st, s))(
+            scene, params, state
+        )
+        outs[cap] = out
+    ref = outs[0]
+    assert (np.asarray(ref["tri_id"]) >= 0).sum() > 100
+    masked_ids = np.nonzero(np.asarray(scene.alpha_mode) == 1)[0]
+    tri_models = np.asarray(scene.tri_model)[np.asarray(ref["tri_id"]).clip(0)]
+    visible_masked = np.isin(tri_models, masked_ids) & (np.asarray(ref["tri_id"]) >= 0)
+    assert visible_masked.sum() > 50  # masked geometry actually on screen
+    for cap in (-1, 384):
+        np.testing.assert_array_equal(
+            np.asarray(outs[cap]["tri_id"]), np.asarray(ref["tri_id"]),
+            err_msg=f"cap={cap}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs[cap]["depth"]), np.asarray(ref["depth"]),
+            err_msg=f"cap={cap}",
+        )

@@ -65,7 +65,7 @@ def main(argv=None) -> int:
         enable_auto_exposure=cfg.enable_auto_exposure,
         enable_taa=cfg.enable_taa,
         enable_cas=cfg.enable_cas,
-        enable_depth_prepass=cfg.use_depth_prepass,
+        enable_gpu_culling=cfg.enable_indirect_draw,
     )
 
     renderer = Renderer(args.scene, settings=settings, config=cfg)

@@ -14,6 +14,15 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Sequence
 
 _scheduler: ThreadPoolExecutor | None = None
+_enabled = True
+
+
+def set_task_system_enabled(flag: bool) -> None:
+    """Honors the UseTaskSystem config key: when off, schedule_task and
+    parallel_map run synchronously on the caller (the reference's
+    task-system-disabled fallback, ``Application.cpp:1025-1038``)."""
+    global _enabled
+    _enabled = bool(flag)
 
 
 def get_scheduler() -> ThreadPoolExecutor:
@@ -27,13 +36,24 @@ def get_scheduler() -> ThreadPoolExecutor:
 
 
 def schedule_task(fn: Callable, *args, **kwargs):
-    """Fire-and-collect single task (``FTaskScheduler::ScheduleTask``)."""
+    """Fire-and-collect single task (``FTaskScheduler::ScheduleTask``).
+    Runs inline (returning an already-completed future) when the task
+    system is disabled."""
+    if not _enabled:
+        from concurrent.futures import Future
+
+        f: Future = Future()
+        try:
+            f.set_result(fn(*args, **kwargs))
+        except BaseException as e:  # noqa: BLE001 - mirror executor behavior
+            f.set_exception(e)
+        return f
     return get_scheduler().submit(fn, *args, **kwargs)
 
 
 def parallel_map(fn: Callable, items: Sequence, use_tasks: bool = True) -> list:
     """``FParallelFor::Execute`` analog; falls back to serial like the
     reference's task-system-disabled path."""
-    if not use_tasks or len(items) <= 1:
+    if not _enabled or not use_tasks or len(items) <= 1:
         return [fn(it) for it in items]
     return list(get_scheduler().map(fn, items))

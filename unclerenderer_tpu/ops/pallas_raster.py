@@ -248,6 +248,7 @@ def _binned_kernel(
     tile_w: int,
     chunk: int,
     n_tx: int,
+    debug_print: bool = False,
 ):
     b = pl.program_id(0)
     pix = tile_h * tile_w
@@ -258,6 +259,10 @@ def _binned_kernel(
         id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
 
     t = blk_tile_ref[b]
+    if debug_print:
+        # device-side printf (GpuDebugPrint.hlsl analog), compiled in only
+        # when RenderSettings.kernel_debug_print is set
+        pl.debug_print("binned raster: block {} -> tile {}", b, t)
     ty = t // n_tx
     tx = t % n_tx
     x0 = (tx * tile_w).astype(jnp.float32)
@@ -290,7 +295,10 @@ def _binned_kernel(
     )
 
 
-def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, interpret=False):
+def _run_binned_kernel(
+    bins, width, height, tile_h, tile_w, chunk, y_offset,
+    interpret=False, debug_print=False,
+):
     """Launch the binned kernel for one level; returns (key_img, id_img)
     cropped to (height, width), key = -1 where empty."""
     pad_w = -(-width // tile_w) * tile_w
@@ -319,6 +327,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, int
         tile_w=tile_w,
         chunk=chunk,
         n_tx=n_tx,
+        debug_print=debug_print,
     )
     yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
     best_key, best_id = pl.pallas_call(
@@ -353,7 +362,7 @@ def _run_binned_kernel(bins, width, height, tile_h, tile_w, chunk, y_offset, int
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
-        "mid_divisor", "giant_divisor", "interpret",
+        "mid_divisor", "giant_divisor", "interpret", "debug_print",
     ),
 )
 def rasterize_binned(
@@ -373,6 +382,7 @@ def rasterize_binned(
     mid_divisor: int = 8,
     giant_divisor: int = 32,
     interpret: bool = False,
+    debug_print: bool = False,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -404,7 +414,7 @@ def rasterize_binned(
         max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
     )
     key_img, id_img = _run_binned_kernel(
-        bins, width, height, tile_h, tile_w, chunk, y_offset, interpret
+        bins, width, height, tile_h, tile_w, chunk, y_offset, interpret, debug_print
     )
 
     t_count = setup.coef.shape[0]

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..ops import pbr
 from ..ops import texture as tex
 from ..ops.raster import (
+    COEF_COLS,
     CULL_BACK,
     CULL_FRONT,
     DEPTH_MAX,
@@ -81,6 +82,7 @@ def _dispatch_raster(
             budget_factor=settings.bin_budget_factor,
             mid_divisor=settings.bin_mid_divisor,
             giant_divisor=settings.bin_giant_divisor,
+            debug_print=settings.kernel_debug_print,
         )
     depth, tri_id = rasterize(
         setup, width, height,
@@ -211,7 +213,7 @@ def raster_masked_combine(
 
     from . import packing as PK
 
-    m_depth, m_tri = _rasterize_alpha(
+    alpha_args = (
         setup,
         num_u,
         num_v,
@@ -226,6 +228,10 @@ def raster_masked_combine(
         out_h,
         y_off,
     )
+    if settings.masked_tri_cap != 0:
+        m_depth, m_tri = _rasterize_alpha_binned(*alpha_args)
+    else:
+        m_depth, m_tri = _rasterize_alpha(*alpha_args)
     take_masked = m_depth > depth
     depth = jnp.where(take_masked, m_depth, depth)
     tri_id = jnp.where(take_masked, m_tri, tri_id)
@@ -363,6 +369,243 @@ def _rasterize_alpha(
         .reshape(pad_h, pad_w)[:height, :width]
     )
     return depth, tri_id
+
+
+def _rasterize_alpha_binned(
+    setup: RasterSetup,
+    num_u: jnp.ndarray,
+    num_v: jnp.ndarray,
+    num_ca: jnp.ndarray,
+    num_1: jnp.ndarray,
+    base_rect0: jnp.ndarray,
+    has_base: jnp.ndarray,
+    alpha_scale: jnp.ndarray,
+    cutoff: jnp.ndarray,
+    scene: DeviceScene,
+    settings: RenderSettings,
+    out_h: int | None = None,
+    y_offset=0,
+):
+    """Binned alpha-masked raster: the production path.
+
+    The exhaustive ``_rasterize_alpha`` evaluates (and texture-taps!) every
+    (tile, pixel, candidate) triple -- quadratic in scene size.  Here masked
+    triangles first compact to a small static list (the scene's masked count
+    is static; ``RenderSettings.masked_tri_cap``), then bin to tiles
+    (ops/binning.py), so alpha-test taps scale with actual masked coverage:
+    (blocks x tile pixels x chunk).  Per-tile block lists merge with
+    segment reductions (max depth key, min id on ties -- identical
+    tie-breaking to the opaque kernels).  Reference: MASK materials ride the
+    same binned pipeline with pixel clip (``DeferredBasePass.hlsl`` bit4).
+    """
+    from ..ops.binning import bin_triangles
+
+    width, height = settings.width, out_h or settings.height
+    chunk = min(settings.chunk, 64)
+    t_count = setup.coef.shape[0]
+    yoff = jnp.asarray(y_offset, jnp.float32)
+    quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
+    atlas_width = scene.quad_img.shape[1]
+    big_sentinel = jnp.int32(0x7FFFFFFF)
+
+    def compact(mask, cap):
+        """Order-preserving packed-sort compaction (global ids in sel)."""
+        n = mask.shape[0]
+        idx_bits = max((n - 1).bit_length(), 1)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        packed = jnp.where(mask, 0, jnp.int32(1 << idx_bits)) + iota
+        sp = jnp.sort(packed)[: -(-cap // chunk) * chunk]
+        sel = sp & jnp.int32((1 << idx_bits) - 1)
+        return sel, sp < jnp.int32(1 << idx_bits)
+
+    cap = settings.masked_tri_cap
+    if 0 < cap < t_count:
+        sel, sel_valid = compact(setup.valid, cap)
+        lvl_setup = RasterSetup(
+            coef=setup.coef[sel], valid=sel_valid, bbox=setup.bbox[:, sel]
+        )
+        # searchsorted keys must be ascending: the invalid tail of sel
+        # restarts at small ids, so replace it with an out-of-range sentinel
+        arec_ids = jnp.where(sel_valid, sel, jnp.int32(t_count))
+        gather = lambda x: x[sel]
+        tri_ids = sel
+    else:
+        lvl_setup = setup
+        arec_ids = None
+        gather = lambda x: x
+        tri_ids = None
+
+    # one packed alpha record per (compacted) triangle: interp numerators
+    # (u, v, vertex-alpha, 1/w), base rect, has/scale/cutoff
+    arec = jnp.concatenate(
+        [
+            gather(num_u), gather(num_v), gather(num_ca), gather(num_1),
+            gather(base_rect0),
+            gather(has_base.astype(jnp.float32))[:, None],
+            gather(alpha_scale)[:, None],
+            gather(cutoff)[:, None],
+        ],
+        axis=1,
+    )  # (T', 19)
+
+    def eval_level(bins, tile_h, tile_w, lvl_chunk):
+        """Alpha-tested per-block raster + per-tile segment merge ->
+        (depth, tri_id) images for one binning level."""
+        pad_w = -(-width // tile_w) * tile_w
+        pad_h = -(-height // tile_h) * tile_h
+        n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
+        n_tiles = n_ty * n_tx
+        pix = tile_h * tile_w
+        n_blocks = bins.coef.shape[0]
+
+        blk_global = bins.tri_id[:, 0, :]
+        if arec_ids is not None:
+            blk_rows = jnp.clip(
+                jnp.searchsorted(arec_ids, blk_global.reshape(-1))
+                .reshape(blk_global.shape).astype(jnp.int32),
+                0, arec.shape[0] - 1,
+            )
+        else:
+            blk_rows = blk_global
+        blk_arec = arec[blk_rows]  # (n_blocks, lvl_chunk, 19)
+
+        col_i = jnp.arange(pix, dtype=jnp.int32)
+        group = max(1, min(32, n_blocks))
+        n_groups = -(-n_blocks // group)
+        g_pad = n_groups * group - n_blocks
+
+        def pad0(x):
+            cfg = [(0, g_pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, cfg)
+
+        inputs = (
+            pad0(bins.coef).reshape(n_groups, group, COEF_COLS, lvl_chunk),
+            pad0(blk_arec).reshape(n_groups, group, lvl_chunk, 19),
+            pad0(blk_global).reshape(n_groups, group, lvl_chunk),
+            pad0(bins.valid[:, 0, :]).reshape(n_groups, group, lvl_chunk),
+            pad0(bins.blk_tile % n_tx).reshape(n_groups, group),
+            pad0(bins.blk_tile // n_tx).reshape(n_groups, group),
+        )
+
+        def block_step(_, inp):
+            coef, ar, tid, val, btx, bty = inp
+            qx = (
+                btx[:, None].astype(jnp.float32) * tile_w
+                + jnp.mod(col_i, tile_w).astype(jnp.float32)[None, :] + 0.5
+            )[..., None]  # (G, pix, 1)
+            qy = (
+                bty[:, None].astype(jnp.float32) * tile_h
+                + (col_i // tile_w).astype(jnp.float32)[None, :] + 0.5 + yoff
+            )[..., None]
+
+            def edge_inside(i):
+                a = coef[:, None, 0 + i, :]
+                b = coef[:, None, 3 + i, :]
+                ev = a * qx + b * qy + coef[:, None, 6 + i, :]
+                tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+                return (ev > 0.0) | ((ev == 0.0) & tl)
+
+            cov = edge_inside(0) & edge_inside(1) & edge_inside(2)
+            nz = coef[:, None, 9, :] * qx + coef[:, None, 10, :] * qy + coef[:, None, 11, :]
+            nw = coef[:, None, 12, :] * qx + coef[:, None, 13, :] * qy + coef[:, None, 14, :]
+            key = nz / jnp.where(nw != 0.0, nw, 1.0)
+            ok = cov & (nw > 0.0) & (key >= 0.0) & (key <= 1.0) & (val[:, None, :] > 0.0)
+
+            def lin(base):
+                return (
+                    ar[:, None, :, base] * qx
+                    + ar[:, None, :, base + 1] * qy
+                    + ar[:, None, :, base + 2]
+                )
+
+            denom = lin(9)
+            denom = jnp.where(denom != 0.0, denom, 1.0)
+            u = lin(0) / denom
+            v = lin(3) / denom
+            ca = lin(6) / denom
+            rect0 = jnp.broadcast_to(ar[:, None, :, 12:16], u.shape + (4,))
+            texel = tex.sample_pyramid_bilinear(
+                quad_flat, atlas_width, rect0,
+                jnp.stack([u, v], axis=-1), jnp.zeros(u.shape, jnp.int32),
+            )
+            tex_a = jnp.where(ar[:, None, :, 16] > 0.5, texel[..., 3], 1.0)
+            alpha = ar[:, None, :, 17] * ca * tex_a
+            ok = ok & (alpha >= ar[:, None, :, 18])
+
+            key = jnp.where(ok, key, -1.0)
+            k_best = jnp.max(key, axis=-1)  # (G, pix)
+            k_id = jnp.min(
+                jnp.where((key == k_best[..., None]) & ok, tid[:, None, :], big_sentinel),
+                axis=-1,
+            )
+            return None, (k_best, k_id)
+
+        _, (blk_key, blk_id) = jax.lax.scan(block_step, None, inputs)
+        blk_key = blk_key.reshape(n_groups * group, pix)[:n_blocks]
+        blk_id = blk_id.reshape(n_groups * group, pix)[:n_blocks]
+
+        # merge blocks per tile: max key, min id among key-ties (identical
+        # tie semantics to the opaque kernels)
+        tile_key = jax.ops.segment_max(
+            blk_key, bins.blk_tile, num_segments=n_tiles, indices_are_sorted=True
+        )
+        tile_key = jnp.maximum(
+            jnp.where(jnp.isfinite(tile_key), tile_key, -1.0), -1.0
+        )
+        at_best = (blk_key == tile_key[bins.blk_tile]) & (blk_key >= 0.0)
+        tile_id = jax.ops.segment_min(
+            jnp.where(at_best, blk_id, big_sentinel), bins.blk_tile,
+            num_segments=n_tiles, indices_are_sorted=True,
+        )
+        tile_key = jnp.where(bins.tile_used[:, None], tile_key, -1.0)
+
+        key_img = (
+            tile_key.reshape(n_ty, n_tx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(pad_h, pad_w)[:height, :width]
+        )
+        id_img = (
+            tile_id.reshape(n_ty, n_tx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(pad_h, pad_w)[:height, :width]
+        )
+        return key_img, id_img
+
+    # level 1: scene tiles
+    tile_h = min(settings.tile_h, height)
+    bins = bin_triangles(
+        lvl_setup, width, height, tile_h, settings.tile_w, chunk,
+        max_span=4, budget_factor=4.0, tri_ids=tri_ids, y_offset=y_offset,
+    )
+    key_img, id_img = eval_level(bins, tile_h, settings.tile_w, chunk)
+
+    # level 2: the fine level's big triangles on coarse tiles (span 8 covers
+    # ~1024x256 px at 1080p; masked geometry is small-triangle by nature --
+    # anything larger would need the exhaustive path, counted if dropped)
+    t1 = lvl_setup.coef.shape[0]
+    cap2 = min(t1, max(chunk, -(-(t1 // 4) // chunk) * chunk))
+    sel2, sel2_valid = compact(bins.big_mask, cap2)
+    big_setup = RasterSetup(
+        coef=lvl_setup.coef[sel2], valid=sel2_valid, bbox=lvl_setup.bbox[:, sel2]
+    )
+    g2 = tri_ids[sel2] if tri_ids is not None else sel2
+    big_th = min(32, height)
+    bins2 = bin_triangles(
+        big_setup, width, height, big_th, 128, chunk,
+        max_span=8, budget_factor=2.0, tri_ids=g2, y_offset=y_offset,
+    )
+    key2, id2 = eval_level(bins2, big_th, 128, chunk)
+    take2 = key2 > key_img
+    tie2 = (key2 == key_img) & (key2 >= 0.0)
+    key_img = jnp.where(take2, key2, key_img)
+    id_img = jnp.where(
+        take2, id2, jnp.where(tie2, jnp.minimum(id2, id_img), id_img)
+    )
+
+    hit = key_img >= 0.0
+    depth = jnp.where(hit, key_img, 0.0)
+    tri = jnp.where(hit, id_img, -1)
+    return depth, tri
 
 
 def resolve_materials(

@@ -37,12 +37,18 @@ class RenderSettings:
     enable_auto_exposure: bool = True
     enable_taa: bool = True
     enable_cas: bool = True
-    enable_depth_prepass: bool = True
+    # NOTE: the reference's UseDepthPrepass has no knob here -- the
+    # visibility raster IS a fused depth prepass (depth + ids in one pass)
     enable_gpu_culling: bool = True
     enable_hzb: bool = True
     # set False when the scene has no alpha-masked models (host knows at
     # load time); skips tracing the masked raster pass entirely
     has_masked_models: bool = True
+    # masked-raster compaction cap: the Renderer sets this to the scene's
+    # exact masked-triangle count (rounded up to a chunk) so the binned
+    # masked pass works on a small static list.  -1 = binned over the full
+    # list (no compaction); 0 = the exhaustive reference path (tests)
+    masked_tri_cap: int = -1
     # which material slots (base, mr, normal, emissive) exist anywhere in the
     # scene; absent slots skip their texture taps entirely (static)
     slot_enabled: tuple = (True, True, True, True)
@@ -63,8 +69,10 @@ class RenderSettings:
     tile_h: int = 16
     tile_w: int = 64
     chunk: int = 128
-    shadow_tile: int = 128
     shadow_chunk: int = 128
+    # pl.debug_print per bin block in the Pallas raster kernels (the
+    # device-side printf analog of GpuDebugPrint.hlsl); off by default
+    kernel_debug_print: bool = False
     bin_max_span: int = 2
     bin_budget_factor: float = 3.0
     # compacted mid/giant raster level capacities = T // divisor (see

@@ -292,10 +292,13 @@ class Renderer:
                 enable_auto_exposure=cfg.enable_auto_exposure,
                 enable_taa=cfg.enable_taa,
                 enable_cas=cfg.enable_cas,
-                enable_depth_prepass=cfg.use_depth_prepass,
+                # IndirectDraw = the reference's GPU-driven culled draw path;
+                # its analog here is the in-jit frustum+HZB culling mask
+                enable_gpu_culling=cfg.enable_indirect_draw,
             )
         self.settings = settings
         self.config = cfg
+        self._apply_config_side_effects(cfg)
 
         if assets_root is None:
             assets_root = scene_path.parent.parent
@@ -304,9 +307,26 @@ class Renderer:
         t0 = time.monotonic()
         self.scene_data = build_scene(scene_path, self.assets_root)
         if self.scene_data is None:
-            raise ValueError(f"failed to load scene {scene_path}")
-        # skip the masked raster pass when no model needs it (static setting)
+            # Scene fallback ladder (the reference falls back to a default
+            # scene on load failure, DeferredRenderer.cpp:259-293): a
+            # procedural cube/sphere scene keeps the renderer alive.
+            from ..core.logging import log_error
+
+            log_error(
+                f"failed to load scene {scene_path}; falling back to the "
+                "procedural default scene"
+            )
+            from .testing import synthetic_scene_data
+
+            self.scene_data = synthetic_scene_data(4)
+        # skip the masked raster pass when no model needs it (static setting);
+        # when present, size the binned masked pass's compaction to the exact
+        # (static) masked triangle count
         has_masked = bool((self.scene_data.alpha_mode == 1).any())
+        masked_cap = 0
+        if has_masked:
+            masked_tris = (self.scene_data.alpha_mode == 1)[self.scene_data.tri_model]
+            masked_cap = -(-int(masked_tris.sum()) // 64) * 64
         slot_enabled = tuple(
             bool(any(tp[si] for tp in self.scene_data.texture_paths))
             for si in range(4)
@@ -314,9 +334,13 @@ class Renderer:
         if (
             settings.has_masked_models != has_masked
             or settings.slot_enabled != slot_enabled
+            or settings.masked_tri_cap != masked_cap
         ):
             settings = dataclasses.replace(
-                settings, has_masked_models=has_masked, slot_enabled=slot_enabled
+                settings,
+                has_masked_models=has_masked,
+                slot_enabled=slot_enabled,
+                masked_tri_cap=masked_cap,
             )
             self.settings = settings
 
@@ -373,6 +397,42 @@ class Renderer:
         self._shadow_key = None
         self._shadow_fn = None
         self._last_out = None
+
+    def _apply_config_side_effects(self, cfg: RendererConfig) -> None:
+        """Honor or explicitly log every RendererConfig.ini key.  Keys the
+        TPU architecture makes inherent are logged once as such -- no toggle
+        silently does nothing."""
+        from ..core.tasks import set_task_system_enabled
+
+        set_task_system_enabled(cfg.use_task_system)
+        self._gpu_timing = bool(cfg.enable_gpu_timing)
+        self._frame_times = None
+        if self._gpu_timing:
+            from .framegraph import PassTimingStats
+
+            self._frame_times = PassTimingStats()
+        self._graph_dump_pending = bool(cfg.enable_graph_dump)
+        inherent = {
+            "FramesInFlight": "JAX async dispatch pipelines host and device",
+            "FrameOverlap": "JAX async dispatch pipelines host and device",
+            "LogResourceBarriers": "no barriers exist under XLA (data dependence)",
+            "UseDepthPrepass": "the visibility raster is a fused depth prepass",
+        }
+        for key, why in inherent.items():
+            log_info(f"config {key}: inherent on TPU ({why}); value ignored")
+
+    def _dump_graph_once(self, params, shadow_map) -> None:
+        """GraphDump analog (``RenderGraph.cpp:627-679``): writes the lowered
+        frame computation (StableHLO text) to render_graph_dump.txt."""
+        self._graph_dump_pending = False
+        try:
+            lowered = self._deferred_fn.lower(
+                self.device_scene, params, self.frame_state, self.settings, shadow_map
+            )
+            Path("render_graph_dump.txt").write_text(lowered.as_text())
+            log_info("wrote render_graph_dump.txt (lowered frame graph)")
+        except Exception as e:  # pragma: no cover - introspection best-effort
+            log_warning(f"graph dump failed: {e}")
 
     def frame_params(self, delta_time: float = 1.0 / 60.0) -> FrameParams:
         view = self.camera.view_matrix()
@@ -452,18 +512,43 @@ class Renderer:
         return self._shadow_cache
 
     def render_frame(self, delta_time: float = 1.0 / 60.0) -> dict:
+        t0 = time.monotonic() if self._gpu_timing else 0.0
         params = self.frame_params(delta_time)
         shadow_map = self._shadow_map(params)
         if self.settings.renderer_type == "deferred":
-            out, self.frame_state = self._deferred_fn(
-                self.device_scene, params, self.frame_state, self.settings, shadow_map
-            )
+            if self._graph_dump_pending:
+                self._dump_graph_once(params, shadow_map)
+            try:
+                out, self.frame_state = self._deferred_fn(
+                    self.device_scene, params, self.frame_state, self.settings,
+                    shadow_map,
+                )
+            except Exception as e:
+                # Renderer fallback ladder (the reference retries Forward
+                # when Deferred INIT fails, Application.cpp:307-316): only
+                # the first frame (= compile) falls back; a failure after
+                # frames have rendered is a real bug and propagates.
+                if self._frame_counter > 0:
+                    raise
+                log_warning(
+                    f"deferred frame failed to compile ({type(e).__name__}: "
+                    f"{e}); falling back to the forward renderer"
+                )
+                self.settings = dataclasses.replace(
+                    self.settings, renderer_type="forward"
+                )
+                return self.render_frame(delta_time)
             if self.settings.enable_taa:
                 self._taa_history_ready = True
         else:
             out = self._forward_fn(self.device_scene, params, self.settings, shadow_map)
         self._frame_counter += 1
         self._last_out = out
+        if self._gpu_timing:
+            import jax
+
+            jax.block_until_ready(out["color"])
+            self._frame_times.add_sample("Frame", (time.monotonic() - t0) * 1e3)
         return out
 
     def _latest_out(self) -> dict:
@@ -522,6 +607,11 @@ class Renderer:
             "bin_giant_truncated": int(np.asarray(rs.get("giant_truncated", 0))),
             "exposure_ev": float(self.frame_state.exposure_ev),
             "taa_history_valid": bool(self.frame_state.taa_valid),
+            **(
+                {"frame_timing": self._frame_times.stats()}
+                if self._gpu_timing and self._frame_times is not None
+                else {}
+            ),
         }
 
     def profile_passes(self, iterations: int = 3):
