@@ -71,6 +71,7 @@ class BinnedTriangles:
     valid: jnp.ndarray     # (n_blocks, 1, chunk) f32
     blk_tile: jnp.ndarray  # (n_blocks,) i32 tile id of each block
     blk_first: jnp.ndarray  # (n_blocks,) i32 1 = first block of its tile
+    blk_live: jnp.ndarray  # (n_blocks,) i32 1 = block holds real pairs
     tile_used: jnp.ndarray  # (n_tiles,) bool tile has any content
     big_mask: jnp.ndarray  # (T,) bool triangles for the next level
     overflow: jnp.ndarray  # () i32 dropped pair count
@@ -171,6 +172,7 @@ def bin_triangles(
         valid=blocks_valid[:, None, :],
         blk_tile=blk_tile,
         blk_first=blk_first,
+        blk_live=in_use.astype(jnp.int32),
         # A tile is only usable if its first block fits the block budget;
         # otherwise no kernel instance ever initializes its output block and
         # merging it would read garbage (its pairs are counted in overflow).

@@ -235,8 +235,11 @@ def _untile(best_key, best_id, width, height, tile_h, tile_w, depth_mode):
 
 
 def _binned_kernel(
+    blk_src_ref,    # (n_blocks,) i32 scalar prefetch (input block routing)
+    blk_otile_ref,  # (n_blocks,) i32 scalar prefetch (output tile routing)
     blk_tile_ref,   # (n_blocks,) i32 scalar prefetch
-    blk_first_ref,  # (n_blocks,) i32 scalar prefetch
+    blk_first_ref,  # (n_blocks,) i32 scalar prefetch (live first-of-tile)
+    blk_live_ref,   # (n_blocks,) i32 scalar prefetch
     yoff_ref,       # (1,) f32 scalar prefetch: slab row offset
     coef_ref,       # (1, 16, chunk)
     tid_ref,        # (1, 1, chunk) i32
@@ -258,41 +261,48 @@ def _binned_kernel(
         key_ref[...] = jnp.full((1, 1, pix), -1.0, jnp.float32)
         id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
 
-    t = blk_tile_ref[b]
-    if debug_print:
-        # device-side printf (GpuDebugPrint.hlsl analog), compiled in only
-        # when RenderSettings.kernel_debug_print is set
-        pl.debug_print("binned raster: block {} -> tile {}", b, t)
-    ty = t // n_tx
-    tx = t % n_tx
-    x0 = (tx * tile_w).astype(jnp.float32)
-    y0 = (ty * tile_h).astype(jnp.float32) + yoff_ref[0]
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    qx = x0 + jnp.mod(col_i, tile_w).astype(jnp.float32) + 0.5
-    qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
+    # Dead steps (block budget beyond actual demand) route their input DMA
+    # to the last live block (elided: same index as the previous step) and
+    # their output to the scratch tile; all compute is skipped.  The kernel
+    # cost therefore scales with ACTUAL bin demand, not the static budget.
+    @pl.when(blk_live_ref[b] == 1)
+    def _body():
+        t = blk_tile_ref[b]
+        if debug_print:
+            # device-side printf (GpuDebugPrint.hlsl analog), compiled in
+            # only when RenderSettings.kernel_debug_print is set
+            pl.debug_print("binned raster: block {} -> tile {}", b, t)
+        ty = t // n_tx
+        tx = t % n_tx
+        x0 = (tx * tile_w).astype(jnp.float32)
+        y0 = (ty * tile_h).astype(jnp.float32) + yoff_ref[0]
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+        qx = x0 + jnp.mod(col_i, tile_w).astype(jnp.float32) + 0.5
+        qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
 
-    valid_row = valid_ref[0, 0, :][None, :].T > 0.0
-    key, ok = _eval_chunk(coef_ref, valid_row, qx, qy)
+        valid_row = valid_ref[0, 0, :][None, :].T > 0.0
+        key, ok = _eval_chunk(coef_ref, valid_row, qx, qy)
 
-    k_best = jnp.max(key, axis=0, keepdims=True)
-    # winning global triangle id: min id among rows tied at the max key
-    # (select + reduce instead of a gather, which Mosaic can't vectorize).
-    ids_col = tid_ref[0, 0, :][None, :].T  # (chunk, 1)
-    big_id = jnp.int32(0x7FFFFFFF)
-    k_id = jnp.min(
-        jnp.where((key == k_best) & ok, ids_col, big_id), axis=0, keepdims=True
-    )
+        k_best = jnp.max(key, axis=0, keepdims=True)
+        # winning global triangle id: min id among rows tied at the max key
+        # (select + reduce instead of a gather, which Mosaic can't
+        # vectorize).
+        ids_col = tid_ref[0, 0, :][None, :].T  # (chunk, 1)
+        big_id = jnp.int32(0x7FFFFFFF)
+        k_id = jnp.min(
+            jnp.where((key == k_best) & ok, ids_col, big_id), axis=0, keepdims=True
+        )
 
-    acc_key = key_ref[0]
-    acc_id = id_ref[0]
-    better = k_best > acc_key
-    # cross-block depth ties also resolve to the min global triangle id
-    # (bit-compatible with the XLA rasterize() for coplanar pixels)
-    tie = (k_best == acc_key) & (k_best >= 0.0)
-    key_ref[0] = jnp.where(better, k_best, acc_key)
-    id_ref[0] = jnp.where(
-        better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
-    )
+        acc_key = key_ref[0]
+        acc_id = id_ref[0]
+        better = k_best > acc_key
+        # cross-block depth ties also resolve to the min global triangle id
+        # (bit-compatible with the XLA rasterize() for coplanar pixels)
+        tie = (k_best == acc_key) & (k_best >= 0.0)
+        key_ref[0] = jnp.where(better, k_best, acc_key)
+        id_ref[0] = jnp.where(
+            better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
+        )
 
 
 def _run_binned_kernel(
@@ -308,17 +318,27 @@ def _run_binned_kernel(
     n_blocks = bins.coef.shape[0]
     pix = tile_h * tile_w
 
+    # Route dead budget blocks (beyond actual demand) to elided input DMAs
+    # and a scratch output tile (row n_tiles, cropped below); their compute
+    # is pl.when-skipped in the kernel.
+    blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
+    live = bins.blk_live
+    last_live = jnp.maximum(jnp.sum(live) - 1, 0)
+    blk_src = jnp.where(live == 1, blk_ids, last_live)
+    blk_otile = jnp.where(live == 1, bins.blk_tile, n_tiles)
+    blk_first = bins.blk_first * live
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=6,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, COEF_COLS, chunk), lambda b, bt, bf, yo: (b, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda b, bt, bf, yo: (b, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda b, bt, bf, yo: (b, 0, 0)),
+            pl.BlockSpec((1, COEF_COLS, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, pix), lambda b, bt, bf, yo: (bt[b], 0, 0)),
-            pl.BlockSpec((1, 1, pix), lambda b, bt, bf, yo: (bt[b], 0, 0)),
+            pl.BlockSpec((1, 1, pix), lambda b, bs, bo, bt, bf, bl, yo: (bo[b], 0, 0)),
+            pl.BlockSpec((1, 1, pix), lambda b, bs, bo, bt, bf, bl, yo: (bo[b], 0, 0)),
         ],
     )
     kernel = partial(
@@ -334,15 +354,16 @@ def _run_binned_kernel(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.int32),
         ],
         interpret=interpret,
-    )(bins.blk_tile, bins.blk_first, yoff, bins.coef, bins.tri_id, bins.valid)
+    )(blk_src, blk_otile, bins.blk_tile, blk_first, live, yoff,
+      bins.coef, bins.tri_id, bins.valid)
 
     used = bins.tile_used[:, None, None]
-    best_key = jnp.where(used, best_key, -1.0).reshape(n_tiles, tile_h, tile_w)
-    best_id = jnp.where(used, best_id, -1).reshape(n_tiles, tile_h, tile_w)
+    best_key = jnp.where(used, best_key[:n_tiles], -1.0).reshape(n_tiles, tile_h, tile_w)
+    best_id = jnp.where(used, best_id[:n_tiles], -1).reshape(n_tiles, tile_h, tile_w)
 
     key_img = (
         best_key.reshape(n_ty, n_tx, tile_h, tile_w)
