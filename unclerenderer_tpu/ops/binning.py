@@ -162,7 +162,12 @@ def bin_triangles(
         starts[n_tiles] - jnp.sum(blocks_valid).astype(jnp.int32), 0
     )
 
-    # ONE packed-record gather feeds every raster coefficient.
+    # ONE packed-record gather feeds every raster coefficient; the
+    # minor-dim transpose fuses into the gather for free (measured:
+    # gather 16.2 ms, gather+transpose 16.25 ms at 1.3M rows), and the
+    # (16, chunk) layout keeps the kernel's DMA rows contiguous (512 B) --
+    # a (chunk, 16) block layout degrades the block DMA to 128 strided
+    # 64 B reads and is ~15x slower end to end (measured).
     coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
     coef = coef.transpose(0, 2, 1)  # (n_blocks, 16, chunk)
 

@@ -29,7 +29,9 @@ from .raster import COEF_COLS, DEPTH_MAX, RasterSetup, flip_depth_key, shift_set
 
 def _eval_chunk(coef_ref, valid_row, qx, qy):
     """Shared kernel math: packed coefficient rows -> (key, ok) over
-    (chunk, pix).  coef_ref block is (1, 16, chunk)."""
+    (chunk, pix).  coef_ref block is (1, 16, chunk): 512 B contiguous DMA
+    rows -- a (1, chunk, 16) block instead degrades the DMA to 128 strided
+    64 B reads (~15x slower end to end, measured)."""
 
     def row(i):
         return coef_ref[0, i, :][None, :].T  # (chunk, 1)
@@ -396,12 +398,12 @@ def rasterize_binned(
     depth_mode: int = DEPTH_MAX,
     y_offset=0,
     max_span: int = 2,
-    budget_factor: float = 3.0,
+    budget_factor: float = 2.0,
     big_tile_h: int = 32,
     big_tile_w: int = 128,
     big_chunk: int = 32,
-    mid_divisor: int = 8,
-    giant_divisor: int = 32,
+    mid_divisor: int = 16,
+    giant_divisor: int = 128,
     interpret: bool = False,
     debug_print: bool = False,
 ):

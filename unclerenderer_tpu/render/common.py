@@ -498,16 +498,18 @@ def _rasterize_alpha_binned(
                 + (col_i // tile_w).astype(jnp.float32)[None, :] + 0.5 + yoff
             )[..., None]
 
+            C = lambda i: coef[:, None, i, :]  # (G, 1, lvl_chunk)
+
             def edge_inside(i):
-                a = coef[:, None, 0 + i, :]
-                b = coef[:, None, 3 + i, :]
-                ev = a * qx + b * qy + coef[:, None, 6 + i, :]
+                a = C(0 + i)
+                b = C(3 + i)
+                ev = a * qx + b * qy + C(6 + i)
                 tl = (a > 0.0) | ((a == 0.0) & (b > 0.0))
                 return (ev > 0.0) | ((ev == 0.0) & tl)
 
             cov = edge_inside(0) & edge_inside(1) & edge_inside(2)
-            nz = coef[:, None, 9, :] * qx + coef[:, None, 10, :] * qy + coef[:, None, 11, :]
-            nw = coef[:, None, 12, :] * qx + coef[:, None, 13, :] * qy + coef[:, None, 14, :]
+            nz = C(9) * qx + C(10) * qy + C(11)
+            nw = C(12) * qx + C(13) * qy + C(14)
             key = nz / jnp.where(nw != 0.0, nw, 1.0)
             ok = cov & (nw > 0.0) & (key >= 0.0) & (key <= 1.0) & (val[:, None, :] > 0.0)
 

@@ -74,11 +74,19 @@ class RenderSettings:
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
     kernel_debug_print: bool = False
     bin_max_span: int = 2
-    bin_budget_factor: float = 3.0
+    # Pair-budget factor: binning gathers scale with the static budget
+    # (n_blocks x chunk rows), so over-provisioning costs real bandwidth.
+    # 2.0 carries ~5x margin over measured demand on the Sponza-class tier
+    # (live blocks ~= 0.35 x budget at 3.0); overflow is counted and
+    # surfaced in Renderer.stats() -- raise when pair_overflow is nonzero.
+    bin_budget_factor: float = 2.0
     # compacted mid/giant raster level capacities = T // divisor (see
-    # ops/pallas_raster.py rasterize_binned)
-    bin_mid_divisor: int = 8
-    bin_giant_divisor: int = 32
+    # ops/pallas_raster.py rasterize_binned).  Measured Sponza-class tier:
+    # 604 mid of 263k (T/435), a handful giant -- the defaults keep >25x
+    # margin; mid overflow spills to giant, giant truncation is counted in
+    # stats().giant_truncated -- lower the divisors when nonzero.
+    bin_mid_divisor: int = 16
+    bin_giant_divisor: int = 128
 
 
 @jax.tree_util.register_dataclass
