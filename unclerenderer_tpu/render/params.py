@@ -68,8 +68,10 @@ class RenderSettings:
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     tile_h: int = 16
     tile_w: int = 64
-    chunk: int = 128
-    shadow_chunk: int = 128
+    # chunk 64 measured faster than 128 at 263k tris (less padding waste in
+    # partial blocks): full raster 57.7 -> 51.2 ms, shadow 82.3 -> 74.8 ms
+    chunk: int = 64
+    shadow_chunk: int = 64
     # pl.debug_print per bin block in the Pallas raster kernels (the
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
     kernel_debug_print: bool = False
