@@ -152,3 +152,45 @@ def test_sort_pairs_matches_stable_argsort():
         order = np.argsort(keys, kind="stable")
         np.testing.assert_array_equal(np.asarray(sk), keys[order])
         np.testing.assert_array_equal(np.asarray(st), order // 4)
+
+
+def test_shadow_blocks_matches_reference():
+    """Superblock PCF (fast-gather f32 table + Pallas lane select) must
+    reproduce the packed-tail semantics with unquantized f32 depths: the
+    want below feeds the shared _pcf_tail with directly-sliced depth
+    planes, isolating the new fetch machinery (superblock gather + lane
+    select) as the only thing under test.  (The unpacked shadow_factor
+    differs at map borders by construction -- it re-derives coordinates
+    per tap; both packed layouts share the clamp-mask border.)"""
+    from unclerenderer_tpu.ops.shadow import (
+        _pcf_tail,
+        _shadow_project,
+        pack_shadow_blocks,
+        shadow_factor_blocks,
+    )
+
+    rng = np.random.default_rng(3)
+    size = 256
+    shadow_map = jnp.asarray(rng.uniform(0.3, 1.0, (size, size)).astype(np.float32))
+    # receivers spread over and beyond the map (border behavior included)
+    world = jnp.asarray(rng.uniform(-8.0, 8.0, (64, 96, 3)).astype(np.float32))
+    lvp = jnp.asarray(
+        np.array(
+            [[0.15, 0.0, 0.0, 0.0],
+             [0.0, -0.15, 0.02, 0.0],
+             [0.01, 0.02, 0.08, 0.0],
+             [0.0, 0.0, 0.55, 1.0]], np.float32)
+    )
+    padded = jnp.pad(shadow_map, ((0, 2), (0, 2)), constant_values=jnp.inf)
+    for pcf in ("deferred", "forward"):
+        uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
+            world, lvp, size, jnp.float32(2e-3)
+        )
+        nb9 = [padded[yi0 + dy, xi0 + dx] for dy in range(3) for dx in range(3)]
+        want = _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
+                         jnp.float32(0.9), pcf)
+        got = shadow_factor_blocks(
+            pack_shadow_blocks(shadow_map), size, world, lvp,
+            jnp.float32(0.9), jnp.float32(2e-3), pcf=pcf, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -14,6 +14,7 @@ This module ports the receiver side:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -130,17 +131,9 @@ def pack_shadow9(shadow_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(chans, axis=-1).astype(jnp.float16)
 
 
-def shadow_factor_packed(
-    shadow9_flat: jnp.ndarray,
-    size: int,
-    world_pos: jnp.ndarray,
-    light_view_proj: jnp.ndarray,
-    shadow_strength,
-    shadow_bias,
-    pcf: str = "deferred",
-) -> jnp.ndarray:
-    """shadow_factor with one packed-neighborhood gather per pixel.
-    shadow9_flat: (S*S, 12) from pack_shadow9."""
+def _shadow_project(world_pos, light_view_proj, size, shadow_bias):
+    """Shared receiver projection: world -> light uv, compare depth, and the
+    clamped 3x3 neighborhood base (xi/yi true base, xi0/yi0 clamped)."""
     p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
     sp = p @ light_view_proj
     coord = sp[..., :3] / jnp.where(sp[..., 3:4] != 0.0, sp[..., 3:4], 1.0)
@@ -148,7 +141,6 @@ def shadow_factor_packed(
         [coord[..., 0] * 0.5 + 0.5, coord[..., 1] * -0.5 + 0.5], axis=-1
     )
     compare = coord[..., 2] - shadow_bias
-
     tx = uv[..., 0] * size - 0.5
     ty = uv[..., 1] * size - 0.5
     x0 = jnp.floor(tx)
@@ -158,14 +150,15 @@ def shadow_factor_packed(
     # clamp the base so out-of-range neighborhoods read the +inf border
     xi = jnp.clip(x0.astype(jnp.int32), -2, size - 1)
     yi = jnp.clip(y0.astype(jnp.int32), -2, size - 1)
-    # negative bases: shift into the padded region by clamping to 0 and
-    # selecting border behavior via the in-range test below instead
     xi0 = jnp.clip(xi, 0, size - 1)
     yi0 = jnp.clip(yi, 0, size - 1)
-    nb = jnp.take(shadow9_flat, yi0 * size + xi0, axis=0).astype(jnp.float32)
+    return uv, compare, fx, fy, xi, yi, xi0, yi0
 
-    # comparison results for the 3x3 block; texels whose true coordinate was
-    # clamped (base off the map) behave as border (lit) via the in-map mask.
+
+def _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
+              shadow_strength, pcf):
+    """Comparison + 4-tap PCF blend shared by every packed layout.
+    nb9: list of 9 depth planes in (dy*3+dx) order."""
     passed = []
     for dy in range(3):
         for dx in range(3):
@@ -174,7 +167,7 @@ def shadow_factor_packed(
             true_x = xi + dx
             true_y = yi + dy
             in_map = (true_x >= 0) & (true_x < size) & (true_y >= 0) & (true_y < size)
-            d = nb[..., dy * 3 + dx]
+            d = nb9[dy * 3 + dx]
             ok = (compare <= d) | ~in_map | (txc != true_x) | (tyc != true_y)
             passed.append(ok.astype(jnp.float32))
 
@@ -196,3 +189,138 @@ def shadow_factor_packed(
         (uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0) & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0)
     )
     return jnp.where((shadow_strength > 0.0) & in_range, s4, 1.0)
+
+
+def shadow_factor_packed(
+    shadow9_flat: jnp.ndarray,
+    size: int,
+    world_pos: jnp.ndarray,
+    light_view_proj: jnp.ndarray,
+    shadow_strength,
+    shadow_bias,
+    pcf: str = "deferred",
+) -> jnp.ndarray:
+    """shadow_factor with one packed-neighborhood gather per pixel.
+    shadow9_flat: (S*S, 12) from pack_shadow9."""
+    uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
+        world_pos, light_view_proj, size, shadow_bias
+    )
+    nb = jnp.take(shadow9_flat, yi0 * size + xi0, axis=0).astype(jnp.float32)
+    nb9 = [nb[..., k] for k in range(9)]
+    return _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
+                     shadow_strength, pcf)
+
+
+# ---------------------------------------------------------------------------
+# Superblock-packed PCF (production TPU path): the (S*S, 12) per-texel table
+# above is measurably latency-bound -- TPU row gathers fall off a cliff once
+# the table exceeds ~80k rows (measured 3.5 ns/row below, 12-19 ns/row
+# above).  Packing BH x BW texel blocks (+2 apron) into one row keeps the
+# table at S^2/(BH*BW) rows -- 65k at 2048^2 -- restoring the fast path;
+# a small Pallas kernel extracts each pixel's 3x3 window from the fetched
+# row (dynamic lane select is the one op XLA can't fuse without
+# materializing 9 x (N, 128) selects -- measured 39 ms; in VMEM it's ~3 ms).
+# ---------------------------------------------------------------------------
+
+
+def shadow_block_shape(size: int) -> tuple:
+    """Block dims (bh, bw) such that the packed table stays under the
+    fast-gather row cliff; row channel count (bh+2)*(bw+2) stays <= 128."""
+    b = max(4, min(8, size // 256))
+    return b, b
+
+
+def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
+    """(S, S) depth -> (S/bh * S/bw, 128) f32 superblock rows.
+
+    Row r = block (by, bx) holds texels [by*bh .. by*bh+bh+1] x
+    [bx*bw .. bx*bw+bw+1] (apron +2 on the positive side only: a base pixel
+    inside the block taps at most +2), +inf outside the map (border = lit),
+    channel (y_in_block)*(bw+2) + x_in_block.
+
+    Stored f32 (Mosaic has no f16), so unlike pack_shadow9 there is no
+    quantization and no +5e-4 lift: comparisons are bit-identical to the
+    unpacked ``shadow_factor`` reference.  The wider table stays on the
+    fast gather path (width does not move gather cost; rows do)."""
+    s = shadow_map.shape[0]
+    bh, bw = shadow_block_shape(s)
+    c = (bh + 2) * (bw + 2)
+    assert c <= 128, (bh, bw)
+    inf = jnp.float32(jnp.inf)
+    padded = jnp.pad(shadow_map, ((0, 2), (0, 2)), constant_values=inf)
+    # overlapping blocks via strided slices (no gather): channel (dy, dx) of
+    # block (by, bx) is padded[by*bh + dy, bx*bw + dx]
+    nby, nbx = s // bh, s // bw
+    chans = [
+        jax.lax.slice(padded, (dy, dx), (dy + (nby - 1) * bh + 1, dx + (nbx - 1) * bw + 1), (bh, bw))
+        for dy in range(bh + 2)
+        for dx in range(bw + 2)
+    ]
+    blocks = jnp.stack(chans, axis=-1)  # (nby, nbx, (bh+2)*(bw+2))
+    flat = blocks.reshape(nby * nbx, c)
+    return jnp.pad(flat, ((0, 0), (0, 128 - c)))
+
+
+def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix):
+    """Extract 9 dynamic lanes per row: out[p, k] = rows[p, base[p]+deltas[k]].
+    rows_ref (1, P, 128) f32; base_ref (1, 1, P) i32; out (1, P, 16) f32."""
+    rows = rows_ref[0]                              # (P, 128)
+    base = base_ref[0, 0, :][:, None]               # (P, 1) -> lanes broadcast
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, 128), 1)
+    for k, d in enumerate(deltas):
+        sel = lanes == (base + d)
+        out_ref[0, :, k] = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
+
+
+def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
+    """(N, 128) f32 rows + (N,) i32 base -> (N, 9) f32 via Pallas."""
+    from jax.experimental import pallas as pl
+
+    n = rows.shape[0]
+    pix = 1024
+    n_pad = -(-n // pix) * pix
+    rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0))).reshape(-1, pix, 128)
+    base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
+    grid = n_pad // pix
+    out = pl.pallas_call(
+        lambda r, b, o: _select9_kernel(r, b, o, deltas=deltas, pix=pix),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, pix, 128), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, pix), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, pix, 16), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, pix, 16), jnp.float32),
+        interpret=interpret,
+    )(rows_p, base_p)
+    return out.reshape(n_pad, 16)[:n, :9]
+
+
+def shadow_factor_blocks(
+    blocks_flat: jnp.ndarray,
+    size: int,
+    world_pos: jnp.ndarray,
+    light_view_proj: jnp.ndarray,
+    shadow_strength,
+    shadow_bias,
+    pcf: str = "deferred",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """shadow_factor via the superblock table (pack_shadow_blocks): one
+    fast-path row gather + Pallas 3x3 lane select per pixel.  Compares
+    unquantized f32 depths -- bit-comparable to the unpacked
+    ``shadow_factor`` reference (the f16 packed path quantizes)."""
+    bh, bw = shadow_block_shape(size)
+    nbx = size // bw
+    uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
+        world_pos, light_view_proj, size, shadow_bias
+    )
+    row = (yi0 // bh) * nbx + (xi0 // bw)
+    base = (yi0 % bh) * (bw + 2) + (xi0 % bw)
+    rows = blocks_flat[row.reshape(-1)]             # fast: <= 65k-row table
+    deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
+    nb = _select9(rows, base.reshape(-1), deltas, interpret=interpret)
+    nb = nb.reshape(compare.shape + (9,))
+    nb9 = [nb[..., k] for k in range(9)]
+    return _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
+                     shadow_strength, pcf)

@@ -40,7 +40,12 @@ from ..ops.post import (
     temporal_aa,
     tonemap,
 )
-from ..ops.shadow import pack_shadow9, shadow_factor_packed
+from ..ops.shadow import (
+    pack_shadow9,
+    pack_shadow_blocks,
+    shadow_factor_blocks,
+    shadow_factor_packed,
+)
 from ..ops.sky import apply_atmosphere, sky_view_directions
 from . import common
 from .params import DeviceScene, FrameParams, FrameState, RenderSettings
@@ -105,7 +110,13 @@ def deferred_frame(
             shadow_map = common.raster_shadow(
                 scene, params.light_view_proj, cast_o | cast_m, settings, dist
             )
-        shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
+        # Superblock layout on TPU (fast-gather table + Pallas lane select);
+        # per-texel rows on the XLA/CPU path (ops/shadow.py measurements).
+        shadow_blocks = common._use_pallas(settings)
+        if shadow_blocks:
+            shadow9 = pack_shadow_blocks(shadow_map)
+        else:
+            shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
         shadow9 = None
 
@@ -146,7 +157,8 @@ def deferred_frame(
     f0 = 0.04 + (g["albedo"] - 0.04) * g["metallic"][..., None]
 
     if settings.enable_shadows:
-        shadow = shadow_factor_packed(
+        shadow_fn = shadow_factor_blocks if shadow_blocks else shadow_factor_packed
+        shadow = shadow_fn(
             shadow9,
             settings.shadow_map_size,
             g["world_pos"],

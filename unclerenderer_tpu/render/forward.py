@@ -17,7 +17,12 @@ import jax.numpy as jnp
 
 from ..ops import pbr
 from ..ops import texture as tex
-from ..ops.shadow import pack_shadow9, shadow_factor_packed
+from ..ops.shadow import (
+    pack_shadow9,
+    pack_shadow_blocks,
+    shadow_factor_blocks,
+    shadow_factor_packed,
+)
 from ..ops.sky import apply_atmosphere, sky_view_directions
 from . import common
 from .params import DeviceScene, FrameParams, RenderSettings
@@ -49,7 +54,11 @@ def forward_frame(
             shadow_map = common.raster_shadow(
                 scene, params.light_view_proj, opaque_mask | masked_mask, settings
             )
-        shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
+        shadow_blocks = common._use_pallas(settings)
+        if shadow_blocks:
+            shadow9 = pack_shadow_blocks(shadow_map)
+        else:
+            shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
         shadow9 = None
 
@@ -62,7 +71,8 @@ def forward_frame(
     f0 = 0.04 + (g["albedo"] - 0.04) * g["metallic"][..., None]
 
     if settings.enable_shadows:
-        shadow = shadow_factor_packed(
+        shadow_fn = shadow_factor_blocks if shadow_blocks else shadow_factor_packed
+        shadow = shadow_fn(
             shadow9,
             settings.shadow_map_size,
             g["world_pos"],
