@@ -194,3 +194,23 @@ def test_shadow_blocks_matches_reference():
             jnp.float32(0.9), jnp.float32(2e-3), pcf=pcf, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_depth_only_matches_full():
+    """want_ids=False (shadow path) must produce the exact same depth as
+    the full raster at both depth modes."""
+    from unclerenderer_tpu.ops.raster import DEPTH_MIN
+
+    setup = _setup(512, seed=5)
+    for mode in (None, DEPTH_MIN):
+        kw = {} if mode is None else {"depth_mode": mode}
+        d_full, i_full, _ = rasterize_binned(
+            setup, 256, 256, tile_h=16, tile_w=64, chunk=32, big_chunk=32,
+            interpret=True, **kw,
+        )
+        d_only, i_none, _ = rasterize_binned(
+            setup, 256, 256, tile_h=16, tile_w=64, chunk=32, big_chunk=32,
+            interpret=True, want_ids=False, **kw,
+        )
+        assert i_none is None
+        np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_full))

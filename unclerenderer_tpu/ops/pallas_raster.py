@@ -62,13 +62,14 @@ def _raster_kernel(
     overlap_ref,  # (1, 1, n_chunks) i32 SMEM: per-chunk work bits for tile
     coef_ref,     # (1, 16, chunk)
     valid_ref,    # (1, 1, chunk) f32
-    key_ref,      # (1, 1, pix) f32 out (revisited across chunks)
-    id_ref,       # (1, 1, pix) i32 out
+    key_ref=None,  # (1, 1, pix) f32 out (revisited across chunks)
+    id_ref=None,   # (1, 1, pix) i32 out (absent when want_ids=False)
     *,
     tile_h: int,
     tile_w: int,
     chunk: int,
     n_tx: int,
+    want_ids: bool = True,
 ):
     t = pl.program_id(0)
     c = pl.program_id(1)
@@ -77,7 +78,8 @@ def _raster_kernel(
     @pl.when(c == 0)
     def _init():
         key_ref[...] = jnp.full((1, 1, pix), -1.0, jnp.float32)
-        id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
+        if want_ids:
+            id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
 
     @pl.when(overlap_ref[0, 0, c] != 0)
     def _body():
@@ -93,6 +95,9 @@ def _raster_kernel(
         key, _ok = _eval_chunk(coef_ref, valid_row, qx, qy)
 
         k_best = jnp.max(key, axis=0, keepdims=True)
+        if not want_ids:
+            key_ref[0] = jnp.maximum(k_best, key_ref[0])
+            return
         k_arg = jnp.argmax(key, axis=0).astype(jnp.int32)[None, :]
         k_id = c * chunk + k_arg  # argmax = first max -> min id within chunk
 
@@ -112,7 +117,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
-        "interpret",
+        "interpret", "want_ids",
     ),
 )
 def rasterize_pallas(
@@ -125,6 +130,7 @@ def rasterize_pallas(
     depth_mode: int = DEPTH_MAX,
     y_offset=0,
     interpret: bool = False,
+    want_ids: bool = True,
 ):
     """Brute-force Pallas raster (every tile scans every chunk, with SMEM
     skip bits).  Use rasterize_binned for real scenes.
@@ -171,6 +177,9 @@ def rasterize_pallas(
     overlap = jnp.any(ov, axis=2).astype(jnp.int32)[:, None, :]
 
     pix = tile_h * tile_w
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32)]
+    if want_ids:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32))
     grid_spec = pl.GridSpec(
         grid=(n_tiles, n_chunks),
         in_specs=[
@@ -179,10 +188,7 @@ def rasterize_pallas(
             pl.BlockSpec((1, COEF_COLS, chunk), lambda t, c: (c, 0, 0)),
             pl.BlockSpec((1, 1, chunk), lambda t, c: (c, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0)),
-        ],
+        out_specs=[pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0))] * len(out_shape),
     )
     kernel = partial(
         _raster_kernel,
@@ -190,22 +196,33 @@ def rasterize_pallas(
         tile_w=tile_w,
         chunk=chunk,
         n_tx=n_tx,
+        want_ids=want_ids,
     )
-    best_key, best_id = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(yoff.reshape(1), overlap, coef, valid)
 
-    return _untile(
-        best_key.reshape(n_tiles, tile_h, tile_w),
-        best_id.reshape(n_tiles, tile_h, tile_w),
+    if not want_ids:
+        # depth-only: return the RAW key image (-1 = miss, ascending =
+        # nearer under the flipped key) so callers can merge levels before
+        # converting to depth
+        pad_w_ = pad_w
+        key_img = (
+            outs[0].reshape(n_tiles, tile_h, tile_w)
+            .reshape(n_ty, n_tx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(pad_h, pad_w_)[:height, :width]
+        )
+        return key_img, None
+    depth, tri_id = _untile(
+        outs[0].reshape(n_tiles, tile_h, tile_w),
+        outs[1].reshape(n_tiles, tile_h, tile_w),
         width, height, tile_h, tile_w, depth_mode,
     )
+    return depth, tri_id
 
 
 def _untile(best_key, best_id, width, height, tile_h, tile_w, depth_mode):
@@ -244,24 +261,31 @@ def _binned_kernel(
     blk_live_ref,   # (n_blocks,) i32 scalar prefetch
     yoff_ref,       # (1,) f32 scalar prefetch: slab row offset
     coef_ref,       # (1, 16, chunk)
-    tid_ref,        # (1, 1, chunk) i32
+    tid_ref,        # (1, 1, chunk) i32 (absent when want_ids=False)
     valid_ref,      # (1, 1, chunk) f32
-    key_ref,        # (1, 1, pix) f32 out (revisited per tile)
-    id_ref,         # (1, 1, pix) i32 out
+    key_ref=None,   # (1, 1, pix) f32 out (revisited per tile)
+    id_ref=None,    # (1, 1, pix) i32 out (absent when want_ids=False)
     *,
     tile_h: int,
     tile_w: int,
     chunk: int,
     n_tx: int,
     debug_print: bool = False,
+    want_ids: bool = True,
 ):
+    if not want_ids:
+        # depth-only layout (shadow maps): no tid input, no id output
+        key_ref = valid_ref
+        valid_ref = tid_ref
+        tid_ref = id_ref = None
     b = pl.program_id(0)
     pix = tile_h * tile_w
 
     @pl.when(blk_first_ref[b] == 1)
     def _init():
         key_ref[...] = jnp.full((1, 1, pix), -1.0, jnp.float32)
-        id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
+        if want_ids:
+            id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
 
     # Dead steps (block budget beyond actual demand) route their input DMA
     # to the last live block (elided: same index as the previous step) and
@@ -286,6 +310,10 @@ def _binned_kernel(
         key, ok = _eval_chunk(coef_ref, valid_row, qx, qy)
 
         k_best = jnp.max(key, axis=0, keepdims=True)
+        acc_key = key_ref[0]
+        if not want_ids:
+            key_ref[0] = jnp.maximum(k_best, acc_key)
+            return
         # winning global triangle id: min id among rows tied at the max key
         # (select + reduce instead of a gather, which Mosaic can't
         # vectorize).
@@ -295,7 +323,6 @@ def _binned_kernel(
             jnp.where((key == k_best) & ok, ids_col, big_id), axis=0, keepdims=True
         )
 
-        acc_key = key_ref[0]
         acc_id = id_ref[0]
         better = k_best > acc_key
         # cross-block depth ties also resolve to the min global triangle id
@@ -309,7 +336,7 @@ def _binned_kernel(
 
 def _run_binned_kernel(
     bins, width, height, tile_h, tile_w, chunk, y_offset,
-    interpret=False, debug_print=False,
+    interpret=False, debug_print=False, want_ids=True,
 ):
     """Launch the binned kernel for one level; returns (key_img, id_img)
     cropped to (height, width), key = -1 where empty."""
@@ -330,18 +357,19 @@ def _run_binned_kernel(
     blk_otile = jnp.where(live == 1, bins.blk_tile, n_tiles)
     blk_first = bins.blk_first * live
 
+    blk_spec = pl.BlockSpec((1, 1, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0))
+    out_spec = pl.BlockSpec((1, 1, pix), lambda b, bs, bo, bt, bf, bl, yo: (bo[b], 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, COEF_COLS, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
+    ] + ([blk_spec] if want_ids else []) + [blk_spec]
+    out_shape = [jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.float32)]
+    if want_ids:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, COEF_COLS, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, pix), lambda b, bs, bo, bt, bf, bl, yo: (bo[b], 0, 0)),
-            pl.BlockSpec((1, 1, pix), lambda b, bs, bo, bt, bf, bl, yo: (bo[b], 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=[out_spec] * len(out_shape),
     )
     kernel = partial(
         _binned_kernel,
@@ -350,34 +378,32 @@ def _run_binned_kernel(
         chunk=chunk,
         n_tx=n_tx,
         debug_print=debug_print,
+        want_ids=want_ids,
     )
     yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
-    best_key, best_id = pl.pallas_call(
+    inputs = (bins.coef, bins.tri_id, bins.valid) if want_ids else (bins.coef, bins.valid)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(blk_src, blk_otile, bins.blk_tile, blk_first, live, yoff,
-      bins.coef, bins.tri_id, bins.valid)
+    )(blk_src, blk_otile, bins.blk_tile, blk_first, live, yoff, *inputs)
 
     used = bins.tile_used[:, None, None]
-    best_key = jnp.where(used, best_key[:n_tiles], -1.0).reshape(n_tiles, tile_h, tile_w)
-    best_id = jnp.where(used, best_id[:n_tiles], -1).reshape(n_tiles, tile_h, tile_w)
 
-    key_img = (
-        best_key.reshape(n_ty, n_tx, tile_h, tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(pad_h, pad_w)[:height, :width]
-    )
-    id_img = (
-        best_id.reshape(n_ty, n_tx, tile_h, tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(pad_h, pad_w)[:height, :width]
-    )
-    return key_img, id_img
+    def untile(x):
+        return (
+            x.reshape(n_ty, n_tx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(pad_h, pad_w)[:height, :width]
+        )
+
+    best_key = jnp.where(used, outs[0][:n_tiles], -1.0).reshape(n_tiles, tile_h, tile_w)
+    key_img = untile(best_key)
+    if not want_ids:
+        return key_img, None
+    best_id = jnp.where(used, outs[1][:n_tiles], -1).reshape(n_tiles, tile_h, tile_w)
+    return key_img, untile(best_id)
 
 
 @partial(
@@ -386,6 +412,7 @@ def _run_binned_kernel(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
         "mid_divisor", "giant_divisor", "interpret", "debug_print",
+        "want_ids",
     ),
 )
 def rasterize_binned(
@@ -406,6 +433,7 @@ def rasterize_binned(
     giant_divisor: int = 128,
     interpret: bool = False,
     debug_print: bool = False,
+    want_ids: bool = True,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -437,7 +465,8 @@ def rasterize_binned(
         max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
     )
     key_img, id_img = _run_binned_kernel(
-        bins, width, height, tile_h, tile_w, chunk, y_offset, interpret, debug_print
+        bins, width, height, tile_h, tile_w, chunk, y_offset, interpret,
+        debug_print, want_ids,
     )
 
     t_count = setup.coef.shape[0]
@@ -465,15 +494,19 @@ def rasterize_binned(
         max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
     )
     mid_key, mid_id = _run_binned_kernel(
-        mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset, interpret
+        mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,
+        interpret, want_ids=want_ids,
     )
-    take_mid = mid_key > key_img
-    tie_mid = (mid_key == key_img) & (mid_key >= 0.0)
-    key_img = jnp.where(take_mid, mid_key, key_img)
-    id_img = jnp.where(
-        take_mid, mid_id,
-        jnp.where(tie_mid, jnp.minimum(mid_id, id_img), id_img),
-    )
+    if want_ids:
+        take_mid = mid_key > key_img
+        tie_mid = (mid_key == key_img) & (mid_key >= 0.0)
+        key_img = jnp.where(take_mid, mid_key, key_img)
+        id_img = jnp.where(
+            take_mid, mid_id,
+            jnp.where(tie_mid, jnp.minimum(mid_id, id_img), id_img),
+        )
+    else:
+        key_img = jnp.maximum(key_img, mid_key)
 
     # overflow of the mid compaction joins the giant list
     mid_overflow = bins.big_mask & (
@@ -496,27 +529,31 @@ def rasterize_binned(
     big_depth, big_id_local = rasterize_pallas(
         giant_setup, width, height,
         tile_h=big_tile_h, tile_w=big_tile_w, chunk=big_chunk,
-        y_offset=y_offset, interpret=interpret,
+        y_offset=y_offset, interpret=interpret, want_ids=want_ids,
     )
-    big_id = jnp.where(
-        big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
-    )
-    big_key = jnp.where(big_id >= 0, big_depth, -1.0)
+    if want_ids:
+        big_id = jnp.where(
+            big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
+        )
+        big_key = jnp.where(big_id >= 0, big_depth, -1.0)
 
-    take_big = big_key > key_img
-    tie_big = (big_key == key_img) & (big_key >= 0.0)
-    key_img = jnp.where(take_big, big_key, key_img)
-    id_img = jnp.where(
-        take_big, big_id,
-        jnp.where(tie_big, jnp.minimum(big_id, id_img), id_img),
-    )
+        take_big = big_key > key_img
+        tie_big = (big_key == key_img) & (big_key >= 0.0)
+        key_img = jnp.where(take_big, big_key, key_img)
+        id_img = jnp.where(
+            take_big, big_id,
+            jnp.where(tie_big, jnp.minimum(big_id, id_img), id_img),
+        )
+    else:
+        # big_depth is the RAW key image here (-1 = miss)
+        key_img = jnp.maximum(key_img, big_depth)
 
     hit = key_img >= 0.0
     if depth_mode == DEPTH_MAX:
         depth = jnp.where(hit, key_img, 0.0)
     else:
         depth = jnp.where(hit, 1.0 - key_img, 1.0)
-    tri_id = jnp.where(hit, id_img, -1)
+    tri_id = jnp.where(hit, id_img, -1) if want_ids else None
     stats = {
         "pair_overflow": bins.overflow + mid_bins.overflow,
         "giant_truncated": giant_truncated,

@@ -63,7 +63,8 @@ def _use_pallas(settings: RenderSettings) -> bool:
 
 
 def _dispatch_raster(
-    setup, width, height, tile_h, tile_w, chunk, depth_mode, settings, y_offset=0
+    setup, width, height, tile_h, tile_w, chunk, depth_mode, settings, y_offset=0,
+    want_ids=True,
 ):
     """Returns (depth, tri_id, stats) -- stats carries the binned path's
     overflow counters (zeros on the exhaustive XLA path, which never drops).
@@ -83,6 +84,7 @@ def _dispatch_raster(
             mid_divisor=settings.bin_mid_divisor,
             giant_divisor=settings.bin_giant_divisor,
             debug_print=settings.kernel_debug_print,
+            want_ids=want_ids,
         )
     depth, tri_id = rasterize(
         setup, width, height,
@@ -147,6 +149,9 @@ def raster_shadow(
         setup, size, out_h,
         min(settings.tile_h, out_h), settings.tile_w, settings.shadow_chunk,
         DEPTH_MIN, settings, y_offset=y_off,
+        # depth-only: the shadow map needs no triangle ids -- skips the id
+        # output stream, the per-block min-id reduce, and the id merges
+        want_ids=False,
     )
     if dist is not None and dist.n_dev > 1:
         depth = dist.all_gather_rows(depth)
