@@ -214,3 +214,85 @@ def test_depth_only_matches_full():
         )
         assert i_none is None
         np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_full))
+
+
+def test_fused_attr_emission_matches_gather():
+    """records= attr emission: the winner's record selected in-kernel (MXU
+    one-hot dot) across all three levels must equal records[tri_id] exactly
+    (and zero where no triangle won)."""
+    rng = np.random.default_rng(9)
+    for seed, size in ((2, 0.08), (5, 0.4)):  # small tris / mid+giant spill
+        setup = _setup(512, seed=seed, size=size)
+        t_count = 512
+        records = jnp.asarray(rng.standard_normal((t_count, 128)).astype(np.float32))
+        d, i, stats, attr = rasterize_binned(
+            setup, 256, 256, tile_h=16, tile_w=64, chunk=32, big_chunk=32,
+            interpret=True, records=records,
+        )
+        d2, i2, _ = rasterize_binned(
+            setup, 256, 256, tile_h=16, tile_w=64, chunk=32, big_chunk=32,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+        ids = np.asarray(i)
+        want = np.where(
+            (ids >= 0)[..., None], np.asarray(records)[ids.clip(0)], 0.0
+        )
+        np.testing.assert_array_equal(np.asarray(attr), want)
+        assert (ids >= 0).sum() > 500
+
+
+def test_full_pallas_frame_matches_xla():
+    """End-to-end deferred frame on the FULL Pallas path (binned raster,
+    fused attribute resolve, superblock PCF) in interpret mode vs the XLA
+    path.  depth/tri_id must match exactly; color within the shadow-table
+    quantization difference (the pallas path compares f32 depths, the xla
+    path f16)."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.params import FrameState, RenderSettings
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="deferred", enable_ibl=False, enable_sky=True,
+        has_masked_models=True, width=128, height=128, shadow_map_size=64,
+        tile_h=16, tile_w=64, chunk=32, shadow_chunk=32,
+    )
+    scene, data = synthetic_device_scene(6, with_masked=True)
+    params = synthetic_frame_params(data, 128, 128)
+    state = FrameState.initial(128, 128)
+
+    outs = {}
+    for backend in ("xla", "pallas"):
+        s = dataclasses.replace(
+            base, raster_backend=backend,
+            pallas_interpret=(backend == "pallas"),
+            fused_resolve="on" if backend == "pallas" else "auto",
+        )
+        out, _ = jax.jit(functools.partial(deferred_frame, settings=s))(
+            scene, params, state
+        )
+        outs[backend] = {k: np.asarray(v) for k, v in out.items()
+                         if hasattr(v, "shape")}
+    np.testing.assert_array_equal(outs["pallas"]["tri_id"], outs["xla"]["tri_id"])
+    np.testing.assert_array_equal(outs["pallas"]["depth"], outs["xla"]["depth"])
+    assert (outs["pallas"]["tri_id"] >= 0).sum() > 300
+    # color: identical resolve records; only the PCF depth representation
+    # differs (f32 vs lifted-f16), which flips a few shadow-boundary
+    # comparisons -- and through auto-exposure (a global EV scalar) shifts
+    # every tonemapped pixel by a tiny amount.  Gate on pre-exposure HDR:
+    # only true shadow flips may differ there.
+    np.testing.assert_allclose(
+        outs["pallas"]["color"], outs["xla"]["color"], atol=5e-2
+    )
+    hdr_mism = (
+        np.abs(outs["pallas"]["hdr"] - outs["xla"]["hdr"]).max(-1) > 1e-5
+    ).mean()
+    assert hdr_mism < 0.05, f"too many differing HDR pixels: {hdr_mism:.3%}"

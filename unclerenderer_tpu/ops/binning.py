@@ -75,6 +75,9 @@ class BinnedTriangles:
     tile_used: jnp.ndarray  # (n_tiles,) bool tile has any content
     big_mask: jnp.ndarray  # (T,) bool triangles for the next level
     overflow: jnp.ndarray  # () i32 dropped pair count
+    # optional per-pair resolve records (n_blocks, chunk, R) -- fused
+    # attribute emission (ops/pallas_raster.py); None otherwise
+    rec: jnp.ndarray | None = None
 
 
 def bin_triangles(
@@ -88,6 +91,7 @@ def bin_triangles(
     budget_factor: float = 3.0,
     tri_ids: jnp.ndarray | None = None,
     y_offset=0,
+    records: jnp.ndarray | None = None,
 ) -> BinnedTriangles:
     """tri_ids (optional) maps local rows of a compacted setup back to
     global triangle ids for the output id buffers.
@@ -171,6 +175,10 @@ def bin_triangles(
     coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
     coef = coef.transpose(0, 2, 1)  # (n_blocks, 16, chunk)
 
+    # optional per-pair resolve records for fused attribute emission;
+    # (chunk, R) layout: 512 B contiguous DMA rows at R = 128
+    rec = None if records is None else records[blocks_tid]
+
     return BinnedTriangles(
         coef=coef,
         tri_id=out_tid[:, None, :],
@@ -184,4 +192,5 @@ def bin_triangles(
         tile_used=(counts > 0) & (blk_start[:-1] < n_blocks),
         big_mask=big,
         overflow=overflow.astype(jnp.int32),
+        rec=rec,
     )

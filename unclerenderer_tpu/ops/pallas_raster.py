@@ -62,15 +62,24 @@ def _raster_kernel(
     overlap_ref,  # (1, 1, n_chunks) i32 SMEM: per-chunk work bits for tile
     coef_ref,     # (1, 16, chunk)
     valid_ref,    # (1, 1, chunk) f32
+    rec_ref=None,  # (1, chunk, R) f32 per-pair records (want_attrs only)
     key_ref=None,  # (1, 1, pix) f32 out (revisited across chunks)
     id_ref=None,   # (1, 1, pix) i32 out (absent when want_ids=False)
+    attr_ref=None,  # (1, pix, R) f32 out (want_attrs only)
     *,
     tile_h: int,
     tile_w: int,
     chunk: int,
     n_tx: int,
     want_ids: bool = True,
+    want_attrs: bool = False,
 ):
+    if not want_ids:
+        key_ref = rec_ref
+        rec_ref = id_ref = attr_ref = None
+    elif not want_attrs:
+        key_ref, id_ref = rec_ref, key_ref
+        rec_ref = attr_ref = None
     t = pl.program_id(0)
     c = pl.program_id(1)
     pix = tile_h * tile_w
@@ -80,6 +89,8 @@ def _raster_kernel(
         key_ref[...] = jnp.full((1, 1, pix), -1.0, jnp.float32)
         if want_ids:
             id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
+        if want_attrs:
+            attr_ref[...] = jnp.zeros_like(attr_ref)
 
     @pl.when(overlap_ref[0, 0, c] != 0)
     def _body():
@@ -111,6 +122,16 @@ def _raster_kernel(
         id_ref[0] = jnp.where(
             better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
         )
+        if want_attrs:
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 0)
+            match = ((row_iota == k_arg) & (k_best >= 0.0)).astype(jnp.float32)
+            attr_blk = jax.lax.dot_general(
+                match, rec_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            take = (better | (tie & (k_id < acc_id)))[0][:, None]
+            attr_ref[0] = jnp.where(take, attr_blk, attr_ref[0])
 
 
 @partial(
@@ -131,6 +152,7 @@ def rasterize_pallas(
     y_offset=0,
     interpret: bool = False,
     want_ids: bool = True,
+    records: jnp.ndarray | None = None,
 ):
     """Brute-force Pallas raster (every tile scans every chunk, with SMEM
     skip bits).  Use rasterize_binned for real scenes.
@@ -176,19 +198,30 @@ def rasterize_pallas(
     )
     overlap = jnp.any(ov, axis=2).astype(jnp.int32)[:, None, :]
 
+    want_attrs = records is not None
     pix = tile_h * tile_w
     out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32)]
     if want_ids:
         out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32))
+    out_specs = [pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0))] * len(out_shape)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_chunks), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, COEF_COLS, chunk), lambda t, c: (c, 0, 0)),
+        pl.BlockSpec((1, 1, chunk), lambda t, c: (c, 0, 0)),
+    ]
+    inputs = [yoff.reshape(1), overlap, coef, valid]
+    if want_attrs:
+        rec_cols = records.shape[-1]
+        rec = jnp.pad(records, ((0, t_pad - t), (0, 0))).reshape(n_chunks, chunk, rec_cols)
+        in_specs.append(pl.BlockSpec((1, chunk, rec_cols), lambda t, c: (c, 0, 0)))
+        inputs.append(rec)
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, pix, rec_cols), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, pix, rec_cols), lambda t, c: (t, 0, 0)))
     grid_spec = pl.GridSpec(
         grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_chunks), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, COEF_COLS, chunk), lambda t, c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda t, c: (c, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0))] * len(out_shape),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     kernel = partial(
         _raster_kernel,
@@ -197,13 +230,14 @@ def rasterize_pallas(
         chunk=chunk,
         n_tx=n_tx,
         want_ids=want_ids,
+        want_attrs=want_attrs,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(yoff.reshape(1), overlap, coef, valid)
+    )(*inputs)
 
     if not want_ids:
         # depth-only: return the RAW key image (-1 = miss, ascending =
@@ -222,7 +256,15 @@ def rasterize_pallas(
         outs[1].reshape(n_tiles, tile_h, tile_w),
         width, height, tile_h, tile_w, depth_mode,
     )
-    return depth, tri_id
+    if not want_attrs:
+        return depth, tri_id
+    rec_cols = records.shape[-1]
+    attr_img = (
+        outs[2].reshape(n_ty, n_tx, tile_h, tile_w, rec_cols)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(pad_h, pad_w, rec_cols)[:height, :width]
+    )
+    return depth, tri_id, attr_img
 
 
 def _untile(best_key, best_id, width, height, tile_h, tile_w, depth_mode):
@@ -263,8 +305,10 @@ def _binned_kernel(
     coef_ref,       # (1, 16, chunk)
     tid_ref,        # (1, 1, chunk) i32 (absent when want_ids=False)
     valid_ref,      # (1, 1, chunk) f32
+    rec_ref=None,   # (1, chunk, R) f32 per-pair records (want_attrs only)
     key_ref=None,   # (1, 1, pix) f32 out (revisited per tile)
     id_ref=None,    # (1, 1, pix) i32 out (absent when want_ids=False)
+    attr_ref=None,  # (1, pix, R) f32 out (want_attrs only)
     *,
     tile_h: int,
     tile_w: int,
@@ -272,12 +316,17 @@ def _binned_kernel(
     n_tx: int,
     debug_print: bool = False,
     want_ids: bool = True,
+    want_attrs: bool = False,
 ):
     if not want_ids:
         # depth-only layout (shadow maps): no tid input, no id output
         key_ref = valid_ref
         valid_ref = tid_ref
-        tid_ref = id_ref = None
+        tid_ref = id_ref = rec_ref = attr_ref = None
+    elif not want_attrs:
+        # (coef, tid, valid) in -> (key, id) out
+        key_ref, id_ref = rec_ref, key_ref
+        rec_ref = attr_ref = None
     b = pl.program_id(0)
     pix = tile_h * tile_w
 
@@ -286,6 +335,8 @@ def _binned_kernel(
         key_ref[...] = jnp.full((1, 1, pix), -1.0, jnp.float32)
         if want_ids:
             id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
+        if want_attrs:
+            attr_ref[...] = jnp.zeros_like(attr_ref)
 
     # Dead steps (block budget beyond actual demand) route their input DMA
     # to the last live block (elided: same index as the previous step) and
@@ -332,6 +383,18 @@ def _binned_kernel(
         id_ref[0] = jnp.where(
             better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
         )
+        if want_attrs:
+            # one-hot select of the winning row's record on the MXU: the
+            # match row is unique (a triangle appears once per tile list),
+            # so the f32 dot adds zeros -- the selection is exact
+            match = ((key == k_best) & ok & (ids_col == k_id)).astype(jnp.float32)
+            attr_blk = jax.lax.dot_general(
+                match, rec_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (pix, R)
+            take = (better | (tie & (k_id < acc_id)))[0][:, None]  # (pix, 1)
+            attr_ref[0] = jnp.where(take, attr_blk, attr_ref[0])
 
 
 def _run_binned_kernel(
@@ -339,7 +402,10 @@ def _run_binned_kernel(
     interpret=False, debug_print=False, want_ids=True,
 ):
     """Launch the binned kernel for one level; returns (key_img, id_img)
-    cropped to (height, width), key = -1 where empty."""
+    cropped to (height, width), key = -1 where empty.  When ``bins.rec``
+    is set, also returns the winner's record image (height, width, R)
+    (fused attribute emission) as a third element."""
+    want_attrs = bins.rec is not None
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
     n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
@@ -365,11 +431,23 @@ def _run_binned_kernel(
     out_shape = [jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.float32)]
     if want_ids:
         out_shape.append(jax.ShapeDtypeStruct((n_tiles + 1, 1, pix), jnp.int32))
+    out_specs = [out_spec] * len(out_shape)
+    inputs = (bins.coef, bins.tri_id, bins.valid) if want_ids else (bins.coef, bins.valid)
+    if want_attrs:
+        rec_cols = bins.rec.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((1, chunk, rec_cols), lambda b, bs, bo, bt, bf, bl, yo: (bs[b], 0, 0))
+        )
+        inputs = inputs + (bins.rec,)
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles + 1, pix, rec_cols), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, pix, rec_cols), lambda b, bs, bo, bt, bf, bl, yo: (bo[b], 0, 0))
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=[out_spec] * len(out_shape),
+        out_specs=out_specs,
     )
     kernel = partial(
         _binned_kernel,
@@ -379,9 +457,9 @@ def _run_binned_kernel(
         n_tx=n_tx,
         debug_print=debug_print,
         want_ids=want_ids,
+        want_attrs=want_attrs,
     )
     yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
-    inputs = (bins.coef, bins.tri_id, bins.valid) if want_ids else (bins.coef, bins.valid)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -403,7 +481,18 @@ def _run_binned_kernel(
     if not want_ids:
         return key_img, None
     best_id = jnp.where(used, outs[1][:n_tiles], -1).reshape(n_tiles, tile_h, tile_w)
-    return key_img, untile(best_id)
+    id_img = untile(best_id)
+    if not want_attrs:
+        return key_img, id_img
+    rec_cols = bins.rec.shape[-1]
+    # zero unused tiles (their blocks were never visited -> uninitialized)
+    attr = jnp.where(bins.tile_used[:, None, None], outs[2][:n_tiles], 0.0)
+    attr_img = (
+        attr.reshape(n_ty, n_tx, tile_h, tile_w, rec_cols)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(pad_h, pad_w, rec_cols)[:height, :width]
+    )
+    return key_img, id_img, attr_img
 
 
 @partial(
@@ -434,6 +523,7 @@ def rasterize_binned(
     interpret: bool = False,
     debug_print: bool = False,
     want_ids: bool = True,
+    records: jnp.ndarray | None = None,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -460,14 +550,18 @@ def rasterize_binned(
     if depth_mode != DEPTH_MAX:
         setup = flip_depth_key(setup)
 
+    want_attrs = records is not None
     bins = bin_triangles(
         setup, width, height, tile_h, tile_w, chunk,
         max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
+        records=records,
     )
-    key_img, id_img = _run_binned_kernel(
+    fine_out = _run_binned_kernel(
         bins, width, height, tile_h, tile_w, chunk, y_offset, interpret,
         debug_print, want_ids,
     )
+    key_img, id_img = fine_out[0], fine_out[1]
+    attr_img = fine_out[2] if want_attrs else None
 
     t_count = setup.coef.shape[0]
 
@@ -492,19 +586,21 @@ def rasterize_binned(
     mid_bins = bin_triangles(
         mid_setup, width, height, big_tile_h, big_tile_w, big_chunk,
         max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
+        records=None if records is None else records[mid_idx],
     )
-    mid_key, mid_id = _run_binned_kernel(
+    mid_out = _run_binned_kernel(
         mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,
         interpret, want_ids=want_ids,
     )
+    mid_key, mid_id = mid_out[0], mid_out[1]
     if want_ids:
         take_mid = mid_key > key_img
         tie_mid = (mid_key == key_img) & (mid_key >= 0.0)
         key_img = jnp.where(take_mid, mid_key, key_img)
-        id_img = jnp.where(
-            take_mid, mid_id,
-            jnp.where(tie_mid, jnp.minimum(mid_id, id_img), id_img),
-        )
+        sel_mid = take_mid | (tie_mid & (mid_id < id_img))
+        id_img = jnp.where(sel_mid, mid_id, id_img)
+        if want_attrs:
+            attr_img = jnp.where(sel_mid[..., None], mid_out[2], attr_img)
     else:
         key_img = jnp.maximum(key_img, mid_key)
 
@@ -526,11 +622,13 @@ def rasterize_binned(
     giant_setup = RasterSetup(
         coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
     )
-    big_depth, big_id_local = rasterize_pallas(
+    big_out = rasterize_pallas(
         giant_setup, width, height,
         tile_h=big_tile_h, tile_w=big_tile_w, chunk=big_chunk,
         y_offset=y_offset, interpret=interpret, want_ids=want_ids,
+        records=None if records is None else records[g_idx],
     )
+    big_depth, big_id_local = big_out[0], big_out[1]
     if want_ids:
         big_id = jnp.where(
             big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
@@ -540,10 +638,10 @@ def rasterize_binned(
         take_big = big_key > key_img
         tie_big = (big_key == key_img) & (big_key >= 0.0)
         key_img = jnp.where(take_big, big_key, key_img)
-        id_img = jnp.where(
-            take_big, big_id,
-            jnp.where(tie_big, jnp.minimum(big_id, id_img), id_img),
-        )
+        sel_big = take_big | (tie_big & (big_id < id_img))
+        id_img = jnp.where(sel_big, big_id, id_img)
+        if want_attrs:
+            attr_img = jnp.where(sel_big[..., None], big_out[2], attr_img)
     else:
         # big_depth is the RAW key image here (-1 = miss)
         key_img = jnp.maximum(key_img, big_depth)
@@ -558,4 +656,6 @@ def rasterize_binned(
         "pair_overflow": bins.overflow + mid_bins.overflow,
         "giant_truncated": giant_truncated,
     }
+    if want_attrs:
+        return depth, tri_id, stats, attr_img
     return depth, tri_id, stats

@@ -62,12 +62,25 @@ def _use_pallas(settings: RenderSettings) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def use_fused_resolve(settings, t_count: int) -> bool:
+    """Fused attribute emission (the raster kernels select the winner's
+    resolve record in-VMEM) replaces the per-pixel record gather, which
+    falls off the TPU fast-gather cliff once the record table exceeds
+    ~96k rows (measured 3.5 ns/row below, 12-19 ns/row above).  Auto mode
+    turns it on exactly when the gather would be on the slow path."""
+    if settings.fused_resolve == "off" or not _use_pallas(settings):
+        return False
+    return settings.fused_resolve == "on" or t_count >= 96_000
+
+
 def _dispatch_raster(
     setup, width, height, tile_h, tile_w, chunk, depth_mode, settings, y_offset=0,
-    want_ids=True,
+    want_ids=True, records=None,
 ):
-    """Returns (depth, tri_id, stats) -- stats carries the binned path's
-    overflow counters (zeros on the exhaustive XLA path, which never drops).
+    """Returns (depth, tri_id, stats[, attr]) -- stats carries the binned
+    path's overflow counters (zeros on the exhaustive XLA path, which never
+    drops); attr is the fused-resolve record image, appended only when
+    ``records`` is given (Pallas path; None on the XLA fallback).
 
     y_offset (traced ok) renders rows [y_offset, y_offset+height) in GLOBAL
     pixel coordinates, so a sharded slab render is bit-identical to the
@@ -85,6 +98,8 @@ def _dispatch_raster(
             giant_divisor=settings.bin_giant_divisor,
             debug_print=settings.kernel_debug_print,
             want_ids=want_ids,
+            records=records,
+            interpret=settings.pallas_interpret,
         )
     depth, tri_id = rasterize(
         setup, width, height,
@@ -92,7 +107,10 @@ def _dispatch_raster(
         y_offset=y_offset,
     )
     zero = jnp.zeros((), jnp.int32)
-    return depth, tri_id, {"pair_overflow": zero, "giant_truncated": zero}
+    stats = {"pair_overflow": zero, "giant_truncated": zero}
+    if records is not None:
+        return depth, tri_id, stats, None
+    return depth, tri_id, stats
 
 
 def raster_opaque(
@@ -102,6 +120,7 @@ def raster_opaque(
     tri_mask: jnp.ndarray,
     settings: RenderSettings,
     dist=None,
+    records=None,
 ):
     """Visibility raster over the full frame, or over this device's row slab
     when ``dist`` is sharded (traced y_offset, global pixel coordinates --
@@ -117,7 +136,7 @@ def raster_opaque(
     return _dispatch_raster(
         setup, settings.width, out_h,
         min(settings.tile_h, out_h), settings.tile_w, settings.chunk,
-        DEPTH_MAX, settings, y_offset=y_off,
+        DEPTH_MAX, settings, y_offset=y_off, records=records,
     )
 
 
@@ -167,6 +186,8 @@ def raster_masked_combine(
     tri_id: jnp.ndarray,
     settings: RenderSettings,
     dist=None,
+    attr=None,
+    records=None,
 ):
     """Rasterize alpha-masked geometry with an in-raster alpha test, then
     depth-combine with the opaque visibility buffer.
@@ -240,7 +261,32 @@ def raster_masked_combine(
     take_masked = m_depth > depth
     depth = jnp.where(take_masked, m_depth, depth)
     tri_id = jnp.where(take_masked, m_tri, tri_id)
-    return depth, tri_id
+    if attr is None:
+        return depth, tri_id
+    # fused resolve: masked-won pixels take their record via a fast gather
+    # from the compacted masked list (the full table is past the gather
+    # cliff; the compact one is tiny)
+    t_count = setup.coef.shape[0]
+    cap = settings.masked_tri_cap
+    safe_m = jnp.maximum(m_tri, 0)
+    if 0 < cap < t_count:
+        chunk = min(settings.chunk, 64)
+        idx_bits = max((t_count - 1).bit_length(), 1)
+        iota = jnp.arange(t_count, dtype=jnp.int32)
+        packed = jnp.where(setup.valid, 0, jnp.int32(1 << idx_bits)) + iota
+        sp = jnp.sort(packed)[: -(-cap // chunk) * chunk]
+        sel = sp & jnp.int32((1 << idx_bits) - 1)
+        sel_valid = sp < jnp.int32(1 << idx_bits)
+        ids_m = jnp.where(sel_valid, sel, jnp.int32(t_count))
+        rec_m = records[sel]
+        local = jnp.clip(
+            jnp.searchsorted(ids_m, safe_m).astype(jnp.int32), 0, sel.shape[0] - 1
+        )
+        attr_m = rec_m[local]
+    else:
+        attr_m = records[safe_m]
+    attr = jnp.where(take_masked[..., None], attr_m, attr)
+    return depth, tri_id, attr
 
 
 def _rasterize_alpha(
@@ -615,6 +661,22 @@ def _rasterize_alpha_binned(
     return depth, tri
 
 
+def build_resolve_records(scene: DeviceScene, pix_h: jnp.ndarray) -> jnp.ndarray:
+    """The (T, 128) per-triangle resolve record:
+    [9 pix_h | 48 tri_geo | 64 tri_mrec | 7 pad] (render/packing.py).
+    Shared by the per-pixel-gather resolve and the fused-emission path."""
+    t_count = scene.tri_geo.shape[0]
+    return jnp.concatenate(
+        [
+            pix_h.reshape(t_count, 9),
+            scene.tri_geo,
+            scene.tri_mrec,
+            jnp.zeros((t_count, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def resolve_materials(
     scene: DeviceScene,
     pix_h: jnp.ndarray,
@@ -623,6 +685,7 @@ def resolve_materials(
     row0=0,
     next_tri_row: jnp.ndarray | None = None,
     row_halo=None,
+    full_override: jnp.ndarray | None = None,
 ):
     """Visibility buffer -> interpolated attributes + sampled material values.
 
@@ -645,21 +708,18 @@ def resolve_materials(
     width, height = settings.width, tri_id.shape[0]
     t_count = scene.tri_geo.shape[0]
 
-    # ONE (T, 128) record gather: [9 pix_h | 48 tri_geo | 64 tri_mrec | 7 pad]
-    # (f32 gathers from small tables cost the same at 57, 64 or 128 wide --
-    # measured ~33 ms/2M rows -- so merging the geometry and model records
-    # halves the record-gather cost; pad to a power of two).
-    rec = jnp.concatenate(
-        [
-            pix_h.reshape(t_count, 9),
-            scene.tri_geo,
-            scene.tri_mrec,
-            jnp.zeros((t_count, 7), jnp.float32),
-        ],
-        axis=1,
-    )
-    safe_id = jnp.maximum(tri_id, 0)
-    full = rec[safe_id]       # (H, W, 128): the single per-pixel record gather
+    if full_override is not None:
+        # fused resolve: the raster kernels already selected each pixel's
+        # record (bit-identical to the gather below -- tested); no per-pixel
+        # gather at all
+        full = full_override
+    else:
+        # ONE (T, 128) per-pixel record gather (build_resolve_records);
+        # fast for record tables under the ~96k-row gather cliff -- larger
+        # scenes use the fused path (use_fused_resolve)
+        rec = build_resolve_records(scene, pix_h)
+        safe_id = jnp.maximum(tri_id, 0)
+        full = rec[safe_id]       # (H, W, 128)
     av = full[..., 0:57]
     mrec = full[..., 57:121]
     valid = tri_id >= 0

@@ -122,19 +122,27 @@ def deferred_frame(
 
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
-    depth, tri_id, raster_stats = common.raster_opaque(
-        scene, clip, pix_h, opaque_mask, settings, dist
+    fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
+    records = common.build_resolve_records(scene, pix_h) if fused else None
+    res = common.raster_opaque(
+        scene, clip, pix_h, opaque_mask, settings, dist, records=records
     )
+    depth, tri_id, raster_stats = res[0], res[1], res[2]
+    attr = res[3] if fused else None
     if settings.has_masked_models:
-        depth, tri_id = common.raster_masked_combine(
-            scene, clip, pix_h, masked_mask, depth, tri_id, settings, dist
+        masked_out = common.raster_masked_combine(
+            scene, clip, pix_h, masked_mask, depth, tri_id, settings, dist,
+            attr=attr, records=records,
         )
+        depth, tri_id = masked_out[0], masked_out[1]
+        attr = masked_out[2] if attr is not None else None
     raster_stats = {k: dist.psum(v) for k, v in raster_stats.items()}
 
     g = common.resolve_materials(
         scene, pix_h, tri_id, settings, row0=dist.row0,
         next_tri_row=dist.row_below(tri_id) if sharded else None,
         row_halo=(lambda x: (dist.row_above(x), dist.row_below(x))) if sharded else None,
+        full_override=attr,
     )
 
     # --- 6. HZB for next frame (sharded: built replicated from the
@@ -166,6 +174,7 @@ def deferred_frame(
             params.shadow_strength,
             params.shadow_bias,
             pcf="deferred",
+            **({"interpret": settings.pallas_interpret} if shadow_blocks else {}),
         )
     else:
         shadow = jnp.ones_like(g["metallic"])

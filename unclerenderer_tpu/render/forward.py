@@ -41,13 +41,20 @@ def forward_frame(
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
     opaque_mask, masked_mask = common.tri_draw_masks(scene, params.model_visible)
 
-    depth, tri_id, raster_stats = common.raster_opaque(
-        scene, clip, pix_h, opaque_mask, settings
+    fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
+    records = common.build_resolve_records(scene, pix_h) if fused else None
+    res = common.raster_opaque(
+        scene, clip, pix_h, opaque_mask, settings, records=records
     )
+    depth, tri_id, raster_stats = res[0], res[1], res[2]
+    attr = res[3] if fused else None
     if settings.has_masked_models:
-        depth, tri_id = common.raster_masked_combine(
-            scene, clip, pix_h, masked_mask, depth, tri_id, settings
+        masked_out = common.raster_masked_combine(
+            scene, clip, pix_h, masked_mask, depth, tri_id, settings,
+            attr=attr, records=records,
         )
+        depth, tri_id = masked_out[0], masked_out[1]
+        attr = masked_out[2] if attr is not None else None
 
     if settings.enable_shadows:
         if shadow_map is None:
@@ -62,7 +69,7 @@ def forward_frame(
     else:
         shadow9 = None
 
-    g = common.resolve_materials(scene, pix_h, tri_id, settings)
+    g = common.resolve_materials(scene, pix_h, tri_id, settings, full_override=attr)
 
     n = g["normal"]
     v = pbr.normalize(params.camera_pos - g["world_pos"])
@@ -80,6 +87,7 @@ def forward_frame(
             params.shadow_strength,
             params.shadow_bias,
             pcf="forward",
+            **({"interpret": settings.pallas_interpret} if shadow_blocks else {}),
         )
     else:
         shadow = jnp.ones_like(g["metallic"])

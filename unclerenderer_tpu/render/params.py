@@ -66,6 +66,15 @@ class RenderSettings:
     combined_material: bool = False
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # fused attribute emission: the Pallas raster kernels select the
+    # winner's resolve record in VMEM (MXU one-hot dot) instead of the
+    # resolve doing a per-pixel record gather.  "auto" switches on when the
+    # record table is past the fast-gather row cliff (common.py
+    # use_fused_resolve); "on"/"off" force it.
+    fused_resolve: str = "auto"
+    # run Pallas kernels in interpret mode (hermetic CPU CI of the full
+    # pallas frame -- slow; tests only)
+    pallas_interpret: bool = False
     tile_h: int = 16
     tile_w: int = 64
     # chunk 64 measured faster than 128 at 263k tris (less padding waste in
