@@ -130,8 +130,10 @@ def _raster_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            take = (better | (tie & (k_id < acc_id)))[0][:, None]
-            attr_ref[0] = jnp.where(take, attr_blk, attr_ref[0])
+            # f32 mask before the minor-dim insert (Mosaic cannot
+            # reshape 1-bit vectors across dims)
+            take = jnp.where(better | (tie & (k_id < acc_id)), 1.0, 0.0)
+            attr_ref[0] = jnp.where(take[0][:, None] > 0.5, attr_blk, attr_ref[0])
 
 
 @partial(
@@ -393,8 +395,10 @@ def _binned_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (pix, R)
-            take = (better | (tie & (k_id < acc_id)))[0][:, None]  # (pix, 1)
-            attr_ref[0] = jnp.where(take, attr_blk, attr_ref[0])
+            # f32 mask before the minor-dim insert (Mosaic cannot reshape
+            # 1-bit vectors across dims)
+            take = jnp.where(better | (tie & (k_id < acc_id)), 1.0, 0.0)
+            attr_ref[0] = jnp.where(take[0][:, None] > 0.5, attr_blk, attr_ref[0])
 
 
 def _run_binned_kernel(

@@ -66,11 +66,18 @@ def use_fused_resolve(settings, t_count: int) -> bool:
     """Fused attribute emission (the raster kernels select the winner's
     resolve record in-VMEM) replaces the per-pixel record gather, which
     falls off the TPU fast-gather cliff once the record table exceeds
-    ~96k rows (measured 3.5 ns/row below, 12-19 ns/row above).  Auto mode
-    turns it on exactly when the gather would be on the slow path."""
-    if settings.fused_resolve == "off" or not _use_pallas(settings):
+    ~96k rows (measured 3.5 ns/row below, 12-19 ns/row above).
+
+    Measured at the 263k-tri tier (1080p): the machinery costs +31.5 ms in
+    the raster (per-pair record gather, MXU one-hot selects, three 1 GB
+    attribute images and their merges) against -33.7 ms in the resolve --
+    a wash in isolation and slightly negative in-frame (lost fusion), so
+    ``auto`` keeps it OFF for now; ``on`` forces it (the machinery is
+    CI-tested bit-exact and is the right shape for future scenes whose
+    resolve-side savings grow faster than the attr IO)."""
+    if settings.fused_resolve != "on" or not _use_pallas(settings):
         return False
-    return settings.fused_resolve == "on" or t_count >= 96_000
+    return True
 
 
 def _dispatch_raster(

@@ -68,9 +68,9 @@ class RenderSettings:
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     # fused attribute emission: the Pallas raster kernels select the
     # winner's resolve record in VMEM (MXU one-hot dot) instead of the
-    # resolve doing a per-pixel record gather.  "auto" switches on when the
-    # record table is past the fast-gather row cliff (common.py
-    # use_fused_resolve); "on"/"off" force it.
+    # resolve doing a per-pixel record gather.  Measured a wash at the
+    # 263k-tri tier (common.py use_fused_resolve); "auto" currently stays
+    # off, "on" forces the fused path (CI-tested bit-exact).
     fused_resolve: str = "auto"
     # run Pallas kernels in interpret mode (hermetic CPU CI of the full
     # pallas frame -- slow; tests only)
