@@ -239,3 +239,69 @@ def test_bc6h_env_cube(reference_assets):
     assert dds.mips[0][8].shape == (1, 1, 4)
     # faces differ (not garbage repetition)
     assert not np.allclose(dds.mips[0][0], dds.mips[1][0])
+
+
+def _dds_header_rgba8(width, height, mips, *, depth=0, flags_extra=0,
+                      caps2=0, dx10=None):
+    """Minimal DDS header builder (RGBA8 masks or DX10 extension)."""
+    import struct
+
+    flags = 0x1 | 0x2 | 0x4 | 0x1000 | (0x20000 if mips > 1 else 0) | flags_extra
+    hdr = b"DDS " + struct.pack(
+        "<7I", 124, flags, height, width, width * 4, depth, mips
+    )
+    hdr += b"\x00" * 44  # reserved
+    if dx10 is not None:
+        hdr += struct.pack("<2I4s5I", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
+    else:
+        hdr += struct.pack(
+            "<2I4s6I", 32, 0x40, b"\x00\x00\x00\x00", 32,
+            0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000, 0,
+        )[:32]
+    hdr += struct.pack("<5I", 0x1000 | (0x400000 if mips > 1 else 0), caps2, 0, 0, 0)
+    assert len(hdr) == 128, len(hdr)
+    if dx10 is not None:
+        hdr += struct.pack("<5I", *dx10)  # dxgi, dim, misc, arraySize, misc2
+    return hdr
+
+
+def test_dds_volume_texture(tmp_path):
+    """3D (volume) DDS: depth slices per mip, depth halving per level
+    (TextureLoader.cpp:178-363 parity)."""
+    rng = np.random.default_rng(0)
+    w = h = d = 4
+    mips = 2
+    vol0 = rng.integers(0, 255, (d, h, w, 4), dtype=np.uint8)
+    vol1 = rng.integers(0, 255, (d // 2, h // 2, w // 2, 4), dtype=np.uint8)
+    payload = vol0.tobytes() + vol1.tobytes()
+    # legacy header: DDSD_DEPTH + DDSCAPS2_VOLUME
+    f = tmp_path / "vol.dds"
+    f.write_bytes(
+        _dds_header_rgba8(w, h, mips, depth=d, flags_extra=0x800000,
+                          caps2=0x200000) + payload
+    )
+    img = load_dds(f)
+    assert img is not None and img.is_volume and img.depth == 4
+    assert len(img.mips) == 1 and len(img.mips[0]) == 2
+    np.testing.assert_array_equal(img.mips[0][0], vol0)
+    np.testing.assert_array_equal(img.mips[0][1], vol1)
+
+
+def test_dds_texture_array(tmp_path):
+    """DX10 texture array: one full mip chain per item."""
+    import struct
+
+    rng = np.random.default_rng(1)
+    w = h = 4
+    items = [rng.integers(0, 255, (h, w, 4), dtype=np.uint8) for _ in range(3)]
+    # DXGI_RGBA8 = 28, dim 3 = TEXTURE2D, arraySize 3
+    f = tmp_path / "arr.dds"
+    f.write_bytes(
+        _dds_header_rgba8(w, h, 1, dx10=(28, 3, 0, 3, 0))
+        + b"".join(i.tobytes() for i in items)
+    )
+    img = load_dds(f)
+    assert img is not None and img.array_size == 3 and not img.is_volume
+    assert len(img.mips) == 3
+    for got, want in zip(img.mips, items):
+        np.testing.assert_array_equal(got[0], want)

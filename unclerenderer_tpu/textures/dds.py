@@ -1,7 +1,8 @@
 """DDS loader: header parse + BC1-5 / uncompressed decode to numpy.
 
 Host-side equivalent of the reference's ddspp-based DDS path
-(``Source/Render/TextureLoader.cpp:178-363``): 2D textures and cubemaps with
+(``Source/Render/TextureLoader.cpp:178-363``): 2D, 3D (volume), array
+textures and cubemaps with
 full mip chains.  BC blocks decode through the native C++ library (with a
 numpy fallback for BC1-5); BC6H/BC7 decode natively only (added in
 ``native/bc67.cpp``).
@@ -58,7 +59,13 @@ class DdsImage:
     is_cube: bool = False
     is_srgb_format: bool = False
     is_hdr: bool = False
-    # mips[face][mip] -> (h, w, 4) uint8 or float32
+    # 3D (volume) textures: depth > 1; mips[0][mip] -> (depth_m, h, w, 4)
+    # with depth_m = max(1, depth >> mip) (``TextureLoader.cpp:178-363``)
+    depth: int = 1
+    is_volume: bool = False
+    # texture arrays (DX10 arraySize): one mips[] entry per item
+    array_size: int = 1
+    # mips[face_or_item][mip] -> (h, w, 4) uint8 or float32
     mips: list = dataclasses.field(default_factory=list)
 
 
@@ -225,7 +232,7 @@ def load_dds(path: str | Path) -> DdsImage | None:
     if len(data) < 128 or data[:4] != b"DDS ":
         log_error(f"not a DDS file: {path}")
         return None
-    (_size, _flags, height, width, _pitch, _depth, mip_count) = struct.unpack(
+    (_size, flags, height, width, _pitch, depth, mip_count) = struct.unpack(
         "<7I", data[4:32]
     )
     mip_count = max(1, mip_count)
@@ -233,11 +240,18 @@ def load_dds(path: str | Path) -> DdsImage | None:
     rgb_bits, rmask, gmask, bmask, amask = struct.unpack("<5I", data[88:108])
     caps2 = struct.unpack("<I", data[112:116])[0]
     is_cube = bool(caps2 & 0x200)
+    # volume: DDSD_DEPTH header flag or DDSCAPS2_VOLUME
+    is_volume = bool(flags & 0x800000) or bool(caps2 & 0x200000)
+    depth = max(1, depth) if is_volume else 1
+    array_size = 1
     offset = 128
     dxgi = None
     if fourcc == b"DX10":
-        dxgi, _dim, _misc, _asize, _misc2 = struct.unpack("<5I", data[128:148])
+        dxgi, dim, _misc, asize, _misc2 = struct.unpack("<5I", data[128:148])
         offset = 148
+        is_volume = is_volume or dim == 4  # D3D10_RESOURCE_DIMENSION_TEXTURE3D
+        if not is_volume and not is_cube:
+            array_size = max(1, asize)
     elif pf_flags & 0x4:  # FOURCC
         dxgi = _FOURCC_TO_DXGI.get(fourcc)
     elif pf_flags & 0x40:  # uncompressed RGB
@@ -257,14 +271,37 @@ def load_dds(path: str | Path) -> DdsImage | None:
         height=height,
         mip_count=mip_count,
         is_cube=is_cube,
+        depth=depth,
+        is_volume=is_volume,
+        array_size=array_size,
         is_srgb_format=dxgi in (DXGI_BC1_SRGB, DXGI_BC2_SRGB, DXGI_BC3_SRGB,
                                 DXGI_RGBA8_SRGB, DXGI_BC7_SRGB),
         is_hdr=dxgi in (DXGI_BC6H_UF16, DXGI_BC6H_SF16, DXGI_RGBA16F,
                         DXGI_RGBA32F, DXGI_R32F),
     )
-    n_faces = 6 if is_cube else 1
     pos = offset
-    for _face in range(n_faces):
+    if is_volume:
+        # one subresource chain; mip m holds depth_m slices back to back
+        vol_mips = []
+        w, h, d = width, height, depth
+        for _mip in range(mip_count):
+            slices = []
+            for _z in range(d):
+                nbytes = _mip_size_bytes(w, h, dxgi)
+                if nbytes == 0 or pos + nbytes > len(data):
+                    log_error(f"DDS data truncated in {path}")
+                    return None
+                decoded = _decode_mip(data[pos : pos + nbytes], w, h, dxgi)
+                if decoded is None:
+                    return None
+                slices.append(decoded)
+                pos += nbytes
+            vol_mips.append(np.stack(slices, axis=0))
+            w, h, d = max(1, w // 2), max(1, h // 2), max(1, d // 2)
+        img.mips.append(vol_mips)
+        return img
+    n_items = 6 if is_cube else array_size
+    for _item in range(n_items):
         face_mips = []
         w, h = width, height
         for _mip in range(mip_count):
