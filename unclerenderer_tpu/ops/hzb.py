@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..render.framegraph import named_pass
+
 
 def hzb_layout(width: int, height: int):
     """Static (offsets, sizes) for a pyramid starting at (height, width).
@@ -28,6 +30,7 @@ def hzb_layout(width: int, height: int):
     return layout, off
 
 
+@named_pass("BuildHZB")
 def build_hzb(depth: jnp.ndarray, layout) -> jnp.ndarray:
     """Full-res reverse-Z depth (H, W) -> packed min-depth pyramid.
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..render.framegraph import named_pass
+
 PI = 3.14159265
 
 
@@ -91,6 +93,7 @@ def apply_normal_map(vertex_normal, tangent4, tangent_normal):
     return normalize(world)
 
 
+@named_pass("IBLAmbient")
 def ibl_ambient(
     albedo,
     metallic,

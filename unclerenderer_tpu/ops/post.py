@@ -8,9 +8,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..render.framegraph import named_pass
+
 LUM_WEIGHTS = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 
 
+@named_pass("TemporalAA")
 def temporal_aa(
     current: jnp.ndarray,
     history: jnp.ndarray,
@@ -43,6 +46,7 @@ def temporal_aa(
     return jnp.where(use_history, blended, current)
 
 
+@named_pass("AutoExposure")
 def auto_exposure_ev(
     hdr: jnp.ndarray,
     prev_ev,
@@ -135,6 +139,7 @@ def pbr_neutral_tonemap(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(peak < start_compression, c, desat)
 
 
+@named_pass("Tonemap")
 def tonemap(
     hdr: jnp.ndarray,
     exposure,
@@ -155,6 +160,7 @@ def tonemap(
     return color ** (1.0 / jnp.maximum(gamma, 1e-3))
 
 
+@named_pass("CAS")
 def cas_sharpen(color: jnp.ndarray, sharpness, pad_fn=None) -> jnp.ndarray:
     """``Cas.hlsl`` (AMD RCAS-style): cross-tap luma sharpening.
     color: (H, W, 3) in [0,1] post-tonemap.  pad_fn as in temporal_aa."""

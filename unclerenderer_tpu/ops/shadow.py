@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..render.framegraph import named_pass
+
 
 def _cmp_gather(shadow_map: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, compare: jnp.ndarray) -> jnp.ndarray:
     """Point comparison fetch with BORDER = 1.0 (pass) outside the map."""
@@ -191,6 +193,7 @@ def _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
     return jnp.where((shadow_strength > 0.0) & in_range, s4, 1.0)
 
 
+@named_pass("ShadowPCF")
 def shadow_factor_packed(
     shadow9_flat: jnp.ndarray,
     size: int,
@@ -296,6 +299,7 @@ def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
     return out.reshape(n_pad, 16)[:n, :9]
 
 
+@named_pass("ShadowPCF")
 def shadow_factor_blocks(
     blocks_flat: jnp.ndarray,
     size: int,

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..render.framegraph import named_pass
+
 PI = 3.14159265
 
 
@@ -29,6 +31,7 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
+@named_pass("SkyAtmosphere")
 def apply_atmosphere(view_dir, camera_pos, light_dir, light_color):
     """``ApplyAtmosphere`` (SkyAtmosphere.hlsl:60-92).
 

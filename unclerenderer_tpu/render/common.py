@@ -120,6 +120,10 @@ def _dispatch_raster(
     return depth, tri_id, stats
 
 
+from .framegraph import named_pass
+
+
+@named_pass("VisibilityRaster")
 def raster_opaque(
     scene: DeviceScene,
     clip: jnp.ndarray,
@@ -147,6 +151,7 @@ def raster_opaque(
     )
 
 
+@named_pass("ShadowMap")
 def raster_shadow(
     scene: DeviceScene,
     light_view_proj: jnp.ndarray,
@@ -184,6 +189,7 @@ def raster_shadow(
     return depth
 
 
+@named_pass("MaskedRaster")
 def raster_masked_combine(
     scene: DeviceScene,
     clip: jnp.ndarray,
@@ -684,6 +690,7 @@ def build_resolve_records(scene: DeviceScene, pix_h: jnp.ndarray) -> jnp.ndarray
     )
 
 
+@named_pass("MaterialResolve")
 def resolve_materials(
     scene: DeviceScene,
     pix_h: jnp.ndarray,

@@ -25,6 +25,7 @@ them into the lighting pass instead of round-tripping HBM.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import mathlib
