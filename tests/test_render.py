@@ -357,3 +357,36 @@ def test_masked_binned_matches_bruteforce():
             np.asarray(outs[cap]["depth"]), np.asarray(ref["depth"]),
             err_msg=f"cap={cap}",
         )
+
+
+def test_interactive_viewer_scripted(tmp_path, monkeypatch):
+    """Terminal viewer loop (Application.cpp input-loop analog): scripted
+    keys drive camera moves, screenshot, and quit; frames really render."""
+    import io
+
+    from unclerenderer_tpu import viewer as V
+
+    s = RenderSettings(renderer_type="forward", enable_ibl=False, enable_sky=False,
+                       enable_shadows=False, **SMALL)
+    r = Renderer(tmp_path / "missing.json", settings=s)  # procedural fallback
+
+    scripted = [["w", "arrow_left"], ["arrow_up", "d"], ["p"], ["x"]]
+
+    class FakeRaw:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def read_keys(self):
+            return scripted.pop(0) if scripted else ["x"]
+
+    monkeypatch.setattr(V, "_RawInput", FakeRaw)
+    monkeypatch.setattr(V.sys, "stdout", io.StringIO())
+    pos0 = np.array(r.camera.position)
+    shot = tmp_path / "shot.png"
+    frames = V.run_viewer(r, save_path=str(shot), target_fps=1000.0)
+    assert frames == 3
+    assert shot.is_file() and shot.stat().st_size > 100
+    assert not np.allclose(r.camera.position, pos0)  # the camera moved

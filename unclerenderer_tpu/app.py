@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--no-sky", action="store_true")
     ap.add_argument("--no-ibl", action="store_true")
     ap.add_argument("--log-level", default="info")
+    ap.add_argument(
+        "--interactive", action="store_true",
+        help="terminal viewer with WASD/arrow camera controls "
+             "(Application.cpp input-loop analog)",
+    )
     args = ap.parse_args(argv)
 
     set_log_level(args.log_level)
@@ -69,6 +74,13 @@ def main(argv=None) -> int:
     )
 
     renderer = Renderer(args.scene, settings=settings, config=cfg)
+
+    if args.interactive:
+        from .viewer import run_viewer
+
+        frames = run_viewer(renderer, save_path=args.output)
+        log_info(f"viewer exited after {frames} frames")
+        return 0
 
     t0 = time.monotonic()
     img = renderer.render_to_u8()

@@ -281,6 +281,7 @@ class Renderer:
         assets_root: str | Path | None = None,
     ):
         scene_path = Path(scene_path)
+        self.scene_path = scene_path
         cfg = config or RendererConfig()
         if settings is None:
             settings = RenderSettings(
