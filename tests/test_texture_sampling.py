@@ -170,3 +170,53 @@ def test_pyramid_every_mip_nonsquare(shape):
             out, ref_img.reshape(-1, 4), atol=1e-5,
             err_msg=f"shape {shape} mip {level}",
         )
+
+
+def test_anisotropic_reduces_to_trilinear_when_isotropic():
+    """With an isotropic footprint the aniso extent is 0, so the N taps
+    collapse onto the trilinear sample exactly."""
+    import jax.numpy as jnp
+
+    from unclerenderer_tpu.ops import texture as tex
+
+    rng = np.random.default_rng(2)
+    H = W = 16
+    # smooth isotropic uv field: uv = (x, y) / W (du/dx == dv/dy, no skew)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    uv = jnp.asarray(np.stack([xx / W, yy / H], axis=-1))
+    same = jnp.ones((H, W), bool)
+    bw = jnp.full((H, W), 64.0)
+    bh = jnp.full((H, W), 64.0)
+    lod_a, dmaj, extent = tex.uv_screen_lod_aniso(uv, bw, bh, same, same, 8)
+    lod_t = tex.uv_screen_lod(uv, bw, bh, same, same)
+    # interior only: the last row/col have degenerate forward differences
+    np.testing.assert_allclose(np.asarray(extent)[:-1, :-1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lod_a)[:-1, :-1], np.asarray(lod_t)[:-1, :-1], atol=1e-5
+    )
+
+
+def test_anisotropic_lod_sharper_at_grazing():
+    """A strongly anisotropic footprint (long in x) must pick a finer LOD
+    than the isotropic max-axis rule, clamped by max_anisotropy."""
+    import jax.numpy as jnp
+
+    from unclerenderer_tpu.ops import texture as tex
+
+    H = W = 8
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    # 16:1 anisotropy: u moves 16 texels/px, v moves 1
+    uv = jnp.asarray(np.stack([xx * 16.0 / 64.0, yy * 1.0 / 64.0], axis=-1))
+    same = jnp.ones((H, W), bool)
+    bw = bh = jnp.full((H, W), 64.0)
+    lod_iso = tex.uv_screen_lod(uv, bw, bh, same, same)
+    for n, want_ratio in ((4, 4.0), (16, 16.0)):
+        lod_a, dmaj, extent = tex.uv_screen_lod_aniso(uv, bw, bh, same, same, n)
+        # minor axis is 1 texel/px -> lod 0 at full aniso; clamped at N=4
+        # to rho_maj / 16 -> lod = log2(16/4) = 2
+        want = np.log2(16.0 / min(n, 16.0))
+        np.testing.assert_allclose(np.asarray(lod_a)[2, 2], want, atol=1e-4)
+        assert float(np.asarray(lod_a)[2, 2]) < float(np.asarray(lod_iso)[2, 2])
+        np.testing.assert_allclose(
+            np.asarray(extent)[2, 2], 1.0 - 1.0 / min(n, 16), atol=1e-4
+        )

@@ -54,6 +54,43 @@ def uv_screen_lod(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
     return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
 
 
+def uv_screen_lod_aniso(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
+                        same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray,
+                        max_aniso: int,
+                        uv_above: jnp.ndarray | None = None,
+                        uv_below: jnp.ndarray | None = None):
+    """Anisotropic footprint: like ``uv_screen_lod`` but returns
+    ``(lod, dmaj, extent)`` for an N-tap line filter along the major axis
+    (the software analog of ``D3D12_FILTER_ANISOTROPIC``,
+    ``Renderer.cpp`` material sampler):
+
+    * ``lod`` is taken from the MINOR axis, clamped so the implied
+      anisotropy never exceeds ``max_aniso`` (no under-filtering),
+    * ``dmaj`` is the uv-space derivative along the major axis,
+    * ``extent`` in [0, 1) scales the tap offsets; 0 when the footprint is
+      isotropic, so N identical taps reduce exactly to the trilinear
+      sample (tested).
+    """
+    dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
+    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :] if uv_below is None else uv_below)
+    bx = jnp.diff(uv, axis=1, prepend=uv[:, :1, :])
+    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :] if uv_above is None else uv_above)
+    dx = jnp.where(same_tri_x[..., None], dx, bx)
+    dy = jnp.where(same_tri_y[..., None], dy, by)
+    sz = jnp.stack([base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)
+    lx = jnp.sum((dx * sz) ** 2, axis=-1)
+    ly = jnp.sum((dy * sz) ** 2, axis=-1)
+    rho_maj = jnp.maximum(jnp.maximum(lx, ly), 1e-12)
+    rho_min = jnp.maximum(jnp.minimum(lx, ly), 1e-12)
+    n_eff = jnp.clip(jnp.sqrt(rho_maj / rho_min), 1.0, float(max_aniso))
+    # minor-axis LOD, floored so footprint/N taps still covers the major axis
+    rho_eff = jnp.maximum(rho_min, rho_maj / (n_eff * n_eff))
+    lod = 0.5 * jnp.log2(rho_eff)
+    dmaj = jnp.where((lx >= ly)[..., None], dx, dy)
+    extent = 1.0 - 1.0 / n_eff
+    return lod, dmaj, extent
+
+
 def apply_texture_transform(uv: jnp.ndarray, offset_scale: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
     """KHR_texture_transform as the shaders apply it
     (``DeferredBasePass.hlsl:49-56``): scale, rotate, offset.

@@ -797,16 +797,28 @@ def resolve_materials(
         )
         rect0 = rects[..., slot * 4 : slot * 4 + 4]
         scale = uv_os[..., slot * 4 + 2 : slot * 4 + 4]
+        base_w = rect0[..., 2] * jnp.abs(scale[..., 0])
+        base_h = rect0[..., 3] * jnp.abs(scale[..., 1])
         # sharded: true neighbor rows for the y derivatives at slab seams
         ua, ub = row_halo(suv) if row_halo is not None else (None, None)
+        if settings.texture_filter == "anisotropic":
+            # D3D12_FILTER_ANISOTROPIC analog: N trilinear taps along the
+            # major-axis footprint; minor-axis LOD (ops/texture.py)
+            n = settings.max_anisotropy
+            lod, dmaj, extent = tex.uv_screen_lod_aniso(
+                suv, base_w, base_h, same_x, same_y, n,
+                uv_above=ua, uv_below=ub,
+            )
+            acc = 0.0
+            for k in range(n):
+                t = ((k + 0.5) / n - 0.5) * extent
+                acc = acc + tex.sample_pyramid_trilinear(
+                    quad_flat, atlas_width, rect0,
+                    suv + dmaj * t[..., None], lod,
+                )
+            return acc / n
         lod = tex.uv_screen_lod(
-            suv,
-            rect0[..., 2] * jnp.abs(scale[..., 0]),
-            rect0[..., 3] * jnp.abs(scale[..., 1]),
-            same_x,
-            same_y,
-            uv_above=ua,
-            uv_below=ub,
+            suv, base_w, base_h, same_x, same_y, uv_above=ua, uv_below=ub,
         )
         if settings.texture_filter == "bilinear":
             level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)

@@ -52,11 +52,13 @@ class RenderSettings:
     # which material slots (base, mr, normal, emissive) exist anywhere in the
     # scene; absent slots skip their texture taps entirely (static)
     slot_enabled: tuple = (True, True, True, True)
-    # "bilinear" (nearest mip -- halves the dominant texture-gather cost) or
-    # "trilinear".  The reference uses anisotropic filtering, which neither
-    # matches exactly; bilinear is the speed default, trilinear the quality
-    # option (see ARCHITECTURE.md deviations).
+    # "bilinear" (nearest mip -- halves the dominant texture-gather cost),
+    # "trilinear", or "anisotropic" (max_anisotropy trilinear taps along the
+    # major-axis footprint -- the D3D12_FILTER_ANISOTROPIC analog the
+    # reference samplers use; costs N taps).  bilinear is the speed
+    # default (see ARCHITECTURE.md deviations).
     texture_filter: str = "bilinear"
+    max_anisotropy: int = 4
     # user knob: allow fusing material maps into the combined atlas
     enable_combined_material: bool = True
     # True when the scene atlas fuses all material maps into one 16-channel
