@@ -1,4 +1,8 @@
-"""Visibility-buffer attribute resolve: per-pixel barycentrics + interpolation.
+"""TEST ORACLE -- independent visibility-buffer attribute interpolation.
+
+Not part of the production path (render/common.py resolve_materials has its
+own fused resolve); tests/test_raster.py uses this standalone implementation
+to cross-check the rasterizer's homogeneous edge functions.
 
 The homogeneous edge functions e_k(q) from the rasterizer are (up to a common
 scale) the *object-space* barycentric coordinates of the fragment, so

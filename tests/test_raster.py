@@ -16,7 +16,7 @@ from unclerenderer_tpu.ops.raster import (
     triangle_setup,
     viewport_homogeneous,
 )
-from unclerenderer_tpu.ops.interpolate import barycentrics, interpolate
+from oracle_interpolate import barycentrics, interpolate
 
 W = H = 64
 
