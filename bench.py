@@ -28,9 +28,12 @@ WIDTH, HEIGHT = 1920, 1080
 FRAMES = 10
 
 
-def _measure(render, frames=FRAMES):
+def _measure(render, frames=FRAMES, repeats=3):
     """Steady-state ms/frame; materializes every frame's values
-    (block_until_ready alone is not a reliable barrier on relayed backends)."""
+    (block_until_ready alone is not a reliable barrier on relayed
+    backends).  Best of ``repeats`` timed blocks: the relay environment
+    fluctuates run to run (observed 25%+ swings on identical builds), and
+    the minimum is the achievable device rate."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -39,15 +42,17 @@ def _measure(render, frames=FRAMES):
     float(np.asarray(out["color"]).mean())
     setup_s = time.monotonic() - t_setup
 
-    t0 = time.monotonic()
-    sums = []
-    for _ in range(frames):
-        out = render()
-        sums.append(out["color"].mean())  # cheap per-frame reduction
-    total = float(np.asarray(jnp.stack(sums).sum()))  # forces every frame
-    assert total == total  # finite
-    ms = (time.monotonic() - t0) / frames * 1e3
-    return ms, setup_s
+    best = float("inf")
+    for _rep in range(repeats):
+        t0 = time.monotonic()
+        sums = []
+        for _ in range(frames):
+            out = render()
+            sums.append(out["color"].mean())  # cheap per-frame reduction
+        total = float(np.asarray(jnp.stack(sums).sum()))  # forces every frame
+        assert total == total  # finite
+        best = min(best, (time.monotonic() - t0) / frames * 1e3)
+    return best, setup_s
 
 
 def _synthetic_runner(settings, n_objects, sphere_res, ground):
