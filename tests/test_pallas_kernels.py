@@ -296,3 +296,43 @@ def test_full_pallas_frame_matches_xla():
         np.abs(outs["pallas"]["hdr"] - outs["xla"]["hdr"]).max(-1) > 1e-5
     ).mean()
     assert hdr_mism < 0.05, f"too many differing HDR pixels: {hdr_mism:.3%}"
+
+
+def test_full_pallas_forward_matches_xla():
+    """Forward renderer on the full Pallas path (binned raster, fused
+    resolve, superblock PCF) vs XLA, interpret mode."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from unclerenderer_tpu.render.forward import forward_frame
+    from unclerenderer_tpu.render.params import RenderSettings
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="forward", enable_ibl=False, enable_sky=False,
+        has_masked_models=True, width=128, height=128, shadow_map_size=64,
+        tile_h=16, tile_w=64, chunk=32, shadow_chunk=32,
+        enable_taa=False, enable_cas=False, enable_auto_exposure=False,
+    )
+    scene, data = synthetic_device_scene(6, with_masked=True)
+    params = synthetic_frame_params(data, 128, 128)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        s = dataclasses.replace(
+            base, raster_backend=backend,
+            pallas_interpret=(backend == "pallas"),
+            fused_resolve="on" if backend == "pallas" else "auto",
+        )
+        out = jax.jit(functools.partial(forward_frame, settings=s))(scene, params)
+        outs[backend] = {k: np.asarray(v) for k, v in out.items()
+                         if hasattr(v, "shape")}
+    np.testing.assert_array_equal(outs["pallas"]["tri_id"], outs["xla"]["tri_id"])
+    assert (outs["pallas"]["tri_id"] >= 0).sum() > 300
+    mism = (np.abs(outs["pallas"]["color"].astype(np.float32)
+                   - outs["xla"]["color"].astype(np.float32)).max(-1) > 1e-4).mean()
+    assert mism < 0.05, f"too many differing pixels: {mism:.3%}"
