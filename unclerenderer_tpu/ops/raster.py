@@ -14,7 +14,7 @@ TPU-native formulation:
   no atomics -- opaque rasterization is a reduction.
 * The output is a *visibility buffer* (depth + winning triangle id per
   pixel); materials resolve in a separate per-pixel pass
-  (ops/interpolate.py), the modern GPU-driven structure rather than the
+  (tests/oracle_interpolate.py), the modern GPU-driven structure rather than the
   reference's per-model draw loop.
 
 TPU layout notes: small trailing dims pad to 128 lanes, so per-triangle data
