@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..render.framegraph import named_pass
+from ..core.passes import named_pass
 
 
 def hzb_layout(width: int, height: int):

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..render.framegraph import named_pass
+from ..core.passes import named_pass
 
 LUM_WEIGHTS = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..render.framegraph import named_pass
+from ..core.passes import named_pass
 
 
 def _cmp_gather(shadow_map: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, compare: jnp.ndarray) -> jnp.ndarray:

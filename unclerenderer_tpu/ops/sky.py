@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..render.framegraph import named_pass
+from ..core.passes import named_pass
 
 PI = 3.14159265
 

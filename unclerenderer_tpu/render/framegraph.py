@@ -150,20 +150,6 @@ def profile_deferred_passes(renderer, iterations: int = 3) -> PassTimingStats:
     return stats
 
 
-def named_pass(name: str):
-    """PIX-marker analog (``GpuDebugMarkers``): wraps a pass function in a
-    ``jax.named_scope`` so its ops carry the pass name in HLO metadata and
-    ``jax.profiler`` traces group by render pass.  Free at runtime."""
-    import functools
-
-    import jax
-
-    def deco(fn):
-        @functools.wraps(fn)
-        def wrapper(*args, **kwargs):
-            with jax.named_scope(name):
-                return fn(*args, **kwargs)
-
-        return wrapper
-
-    return deco
+# Re-exported for backwards compatibility; lives in core so ops modules can
+# import it without a render-layer (circular) dependency.
+from ..core.passes import named_pass  # noqa: E402,F401
