@@ -115,7 +115,10 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground):
 def main() -> int:
     import jax
 
+    from unclerenderer_tpu.core.jaxcache import enable_persistent_cache
     from unclerenderer_tpu.render.params import RenderSettings
+
+    enable_persistent_cache()
 
     on_tpu = jax.default_backend() not in ("cpu",)
     settings = RenderSettings(

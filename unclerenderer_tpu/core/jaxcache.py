@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache.
+
+The reference cold-starts in seconds because PSOs compile from small HLSL
+(``Application.cpp:148-330``); here the analog of a PSO build is an XLA
+compile of the whole frame, which costs 60-300 s through the TPU relay.
+Enabling JAX's persistent cache makes every warm start skip it entirely --
+the cache key covers the HLO, compile options and backend, so settings
+retraces land their own entries.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Idempotently point JAX at an on-disk compilation cache."""
+    global _enabled
+    import jax
+
+    path = (
+        cache_dir
+        or os.environ.get("UNCLERENDERER_JAX_CACHE")
+        or os.path.expanduser("~/.cache/unclerenderer_jax")
+    )
+    if not _enabled:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache everything, however fast it compiled (default thresholds skip
+        # sub-second compiles -- but through the relay nothing is sub-second).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _enabled = True
+    return path

@@ -23,6 +23,12 @@ from ..scene.build import SceneData, build_scene
 from ..scene.camera import Camera
 from ..scene.scene_json import SceneLightDesc, load_scene_json
 from ..textures.atlas import build_pyramid_quad_atlas
+
+import ml_dtypes
+
+# The atlases are stored bf16 on device; building them bf16 host-side halves
+# the fuse bandwidth and makes the host->HBM transfer conversion-free.
+_BF16 = ml_dtypes.bfloat16
 from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
 from ..textures.dds import load_dds
 from ..textures.image import TextureCache, generate_mips, solid_color_texture
@@ -151,7 +157,9 @@ def _build_device_scene(
         face_chains = []
         for face in range(6):
             face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
-        env_img, env_rect0 = build_pyramid_quad_atlas(face_chains, wrap=False)
+        env_img, env_rect0 = build_pyramid_quad_atlas(
+            face_chains, wrap=False, dtype=_BF16
+        )
         env_tail = np.stack([chain[-1][..., :4] for chain in face_chains])
     else:
         if env_dds is None:
@@ -218,12 +226,12 @@ def _build_device_scene(
             ),
             combo_keys,
         )
-        quad_img, rect0 = build_pyramid_quad_atlas(combo_chains, wrap=True)
+        quad_img, rect0 = build_pyramid_quad_atlas(combo_chains, wrap=True, dtype=_BF16)
         slot_rect0 = np.repeat(
             rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
         )  # (M, 4, 4): every slot = the combined rect
     else:
-        quad_img, rect0 = build_pyramid_quad_atlas(chains, wrap=True)
+        quad_img, rect0 = build_pyramid_quad_atlas(chains, wrap=True, dtype=_BF16)
         # per-(model, slot) base rects; absent slots point at the white texture
         slot_rect0 = rect0[tex_ids].astype(np.float32)  # (M, 4, 4)
 
@@ -280,6 +288,9 @@ class Renderer:
         config: RendererConfig | None = None,
         assets_root: str | Path | None = None,
     ):
+        from ..core.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()
         scene_path = Path(scene_path)
         self.scene_path = scene_path
         cfg = config or RendererConfig()

@@ -130,7 +130,8 @@ def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAt
     return atlas
 
 
-def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
+def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
+                             dtype=np.float32):
     """Quad atlas with an *arithmetic* mip layout: each texture's mips sit in
     one row, mip L at x-offset 2*(w0 - (w0 >> L)) from the texture origin.
     A sampler can compute any mip rectangle from just (x0, y0, w0, h0) --
@@ -179,34 +180,44 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True):
     for h, w, t in rows:
         places[t] = packer.place(w, h)
     height = _round_up(max(packer.height, 8), 8)
-    data = np.zeros((height, width, 4 * channels), np.float32)
+    data = np.zeros((height, width, 4 * channels), dtype)
+    c = channels
 
-    for t, chain in enumerate(texture_mips):
+    def _fill_texture(t: int) -> None:
+        # Each texture writes a disjoint atlas region, so textures fuse in
+        # parallel on the task pool.  The quad's +x/+y/+xy shifted copies are
+        # written as two strided slice assignments each (wrap duplicates the
+        # first row/column, clamp the last) -- no np.roll/concatenate
+        # temporaries, and the only dtype conversion is the final store.
+        chain = texture_mips[t]
         x0, y0 = places[t]
         h0, w0 = chain[0].shape[:2]
         rect0[t] = (x0, y0, w0, h0)
+        lw0 = int(np.log2(w0))
         for lv, img in enumerate(chain):
-            if wraps[t]:
-                xp = np.roll(img, -1, axis=1)
-                yp = np.roll(img, -1, axis=0)
-                xyp = np.roll(xp, -1, axis=0)
-            else:
-                xp = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-                yp = np.concatenate([img[1:], img[-1:]], axis=0)
-                xyp = np.concatenate([xp[1:], xp[-1:]], axis=0)
-            quad = np.concatenate([img, xp, yp, xyp], axis=-1)
             # Mip offset: 2*(w0 - w_lv) plus one extra column per tail level
             # whose width already saturated at 1 (tall textures).  Must match
             # ops/texture.py _pyramid_rect exactly.
-            lw0 = int(np.log2(w0))
             xl = x0 + 2 * (w0 - max(w0 >> lv, 1)) + max(lv - lw0, 0)
             h, w = img.shape[:2]
-            assert (data[y0 : y0 + h, xl : xl + w] == 0).all(), (
-                f"pyramid atlas overlap at tex {t} mip {lv}"
-            )
-            data[y0 : y0 + h, xl : xl + w] = quad
+            dst = data[y0 : y0 + h, xl : xl + w]
+            ex = 0 if wraps[t] else w - 1  # wrap -> col 0, clamp -> last col
+            ey = 0 if wraps[t] else h - 1
+            dst[..., 0:c] = img
+            dst[:, : w - 1, c : 2 * c] = img[:, 1:]
+            dst[:, w - 1, c : 2 * c] = img[:, ex]
+            dst[: h - 1, :, 2 * c : 3 * c] = img[1:]
+            dst[h - 1, :, 2 * c : 3 * c] = img[ey]
+            dst[: h - 1, : w - 1, 3 * c :] = img[1:, 1:]
+            dst[: h - 1, w - 1, 3 * c :] = img[1:, ex]
+            dst[h - 1, : w - 1, 3 * c :] = img[ey, 1:]
+            dst[h - 1, w - 1, 3 * c :] = img[ey, ex]
+
+    from ..core.tasks import parallel_map
+
+    parallel_map(_fill_texture, range(n))
     log_info(
         f"pyramid quad atlas: {n} textures into {width}x{height} "
-        f"({data.nbytes / 1e6:.1f} MB f32)"
+        f"({data.nbytes / 1e6:.1f} MB {np.dtype(dtype).name})"
     )
     return data, rect0
