@@ -409,6 +409,8 @@ class Renderer:
         self._shadow_key = None
         self._shadow_fn = None
         self._last_out = None
+        self.selected_object_id = 0
+        self.selected_name = ""
 
     def _apply_config_side_effects(self, cfg: RendererConfig) -> None:
         """Honor or explicitly log every RendererConfig.ini key.  Keys the
@@ -424,6 +426,11 @@ class Renderer:
 
             self._frame_times = PassTimingStats()
         self._graph_dump_pending = bool(cfg.enable_graph_dump)
+        # GpuDebugPrint (the reference's device-printf overlay toggle,
+        # ``RendererConfig.h:38``): enables the host-composited stats/overlay
+        # block by default (render_overlay_u8, viewer 'g'); per-kernel
+        # pl.debug_print remains the RenderSettings.kernel_debug_print knob.
+        self.debug_print_enabled = bool(cfg.enable_gpu_debug_print)
         inherent = {
             "FramesInFlight": "JAX async dispatch pipelines host and device",
             "FrameOverlap": "JAX async dispatch pipelines host and device",
@@ -583,6 +590,26 @@ class Renderer:
     # Introspection / picking / state (SURVEY.md section 5 subsystems)
     # ------------------------------------------------------------------
 
+    def update_settings(self, **changes) -> None:
+        """Live settings change (the reference's ImGui panel setters,
+        ``Application.cpp:1506-1797``): swaps RenderSettings fields and
+        invalidates anything keyed on the old pipeline.  The next frame
+        retraces -- the PSO-swap analog.  TAA history is kept only when the
+        image-producing pipeline is unchanged."""
+        new = dataclasses.replace(self.settings, **changes)
+        if new == self.settings:
+            return
+        self.settings = new
+        # the cached shadow fn/map close over settings
+        self._shadow_cache = None
+        self._shadow_key = None
+        self._shadow_fn = None
+        self._taa_history_ready = False
+        self.frame_state = dataclasses.replace(
+            self.frame_state, taa_valid=jnp.array(False)
+        )
+        log_info(f"settings updated: {changes} (frame will retrace)")
+
     def pick(self, x: int, y: int) -> tuple[int, str]:
         """Object picking: read the object id at pixel (x, y) from the last
         rendered frame (replaces the reference's ObjectId pass + 1-px
@@ -596,7 +623,23 @@ class Renderer:
                 if model.object_id == object_id:
                     name = model.name
                     break
+        self.selected_object_id = object_id
+        self.selected_name = name
         return object_id, name
+
+    def selected_bounds(self):
+        """World AABB of the currently selected model, or None."""
+        if self.selected_object_id <= 0:
+            return None
+        ids = np.asarray(self.scene_data.object_ids)
+        idx = np.nonzero(ids == self.selected_object_id)[0]
+        if idx.size == 0:
+            return None
+        i = int(idx[0])
+        return (
+            np.asarray(self.scene_data.bounds_min_arr[i]),
+            np.asarray(self.scene_data.bounds_max_arr[i]),
+        )
 
     def stats(self) -> dict:
         """Scene + culling stats from the last rendered frame (the
@@ -619,12 +662,32 @@ class Renderer:
             "bin_giant_truncated": int(np.asarray(rs.get("giant_truncated", 0))),
             "exposure_ev": float(self.frame_state.exposure_ev),
             "taa_history_valid": bool(self.frame_state.taa_valid),
+            # HBM usage/budget (the reference's VRAM panel row,
+            # ``DX12Device.cpp:209-223``, ``Application.cpp:1404-1503``)
+            **self.memory_stats(),
             **(
                 {"frame_timing": self._frame_times.stats()}
                 if self._gpu_timing and self._frame_times is not None
                 else {}
             ),
         }
+
+    @staticmethod
+    def memory_stats() -> dict:
+        """Device memory usage/budget in bytes; empty on backends that do
+        not report (CPU)."""
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            return {}
+        out = {}
+        if "bytes_in_use" in ms:
+            out["hbm_bytes_in_use"] = int(ms["bytes_in_use"])
+        if "bytes_limit" in ms:
+            out["hbm_bytes_limit"] = int(ms["bytes_limit"])
+        if "peak_bytes_in_use" in ms:
+            out["hbm_peak_bytes_in_use"] = int(ms["peak_bytes_in_use"])
+        return out
 
     def profile_passes(self, iterations: int = 3):
         """Per-pass timing table (the GpuTiming toggle analog)."""
@@ -729,19 +792,34 @@ class Renderer:
         return True
 
     def render_overlay_u8(self, delta_time: float = 1.0 / 60.0):
-        """Render with the debug stats overlay composited (the reference's
-        GPU debug print block)."""
+        """Render with the debug overlays composited (the reference's GPU
+        debug print block + selection wireframe + axis gizmo).  The stats
+        block honors the GpuDebugPrint config toggle."""
         from ..core.debugprint import stats_overlay
 
         out = self.render_frame(delta_time)
-        color = np.asarray(out["color"])
-        visible = int(np.asarray(out.get("model_visible", np.ones(1))).sum())
-        stats = {
-            "models_total": self.scene_data.num_models,
-            "models_visible": visible,
-            "models_culled": self.scene_data.num_models - visible,
-            "triangles_total": self.scene_data.num_triangles,
-            "exposure_ev": float(self.frame_state.exposure_ev),
-        }
-        img = stats_overlay(np.clip(color, 0, 1), stats)
+        img = np.array(np.clip(np.asarray(out["color"]), 0, 1), copy=True)
+        if self.debug_print_enabled:
+            visible = int(np.asarray(out.get("model_visible", np.ones(1))).sum())
+            stats = {
+                "models_total": self.scene_data.num_models,
+                "models_visible": visible,
+                "models_culled": self.scene_data.num_models - visible,
+                "triangles_total": self.scene_data.num_triangles,
+                "exposure_ev": float(self.frame_state.exposure_ev),
+            }
+            img = stats_overlay(img, stats)
+        self.composite_overlays(img)
         return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+
+    def composite_overlays(self, img: np.ndarray) -> np.ndarray:
+        """Selection AABB wireframe + corner axis gizmo onto an (H, W, 3)
+        float image in place (``Application.cpp:754-820``, ``:59-96``)."""
+        from ..core.debugprint import axis_gizmo, selection_overlay
+
+        sel = self.selected_bounds()
+        if sel is not None:
+            vp = np.asarray(self.camera.view_matrix() @ self.camera.projection_matrix())
+            selection_overlay(img, sel[0], sel[1], vp, self.selected_name)
+        axis_gizmo(img, self.camera.view_matrix())
+        return img

@@ -12,6 +12,16 @@ drives the same camera controls:
   g     toggle stats overlay    r       reload scene (async, like F5)
   ESC/x quit
 
+Live settings panel (the reference's ImGui toggles,
+``Application.cpp:1506-1797`` -- each key flips a RenderSettings field via
+``Renderer.update_settings`` and the next frame retraces, the PSO-swap
+analog):
+
+  1 shadows   2 TAA      3 CAS        4 auto-exposure   5 tonemap
+  6 sky       7 IBL      8 culling    9 cycle texture filter
+  0 deferred/forward     t  per-pass timing overlay
+  c pick model at screen center (selection AABB overlay)   v clear pick
+
 Every frame honors the renderer's full pipeline (TAA accumulates across
 interactive frames exactly like the reference's swapchain loop).
 """
@@ -117,8 +127,23 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
     pitch = float(-np.arcsin(np.clip(cam.forward[1], -1.0, 1.0)))
     speed = 2.0
     turn = np.radians(4.0)
-    show_stats = True
+    show_stats = bool(getattr(renderer, "debug_print_enabled", True))
+    show_timing = False
+    timing_rows: list = []
     frames = 0
+
+    # live settings panel: key -> RenderSettings bool field
+    toggles = {
+        "1": "enable_shadows",
+        "2": "enable_taa",
+        "3": "enable_cas",
+        "4": "enable_auto_exposure",
+        "5": "enable_tonemap",
+        "6": "enable_sky",
+        "7": "enable_ibl",
+        "8": "enable_gpu_culling",
+    }
+    filters = ["bilinear", "trilinear", "anisotropic"]
     sys.stdout.write(f"{ESC}[2J")  # clear
     t_prev = time.monotonic()
     with _RawInput() as raw:
@@ -165,6 +190,36 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
                 elif k == "r":
                     # async reload of the same scene (F5 analog)
                     renderer.reload_scene(renderer.scene_path, background=True)
+                elif k in toggles:
+                    field = toggles[k]
+                    renderer.update_settings(
+                        **{field: not getattr(renderer.settings, field)}
+                    )
+                elif k == "9":
+                    cur = filters.index(renderer.settings.texture_filter)
+                    renderer.update_settings(
+                        texture_filter=filters[(cur + 1) % len(filters)]
+                    )
+                elif k == "0":
+                    renderer.update_settings(
+                        renderer_type="forward"
+                        if renderer.settings.renderer_type == "deferred"
+                        else "deferred"
+                    )
+                elif k == "t":
+                    show_timing = not show_timing
+                    if show_timing and renderer.settings.renderer_type == "deferred":
+                        # one stage-split profile fills the table; the rolling
+                        # Frame row keeps updating live below
+                        timing_rows = renderer.profile_passes(iterations=1).stats()
+                elif k == "c":
+                    oid, name = renderer.pick(
+                        renderer.settings.width // 2, renderer.settings.height // 2
+                    )
+                    log_info(f"picked object {oid} {name!r}")
+                elif k == "v":
+                    renderer.selected_object_id = 0
+                    renderer.selected_name = ""
             if np.any(move):
                 cam.position = cam.position + move * speed * max(dt, 1.0 / 60.0)
             cam.set_rotation_euler_degrees(
@@ -176,16 +231,38 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
             frames += 1
             cols, lines = _term_size()
             rows = max(4, lines - 2)
-            text = frame_to_ansi(np.asarray(out["color"]), min(cols, 200), rows)
+            img = np.array(np.clip(np.asarray(out["color"]), 0.0, 1.0), copy=True)
+            renderer.composite_overlays(img)
+            if show_timing and timing_rows:
+                from .core.debugprint import timing_overlay
+
+                timing_overlay(img, timing_rows)
+            text = frame_to_ansi(img, min(cols, 200), rows)
             sys.stdout.write(f"{ESC}[H" + text + "\n")
             if show_stats:
                 st = renderer.stats()
+                s = renderer.settings
+                flags = "".join(
+                    name if on else "-"
+                    for name, on in [
+                        ("S", s.enable_shadows), ("T", s.enable_taa),
+                        ("C", s.enable_cas), ("E", s.enable_auto_exposure),
+                        ("M", s.enable_tonemap), ("K", s.enable_sky),
+                        ("I", s.enable_ibl), ("G", s.enable_gpu_culling),
+                    ]
+                )
+                hbm = (
+                    f"  hbm {st['hbm_bytes_in_use'] / 1e9:.1f}/"
+                    f"{st['hbm_bytes_limit'] / 1e9:.0f}G"
+                    if "hbm_bytes_in_use" in st else ""
+                )
                 sys.stdout.write(
                     f"{ESC}[0m{1.0 / max(dt, 1e-6):5.1f} fps  "
                     f"pos=({cam.position[0]:.1f},{cam.position[1]:.1f},{cam.position[2]:.1f})  "
                     f"vis {st['models_visible']}/{st['models_total']}  "
                     f"frustum {st['frustum_culled']} hzb {st['hzb_occluded']}  "
-                    f"[wasd/qe move, arrows look, p shot, x quit]{ESC}[K"
+                    f"[{flags}|{s.renderer_type[:3]}|{s.texture_filter[:3]}]{hbm}  "
+                    f"[1-9/0 settings, t timing, c pick, x quit]{ESC}[K"
                 )
             sys.stdout.flush()
             # frame pacing
