@@ -53,7 +53,16 @@ def schedule_task(fn: Callable, *args, **kwargs):
 
 def parallel_map(fn: Callable, items: Sequence, use_tasks: bool = True) -> list:
     """``FParallelFor::Execute`` analog; falls back to serial like the
-    reference's task-system-disabled path."""
-    if not _enabled or not use_tasks or len(items) <= 1:
+    reference's task-system-disabled path.
+
+    Nested calls (a pool task -- e.g. an async scene reload -- fanning out
+    its own parallel_map) run serially on the calling worker: blocking a
+    worker on futures that queue behind it deadlocks small pools (the
+    reference's FParallelFor executes on the calling thread when the
+    scheduler is busy for the same reason)."""
+    import threading
+
+    on_pool_worker = threading.current_thread().name.startswith("task")
+    if not _enabled or not use_tasks or len(items) <= 1 or on_pool_worker:
         return [fn(it) for it in items]
     return list(get_scheduler().map(fn, items))

@@ -31,34 +31,42 @@ from .raster import COEF_COLS, RasterSetup
 
 
 def _sort_pairs(keys: jnp.ndarray, n_tiles: int, s_slots: int):
-    """Sort (tile, pair) by tile id.  Packs tile key and pair index into ONE
-    integer and runs a single-operand sort -- measurably cheaper on TPU than
-    the two-operand argsort (the variadic comparator path), and stable by
-    construction, so equal-depth resolution is deterministic.
+    """Sort (tile, pair) by tile id.  Packs tile key and TRIANGLE index into
+    ONE integer and runs a single-operand sort -- measurably cheaper on TPU
+    than the two-operand argsort (the variadic comparator path), and stable
+    by construction, so equal-depth resolution is deterministic.
+
+    The packed payload is the triangle row, not the pair index: a triangle's
+    slots all map to *different* tiles (slot_tile enumerates distinct tiles
+    of its bbox), so (tile, tri) is unique among real pairs and the pair
+    identity is never needed downstream.  That saves log2(s_slots) payload
+    bits, which keeps the single-operand fast path up to 4x more tiles
+    (a 4096-tile span at 256k triangles packs into 31 bits where pair
+    packing needs 33 and fell back to the slow argsort).
 
     Returns (sorted_key, sorted_tri): tile id and originating triangle row of
     each pair in tile order (pairs of one tile are ascending in triangle id).
-    Falls back to a stable argsort if the packed key would not fit 32 bits
-    (scenes beyond ~2^20 pairs at 4096 tiles).
     """
     n_pairs = keys.shape[0]
     key_bits = max(int(n_tiles).bit_length(), 1)  # values reach n_tiles (sentinel)
-    idx_bits = max((n_pairs - 1).bit_length(), 1)
-    iota = jnp.arange(n_pairs, dtype=jnp.int32)
-    if key_bits + idx_bits <= 31:
-        packed = keys * jnp.int32(1 << idx_bits) + iota
+    n_tris = max(n_pairs // s_slots, 1)
+    tri_bits = max((n_tris - 1).bit_length(), 1)
+    tri = jnp.arange(n_pairs, dtype=jnp.int32) // s_slots
+    if key_bits + tri_bits <= 31:
+        packed = keys * jnp.int32(1 << tri_bits) + tri
         sp = jnp.sort(packed)
-        sorted_key = sp >> idx_bits
-        sorted_pair = sp & jnp.int32((1 << idx_bits) - 1)
-    elif key_bits + idx_bits <= 32:
-        packed = keys.astype(jnp.uint32) * jnp.uint32(1 << idx_bits) + iota.astype(jnp.uint32)
+        return sp >> tri_bits, sp & jnp.int32((1 << tri_bits) - 1)
+    if key_bits + tri_bits <= 32:
+        packed = keys.astype(jnp.uint32) * jnp.uint32(1 << tri_bits) + tri.astype(
+            jnp.uint32
+        )
         sp = jnp.sort(packed)
-        sorted_key = (sp >> idx_bits).astype(jnp.int32)
-        sorted_pair = (sp & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-    else:
-        order = jnp.argsort(keys, stable=True)
-        return keys[order], order // s_slots
-    return sorted_key, sorted_pair // s_slots
+        return (
+            (sp >> tri_bits).astype(jnp.int32),
+            (sp & jnp.uint32((1 << tri_bits) - 1)).astype(jnp.int32),
+        )
+    order = jnp.argsort(keys, stable=True)
+    return keys[order], order // s_slots
 
 
 @jax.tree_util.register_dataclass

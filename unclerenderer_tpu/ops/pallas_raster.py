@@ -27,11 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .raster import COEF_COLS, DEPTH_MAX, RasterSetup, flip_depth_key, shift_setup  # noqa: F401
 
 
-def _eval_chunk(coef_ref, valid_row, qx, qy):
+def _eval_chunk(coef_ref, valid_row, qx, qy, ortho: bool = False):
     """Shared kernel math: packed coefficient rows -> (key, ok) over
     (chunk, pix).  coef_ref block is (1, 16, chunk): 512 B contiguous DMA
     rows -- a (1, chunk, 16) block instead degrades the DMA to 128 strided
-    64 B reads (~15x slower end to end, measured)."""
+    64 B reads (~15x slower end to end, measured).
+
+    ortho: the setup was normalize_ortho_setup'd (nw == (0, 0, 1), nw > 0
+    baked into valid), so the per-pixel nw evaluation and divide are skipped
+    -- key = nz(q) directly, bit-identical to nz(q)/1.0."""
 
     def row(i):
         return coef_ref[0, i, :][None, :].T  # (chunk, 1)
@@ -45,10 +49,12 @@ def _eval_chunk(coef_ref, valid_row, qx, qy):
         return (ev > 0.0) | ((ev == 0.0) & tl)
 
     ok = edge_inside(0) & edge_inside(1) & edge_inside(2)
-    nz = row(9) * qx + row(10) * qy + row(11)
-    nw = row(12) * qx + row(13) * qy + row(14)
-    key = nz / jnp.where(nw != 0.0, nw, 1.0)
-    ok = ok & (nw > 0.0) & (key >= 0.0) & (key <= 1.0) & valid_row
+    key = row(9) * qx + row(10) * qy + row(11)
+    if not ortho:
+        nw = row(12) * qx + row(13) * qy + row(14)
+        key = key / jnp.where(nw != 0.0, nw, 1.0)
+        ok = ok & (nw > 0.0)
+    ok = ok & (key >= 0.0) & (key <= 1.0) & valid_row
     return jnp.where(ok, key, -1.0), ok
 
 
@@ -73,6 +79,7 @@ def _raster_kernel(
     n_tx: int,
     want_ids: bool = True,
     want_attrs: bool = False,
+    ortho: bool = False,
 ):
     if not want_ids:
         key_ref = rec_ref
@@ -103,7 +110,7 @@ def _raster_kernel(
         qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
 
         valid_row = valid_ref[0, 0, :][None, :].T > 0.0
-        key, _ok = _eval_chunk(coef_ref, valid_row, qx, qy)
+        key, _ok = _eval_chunk(coef_ref, valid_row, qx, qy, ortho)
 
         k_best = jnp.max(key, axis=0, keepdims=True)
         if not want_ids:
@@ -140,7 +147,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
-        "interpret", "want_ids",
+        "interpret", "want_ids", "ortho",
     ),
 )
 def rasterize_pallas(
@@ -155,6 +162,7 @@ def rasterize_pallas(
     interpret: bool = False,
     want_ids: bool = True,
     records: jnp.ndarray | None = None,
+    ortho: bool = False,
 ):
     """Brute-force Pallas raster (every tile scans every chunk, with SMEM
     skip bits).  Use rasterize_binned for real scenes.
@@ -233,6 +241,7 @@ def rasterize_pallas(
         n_tx=n_tx,
         want_ids=want_ids,
         want_attrs=want_attrs,
+        ortho=ortho,
     )
     outs = pl.pallas_call(
         kernel,
@@ -319,6 +328,7 @@ def _binned_kernel(
     debug_print: bool = False,
     want_ids: bool = True,
     want_attrs: bool = False,
+    ortho: bool = False,
 ):
     if not want_ids:
         # depth-only layout (shadow maps): no tid input, no id output
@@ -360,7 +370,7 @@ def _binned_kernel(
         qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
 
         valid_row = valid_ref[0, 0, :][None, :].T > 0.0
-        key, ok = _eval_chunk(coef_ref, valid_row, qx, qy)
+        key, ok = _eval_chunk(coef_ref, valid_row, qx, qy, ortho)
 
         k_best = jnp.max(key, axis=0, keepdims=True)
         acc_key = key_ref[0]
@@ -403,7 +413,7 @@ def _binned_kernel(
 
 def _run_binned_kernel(
     bins, width, height, tile_h, tile_w, chunk, y_offset,
-    interpret=False, debug_print=False, want_ids=True,
+    interpret=False, debug_print=False, want_ids=True, ortho=False,
 ):
     """Launch the binned kernel for one level; returns (key_img, id_img)
     cropped to (height, width), key = -1 where empty.  When ``bins.rec``
@@ -462,6 +472,7 @@ def _run_binned_kernel(
         debug_print=debug_print,
         want_ids=want_ids,
         want_attrs=want_attrs,
+        ortho=ortho,
     )
     yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
     outs = pl.pallas_call(
@@ -504,8 +515,9 @@ def _run_binned_kernel(
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
-        "mid_divisor", "giant_divisor", "interpret", "debug_print",
-        "want_ids",
+        "mid_divisor", "giant_divisor", "giant_tile_h", "giant_tile_w",
+        "interpret", "debug_print",
+        "want_ids", "ortho",
     ),
 )
 def rasterize_binned(
@@ -524,10 +536,13 @@ def rasterize_binned(
     big_chunk: int = 32,
     mid_divisor: int = 16,
     giant_divisor: int = 128,
+    giant_tile_h: int = 0,
+    giant_tile_w: int = 0,
     interpret: bool = False,
     debug_print: bool = False,
     want_ids: bool = True,
     records: jnp.ndarray | None = None,
+    ortho: bool = False,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -562,7 +577,7 @@ def rasterize_binned(
     )
     fine_out = _run_binned_kernel(
         bins, width, height, tile_h, tile_w, chunk, y_offset, interpret,
-        debug_print, want_ids,
+        debug_print, want_ids, ortho=ortho,
     )
     key_img, id_img = fine_out[0], fine_out[1]
     attr_img = fine_out[2] if want_attrs else None
@@ -594,7 +609,7 @@ def rasterize_binned(
     )
     mid_out = _run_binned_kernel(
         mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,
-        interpret, want_ids=want_ids,
+        interpret, want_ids=want_ids, ortho=ortho,
     )
     mid_key, mid_id = mid_out[0], mid_out[1]
     if want_ids:
@@ -628,9 +643,11 @@ def rasterize_binned(
     )
     big_out = rasterize_pallas(
         giant_setup, width, height,
-        tile_h=big_tile_h, tile_w=big_tile_w, chunk=big_chunk,
+        tile_h=giant_tile_h or big_tile_h, tile_w=giant_tile_w or big_tile_w,
+        chunk=big_chunk,
         y_offset=y_offset, interpret=interpret, want_ids=want_ids,
         records=None if records is None else records[g_idx],
+        ortho=ortho,
     )
     big_depth, big_id_local = big_out[0], big_out[1]
     if want_ids:

@@ -206,6 +206,29 @@ def triangle_setup_from_verts(
     return RasterSetup(coef=coef, valid=valid, bbox=bbox)
 
 
+def normalize_ortho_setup(setup: RasterSetup) -> RasterSetup:
+    """Orthographic-projection specialization (directional-light shadow maps,
+    ``RendererUtils.cpp:1117-1137``): with w == 1 for every vertex the depth
+    denominator nw(q) is the constant triangle determinant (its gradient is
+    the sum of the edge gradients, which telescopes to ~0), so the division
+    folds into the numerator coefficients once per triangle.  nw becomes the
+    literal (0, 0, 1) plane; kernels with the ``ortho`` flag then skip the
+    per-pixel nw evaluation and divide entirely (key = nz'(q)), and the
+    generic path computes nz'/1.0 -- bit-identical, so the Pallas/XLA
+    cross-checks keep holding."""
+    coef = setup.coef
+    nwc = coef[:, COEF_NW + 2]
+    inv = 1.0 / jnp.where(nwc != 0.0, nwc, 1.0)
+    coef = coef.at[:, COEF_NZ : COEF_NZ + 3].multiply(inv[:, None])
+    coef = coef.at[:, COEF_NW + 0].set(0.0)
+    coef = coef.at[:, COEF_NW + 1].set(0.0)
+    coef = coef.at[:, COEF_NW + 2].set(1.0)
+    # nw > 0 was part of the visibility test; constant-nw triangles with
+    # nw <= 0 can never pass it, so bake that into valid
+    valid = setup.valid & (nwc > 0.0)
+    return RasterSetup(coef=coef, valid=valid, bbox=setup.bbox)
+
+
 def flip_depth_key(setup: RasterSetup) -> RasterSetup:
     """Replace the depth numerator with (nw - nz) so key = 1 - depth and the
     max-reduction implements a LESS_EQUAL (shadow) depth test."""

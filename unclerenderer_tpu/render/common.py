@@ -82,7 +82,8 @@ def use_fused_resolve(settings, t_count: int) -> bool:
 
 def _dispatch_raster(
     setup, width, height, tile_h, tile_w, chunk, depth_mode, settings, y_offset=0,
-    want_ids=True, records=None,
+    want_ids=True, records=None, ortho=False, budget_factor=None,
+    giant_tile=(0, 0),
 ):
     """Returns (depth, tri_id, stats[, attr]) -- stats carries the binned
     path's overflow counters (zeros on the exhaustive XLA path, which never
@@ -100,13 +101,19 @@ def _dispatch_raster(
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
             y_offset=y_offset,
             max_span=settings.bin_max_span,
-            budget_factor=settings.bin_budget_factor,
+            budget_factor=(
+                settings.bin_budget_factor if budget_factor is None
+                else budget_factor
+            ),
             mid_divisor=settings.bin_mid_divisor,
             giant_divisor=settings.bin_giant_divisor,
+            giant_tile_h=giant_tile[0],
+            giant_tile_w=giant_tile[1],
             debug_print=settings.kernel_debug_print,
             want_ids=want_ids,
             records=records,
             interpret=settings.pallas_interpret,
+            ortho=ortho,
         )
     depth, tri_id = rasterize(
         setup, width, height,
@@ -170,6 +177,12 @@ def raster_shadow(
     clip = hom @ light_view_proj
     pix_h = viewport_homogeneous(clip, size, size)
     setup = triangle_setup_expanded(pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size)
+    # directional light = orthographic projection (w == 1): fold the constant
+    # depth denominator into the setup once so the depth-only kernels skip
+    # the per-pixel nw evaluation and divide (ops/raster.py)
+    from ..ops.raster import normalize_ortho_setup
+
+    setup = normalize_ortho_setup(setup)
     out_h = size
     y_off = 0
     if dist is not None and dist.n_dev > 1:
@@ -178,11 +191,15 @@ def raster_shadow(
         y_off = jax.lax.axis_index(dist.axis) * out_h
     depth, _, _stats = _dispatch_raster(
         setup, size, out_h,
-        min(settings.tile_h, out_h), settings.tile_w, settings.shadow_chunk,
+        min(settings.shadow_tile_h, out_h), settings.shadow_tile_w,
+        settings.shadow_chunk,
         DEPTH_MIN, settings, y_offset=y_off,
         # depth-only: the shadow map needs no triangle ids -- skips the id
         # output stream, the per-block min-id reduce, and the id merges
         want_ids=False,
+        ortho=True,
+        budget_factor=settings.shadow_bin_budget_factor,
+        giant_tile=(settings.shadow_giant_tile_h, settings.shadow_giant_tile_w),
     )
     if dist is not None and dist.n_dev > 1:
         depth = dist.all_gather_rows(depth)

@@ -83,6 +83,20 @@ class RenderSettings:
     # partial blocks): full raster 57.7 -> 51.2 ms, shadow 82.3 -> 74.8 ms
     chunk: int = 64
     shadow_chunk: int = 64
+    # Shadow-map binning runs on bigger tiles than the camera raster: the
+    # binning gather count is budget*T + n_tiles*chunk, and at 4096^2 the
+    # per-tile padding term dominates (measured: binning 56 ms of the
+    # 102 ms shadow raster at 16x64 tiles).  32x128 keeps the depth-only
+    # kernel cheap while cutting tiles 4x.
+    shadow_tile_h: int = 32
+    shadow_tile_w: int = 128
+    # giant-level brute kernel tiles for the shadow map: its (tiles x
+    # chunks) grid overhead scales with map area at fixed tile size
+    shadow_giant_tile_h: int = 64
+    shadow_giant_tile_w: int = 256
+    # pair budget for shadow binning: spans at 32x128 tiles are mostly one
+    # tile, so 1.5 still carries wide margin (overflow is counted in stats)
+    shadow_bin_budget_factor: float = 1.5
     # pl.debug_print per bin block in the Pallas raster kernels (the
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
     kernel_debug_print: bool = False
