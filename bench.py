@@ -112,7 +112,59 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground):
     return render, n_tris
 
 
+def _pallas_parity_gate():
+    """Render one small frame with raster_backend="pallas" and "xla" ON THE
+    CHIP and require depth/tri_id equality.  Interpret-mode CI cannot catch
+    Mosaic-only miscompiles; this makes the bench fail loudly on one
+    (VERDICT r2 next-step #8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unclerenderer_tpu.ops import pallas_raster
+    from unclerenderer_tpu.ops.raster import (
+        CULL_BACK,
+        DEPTH_MAX,
+        rasterize,
+        triangle_setup_expanded,
+        viewport_homogeneous,
+    )
+    from unclerenderer_tpu.render.testing import synthetic_device_scene
+    from unclerenderer_tpu.render.testing import synthetic_frame_params
+
+    w = h = 256
+    scene, data = synthetic_device_scene(24, sphere_res=(12, 10), ground=True)
+    params = synthetic_frame_params(data, w, h)
+    mask = jnp.ones(scene.position.shape[0] // 3, bool)
+
+    def build(pos):
+        hom = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
+        clip = hom @ params.view_proj
+        pix_h = viewport_homogeneous(clip, w, h)
+        return triangle_setup_expanded(pix_h, clip[:, 2], mask, CULL_BACK, w, h)
+
+    setup = jax.jit(build)(scene.position)
+    dx, tx = jax.jit(
+        lambda s: rasterize(s, w, h, depth_mode=DEPTH_MAX)
+    )(setup)
+    dp, tp, _stats = jax.jit(
+        lambda s: pallas_raster.rasterize_binned(s, w, h, depth_mode=DEPTH_MAX)[:3]
+    )(setup)
+    ok = bool(
+        np.array_equal(np.asarray(dx), np.asarray(dp))
+        and np.array_equal(np.asarray(tx), np.asarray(tp))
+    )
+    if not ok:
+        ndiff = int((np.asarray(dx) != np.asarray(dp)).sum())
+        raise AssertionError(
+            f"Pallas/XLA raster mismatch on this backend: {ndiff} depth pixels differ"
+        )
+    return ok
+
+
 def main() -> int:
+    import dataclasses
+
     import jax
 
     from unclerenderer_tpu.core.jaxcache import enable_persistent_cache
@@ -121,16 +173,20 @@ def main() -> int:
     enable_persistent_cache()
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    pallas_parity = _pallas_parity_gate()
+
+    shadow_size = 4096  # the reference's shadow map is 4096^2 D32
     settings = RenderSettings(
         width=WIDTH,
         height=HEIGHT,
         renderer_type="deferred",
-        shadow_map_size=2048,
+        shadow_map_size=shadow_size,
         raster_backend="auto",
     )
 
-    # headline: Sponza-class synthetic (~263k tris) -- the north-star load;
-    # each render() executes FRAMES device-chained frames (one dispatch)
+    # headline: Sponza-class synthetic (~263k tris) -- the north-star load at
+    # the reference's 4096^2 shadow resolution (Renderer.cpp:240-296); each
+    # render() executes FRAMES device-chained frames (one dispatch)
     render, n_tris = _synthetic_runner(
         settings, n_objects=340, sphere_res=(32, 24), ground=True
     )
@@ -138,6 +194,22 @@ def main() -> int:
     ms = ms_chunk / FRAMES
 
     extra = {}
+    # secondary rows: 2048^2 shadow (continuity with rounds 1-2) and
+    # trilinear filtering (sampler-parity cost as a number, not a footnote)
+    render2k, _ = _synthetic_runner(
+        dataclasses.replace(settings, shadow_map_size=2048),
+        n_objects=340, sphere_res=(32, 24), ground=True,
+    )
+    ms2k_chunk, _ = _measure(render2k, frames=2)
+    extra["shadow2048_ms"] = round(ms2k_chunk / FRAMES, 2)
+
+    render_tri, _ = _synthetic_runner(
+        dataclasses.replace(settings, texture_filter="trilinear"),
+        n_objects=340, sphere_res=(32, 24), ground=True,
+    )
+    ms_tri_chunk, _ = _measure(render_tri, frames=2)
+    extra["trilinear_ms"] = round(ms_tri_chunk / FRAMES, 2)
+
     scene_json = Path("/root/reference/Assets/Scenes/pica_pica.json")
     if scene_json.is_file():
         from unclerenderer_tpu.render.renderer import Renderer
@@ -145,10 +217,12 @@ def main() -> int:
         t0 = time.monotonic()
         renderer = Renderer(scene_json, settings=settings)
         pica_ms, pica_setup = _measure(renderer.render_frame)
-        extra = {
-            "pica_pica_ms": round(pica_ms, 2),
-            "pica_pica_setup_s": round(time.monotonic() - t0 - pica_ms * FRAMES / 1e3, 1),
-        }
+        extra.update(
+            pica_pica_ms=round(pica_ms, 2),
+            pica_pica_setup_s=round(
+                time.monotonic() - t0 - pica_ms * FRAMES / 1e3, 1
+            ),
+        )
 
     print(
         json.dumps(
@@ -158,6 +232,9 @@ def main() -> int:
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 3),
                 "triangles": n_tris,
+                "shadow_map_size": shadow_size,
+                "texture_filter": settings.texture_filter,
+                "pallas_parity": pallas_parity,
                 "device": str(jax.devices()[0]),
                 "on_tpu": on_tpu,
                 "frames": FRAMES,
