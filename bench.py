@@ -55,7 +55,7 @@ def _measure(render, frames=FRAMES, repeats=3):
     return best, setup_s
 
 
-def _synthetic_runner(settings, n_objects, sphere_res, ground):
+def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=True):
     """Device frame rate for the synthetic tier: FRAMES frames with real
     per-frame camera motion (like the reference's interactive loop) chained
     device-side in ONE lax.scan dispatch -- per-frame work cannot hoist
@@ -78,11 +78,18 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground):
     import dataclasses
 
     scene, data = synthetic_device_scene(
-        n_objects, sphere_res=sphere_res, ground=ground
+        n_objects, sphere_res=sphere_res, ground=ground,
+        rich_materials=rich_materials,
     )
     # the synthetic scene has no MASK materials; skip the masked pass like
-    # the Renderer does for such scenes (static setting)
-    settings = dataclasses.replace(settings, has_masked_models=False)
+    # the Renderer does for such scenes (static setting).  rich_materials
+    # gives every model baseColor+MR+normal(+emissive) maps fused into a
+    # combined chain -- the same combined_material path the Renderer takes
+    # for real scenes (renderer.py _build_device_scene).
+    settings = dataclasses.replace(
+        settings, has_masked_models=False,
+        combined_material=rich_materials and settings.enable_combined_material,
+    )
 
     def params_at(i):
         # slow orbit: ~0.2 deg/frame camera motion
@@ -234,6 +241,8 @@ def main() -> int:
                 "triangles": n_tris,
                 "shadow_map_size": shadow_size,
                 "texture_filter": settings.texture_filter,
+                "rich_materials": True,
+                "combined_material": True,
                 "pallas_parity": pallas_parity,
                 "device": str(jax.devices()[0]),
                 "on_tpu": on_tpu,

@@ -18,6 +18,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# warm reruns skip XLA:CPU compiles entirely (same cache the Renderer uses;
+# keyed on HLO + backend + machine, so TPU/CPU entries never collide)
+from unclerenderer_tpu.core.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import pathlib
 
 import pytest

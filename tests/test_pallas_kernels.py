@@ -336,3 +336,58 @@ def test_full_pallas_forward_matches_xla():
     mism = (np.abs(outs["pallas"]["color"].astype(np.float32)
                    - outs["xla"]["color"].astype(np.float32)).max(-1) > 1e-4).mean()
     assert mism < 0.05, f"too many differing pixels: {mism:.3%}"
+
+
+def test_sharded_pallas_slab_matches_singlechip():
+    """The Pallas y_offset slab path UNDER shard_map (2-device CPU mesh,
+    interpret mode) reproduces the single-chip Pallas frame bit-for-bit --
+    closes the gap where the sharded render was only CI-tested with the XLA
+    raster backend (Mosaic cannot run on a virtual CPU mesh; interpret can)."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from unclerenderer_tpu.parallel.multichip import (
+        make_render_mesh,
+        render_frame_multichip,
+    )
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.params import FrameState, RenderSettings
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    n = 2
+    assert len(jax.devices()) >= n
+    settings = RenderSettings(
+        renderer_type="deferred", enable_ibl=False, enable_sky=False,
+        width=64, height=32, shadow_map_size=32,
+        tile_h=8, tile_w=64, chunk=32, shadow_chunk=32,
+        raster_backend="pallas", pallas_interpret=True,
+        enable_taa=False, enable_cas=False, enable_auto_exposure=False,
+        has_masked_models=False,
+    )
+    scene, data = synthetic_device_scene(4, sphere_res=(8, 6))
+    params = synthetic_frame_params(data, settings.width, settings.height)
+    state_s = FrameState.initial(settings.width, settings.height)
+    state_m = FrameState.initial(settings.width, settings.height)
+
+    single = jax.jit(lambda sc, p, st: deferred_frame(sc, p, st, settings))
+    mesh = make_render_mesh(jax.devices()[:n])
+    multi = jax.jit(
+        functools.partial(render_frame_multichip, settings=settings, mesh=mesh)
+    )
+    out_s, _ = single(scene, params, state_s)
+    out_m, _ = multi(scene, params, state_m)
+    np.testing.assert_array_equal(
+        np.asarray(out_m["tri_id"]), np.asarray(out_s["tri_id"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_m["depth"]), np.asarray(out_s["depth"])
+    )
+    assert (np.asarray(out_s["tri_id"]) >= 0).sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(out_m["color"]), np.asarray(out_s["color"]), atol=1e-5
+    )

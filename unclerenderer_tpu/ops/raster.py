@@ -53,6 +53,12 @@ COEF_EA, COEF_EB, COEF_EC = 0, 3, 6
 COEF_NZ, COEF_NW = 9, 12
 COEF_COLS = 16
 
+# Sub-center cull toggles (see triangle_setup_from_verts); module-level so
+# experiments/tests can flip them without threading a parameter through
+# every setup call site.
+SUBCENTER_CULL = True
+SUBCENTER_MARGIN = 1e-2
+
 
 def viewport_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     """Clip coords (V,4) -> homogeneous pixel coords (V,3) = (X, Y, w) with
@@ -203,6 +209,28 @@ def triangle_setup_from_verts(
     on_screen = (bx1 >= 0) & (by1 >= 0) & (bx0 <= width - 1) & (by0 <= height - 1)
     valid = valid & (on_screen | any_behind)
 
+    # Sub-center cull: a pixel can only be covered if its CENTER lies inside
+    # the triangle, and every interior point's x/y lies within the vertex
+    # hull range -- so a triangle whose hull range contains no pixel center
+    # in x or in y can never win a pixel in exact arithmetic.  Culling those
+    # (sub-pixel slivers between center rows/columns) shrinks binning pairs
+    # + the frame-visible compaction set enormously on dense meshes
+    # (pica_pica light space at 256^2: 82% of valid triangles are such
+    # slivers).  The 1e-2 margin covers f32 rounding of the HULL computation
+    # (~size*2^-22), so no triangle with an exact-hull center is ever
+    # dropped (tests/test_raster.py::test_subcenter_cull_exact).  Note the
+    # f32 EDGE functions can claim a center that exact arithmetic rejects
+    # (sliver coefficients are sign-noise at sub-pixel widths); dropping
+    # those claims is an intended accuracy improvement, not a regression --
+    # goldens are generated with the cull on.
+    if SUBCENTER_CULL:
+        m = SUBCENTER_MARGIN
+        has_center = (
+            (jnp.ceil(sx_min - 0.5 - m) + 0.5 <= sx_max + m)
+            & (jnp.ceil(sy_min - 0.5 - m) + 0.5 <= sy_max + m)
+        )
+        valid = valid & (has_center | any_behind)
+
     return RasterSetup(coef=coef, valid=valid, bbox=bbox)
 
 
@@ -237,6 +265,41 @@ def flip_depth_key(setup: RasterSetup) -> RasterSetup:
         coef[:, COEF_NW : COEF_NW + 3] - coef[:, COEF_NZ : COEF_NZ + 3]
     )
     return RasterSetup(coef=coef, valid=setup.valid, bbox=setup.bbox)
+
+
+def compact_setup(setup: RasterSetup, cap: int):
+    """Frame-visible triangle compaction -- the TPU analog of the
+    reference's GPU culling writing per-draw InstanceCounts into the
+    indirect-argument buffer (``CullIndirectArgs.hlsl:153-154``): the
+    compacted list IS the frame's draw list.
+
+    Returns ``(setup_c, ids, overflow)`` where ``setup_c`` holds the first
+    ``cap`` valid triangles in ascending id order (so compact-id order ==
+    global-id order and min-id tie-breaks are preserved), ``ids`` is the
+    (cap,) i32 map from compact row -> global triangle id, and ``overflow``
+    counts valid triangles beyond the cap that were DROPPED (surface it like
+    the other raster stats; raise the cap when nonzero).
+
+    Why: per-pixel row gathers fall off the TPU fast path once the table
+    exceeds ~96k rows (f32) / ~192k (16-bit) -- see BENCHLOG "gather law".
+    Compacting to the visible set keeps the resolve record table under the
+    cliff at Sponza-class triangle counts (~263k total, ~100k visible), and
+    shrinks every downstream binning sort and gather by the same factor.
+    """
+    t_count = setup.valid.shape[0]
+    idx_bits = max((t_count - 1).bit_length(), 1)
+    iota = jnp.arange(t_count, dtype=jnp.int32)
+    packed = jnp.where(setup.valid, 0, jnp.int32(1 << idx_bits)) + iota
+    sp = jnp.sort(packed)[:cap]
+    ids = sp & jnp.int32((1 << idx_bits) - 1)
+    ok = sp < jnp.int32(1 << idx_bits)
+    overflow = (
+        jnp.sum(setup.valid).astype(jnp.int32) - jnp.sum(ok).astype(jnp.int32)
+    )
+    setup_c = RasterSetup(
+        coef=setup.coef[ids], valid=ok, bbox=setup.bbox[:, ids]
+    )
+    return setup_c, ids, overflow
 
 
 def shift_setup(setup: RasterSetup, dx, dy) -> RasterSetup:

@@ -25,28 +25,52 @@ def _wrap_index(i: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
     return jnp.clip(i, 0, size - 1)
 
 
+def _edge_gated_uv_derivs(uv, same_tri_x, same_tri_y, same_tri_bx, same_tri_by,
+                          uv_above, uv_below):
+    """Screen-space UV derivatives that never cross a triangle edge: forward
+    difference when the +x/+y neighbor is the same triangle, else backward
+    difference when the -x/-y neighbor is, else 0 (the GPU quad-helper-lane
+    analog).  An ungated backward fallback would read the OTHER triangle's
+    (or an empty pixel's undefined) uv and produce garbage mips at
+    silhouette pixels."""
+    dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
+    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :] if uv_below is None else uv_below)
+    bx = jnp.diff(uv, axis=1, prepend=uv[:, :1, :])
+    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :] if uv_above is None else uv_above)
+    zero = jnp.zeros_like(uv)
+    dx = jnp.where(
+        same_tri_x[..., None], dx,
+        jnp.where(same_tri_bx[..., None], bx, zero) if same_tri_bx is not None else bx,
+    )
+    dy = jnp.where(
+        same_tri_y[..., None], dy,
+        jnp.where(same_tri_by[..., None], by, zero) if same_tri_by is not None else by,
+    )
+    return dx, dy
+
+
 def uv_screen_lod(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
                   same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray,
                   uv_above: jnp.ndarray | None = None,
-                  uv_below: jnp.ndarray | None = None) -> jnp.ndarray:
+                  uv_below: jnp.ndarray | None = None,
+                  same_tri_bx: jnp.ndarray | None = None,
+                  same_tri_by: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-pixel LOD from screen-space UV derivatives.
 
     uv: (H, W, 2).  base_w/base_h: (H, W) mip-0 texture size per pixel.
     same_tri_x/y: (H, W) bool -- whether the +x / +y neighbor belongs to the
-    same triangle (derivatives across triangle edges are garbage; we fall
-    back to the other direction or 0, akin to GPU quad helper lanes).
+    same triangle; same_tri_bx/by the same for the -x / -y neighbor
+    (derivatives across triangle edges are garbage; we fall back to the
+    other direction or 0, akin to GPU quad helper lanes).  When bx/by masks
+    are None the backward difference is used ungated (legacy callers).
 
     uv_above/uv_below: (1, W, 2) optional true neighbor rows when uv is a
     row slab of a larger frame (sharded rendering); default = edge rows
     (the frame-boundary behavior).
     """
-    dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
-    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :] if uv_below is None else uv_below)
-    # Backward difference where the forward neighbor crosses a triangle edge.
-    bx = jnp.diff(uv, axis=1, prepend=uv[:, :1, :])
-    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :] if uv_above is None else uv_above)
-    dx = jnp.where(same_tri_x[..., None], dx, bx)
-    dy = jnp.where(same_tri_y[..., None], dy, by)
+    dx, dy = _edge_gated_uv_derivs(
+        uv, same_tri_x, same_tri_y, same_tri_bx, same_tri_by, uv_above, uv_below
+    )
     sz = jnp.stack([base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)
     lx = jnp.sum((dx * sz) ** 2, axis=-1)
     ly = jnp.sum((dy * sz) ** 2, axis=-1)
@@ -58,7 +82,9 @@ def uv_screen_lod_aniso(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarra
                         same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray,
                         max_aniso: int,
                         uv_above: jnp.ndarray | None = None,
-                        uv_below: jnp.ndarray | None = None):
+                        uv_below: jnp.ndarray | None = None,
+                        same_tri_bx: jnp.ndarray | None = None,
+                        same_tri_by: jnp.ndarray | None = None):
     """Anisotropic footprint: like ``uv_screen_lod`` but returns
     ``(lod, dmaj, extent)`` for an N-tap line filter along the major axis
     (the software analog of ``D3D12_FILTER_ANISOTROPIC``,
@@ -71,12 +97,9 @@ def uv_screen_lod_aniso(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarra
       isotropic, so N identical taps reduce exactly to the trilinear
       sample (tested).
     """
-    dx = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
-    dy = jnp.diff(uv, axis=0, append=uv[-1:, :, :] if uv_below is None else uv_below)
-    bx = jnp.diff(uv, axis=1, prepend=uv[:, :1, :])
-    by = jnp.diff(uv, axis=0, prepend=uv[:1, :, :] if uv_above is None else uv_above)
-    dx = jnp.where(same_tri_x[..., None], dx, bx)
-    dy = jnp.where(same_tri_y[..., None], dy, by)
+    dx, dy = _edge_gated_uv_derivs(
+        uv, same_tri_x, same_tri_y, same_tri_bx, same_tri_by, uv_above, uv_below
+    )
     sz = jnp.stack([base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)
     lx = jnp.sum((dx * sz) ** 2, axis=-1)
     ly = jnp.sum((dy * sz) ** 2, axis=-1)

@@ -93,10 +93,20 @@ def render_frame_multichip(
         "tri_id": slab,
         "object_id": slab,
         "model_visible": rep,
-        "raster_stats": {"pair_overflow": rep, "giant_truncated": rep},
+        "raster_stats": {
+            "pair_overflow": rep,
+            "giant_truncated": rep,
+            "compact_overflow": rep,
+        },
         "frustum_culled": rep,
         "hzb_occluded": rep,
     }
+    from ..render.common import compaction_cap
+
+    if compaction_cap(settings, scene.tri_geo.shape[0]):
+        # compaction runs replicated (identical setup math on every device),
+        # so the compact->global id map is itself replicated
+        out_spec["tri_remap"] = rep
     state_spec = FrameState(
         taa_history=slab,
         taa_valid=rep,

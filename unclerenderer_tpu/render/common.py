@@ -62,6 +62,28 @@ def _use_pallas(settings: RenderSettings) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def compaction_cap(settings: RenderSettings, t_count: int) -> int:
+    """Static frame-visible compaction cap (ops/raster.py compact_setup).
+
+    0 = no compaction.  Auto keeps it off when the resolve record table is
+    already under the ~96k-row gather fast path, or when the scene has
+    alpha-masked models (the masked merge and opaque raster must share one
+    id space; extendable later by compacting the union)."""
+    cap = settings.compact_cap
+    if cap == -1:
+        if settings.has_masked_models or t_count <= 94208:
+            return 0
+        # 94208 is the largest measured f32 fast-gather table (one plain
+        # f32 record gather, ~7 ms/2M); the sub-center cull keeps the
+        # Sponza-class tier's valid set under it (max 90k measured over
+        # the bench orbit).  Overflow is counted -- raise compact_cap to
+        # 163840 (16-bit split gather) if stats() ever reports drops.
+        cap = 94208
+    if cap <= 0 or cap >= t_count:
+        return 0
+    return cap
+
+
 def use_fused_resolve(settings, t_count: int) -> bool:
     """Fused attribute emission (the raster kernels select the winner's
     resolve record in-VMEM) replaces the per-pixel record gather, which
@@ -142,20 +164,40 @@ def raster_opaque(
 ):
     """Visibility raster over the full frame, or over this device's row slab
     when ``dist`` is sharded (traced y_offset, global pixel coordinates --
-    bit-identical to the full-frame render; parallel/dist.py)."""
+    bit-identical to the full-frame render; parallel/dist.py).
+
+    Returns ``(depth, tri_id, stats, attr, compact_ids)``.  When
+    ``compaction_cap`` is nonzero the raster runs over the frame-visible
+    compacted triangle list and ``tri_id`` holds COMPACT ids;
+    ``compact_ids`` maps them back to global rows (None when off).  Under
+    sharding every device computes the identical compaction (replicated
+    setup math), so compact ids agree across slabs."""
+    from ..ops.raster import compact_setup
+
     setup = triangle_setup_expanded(
         pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
     )
+    cap = compaction_cap(settings, setup.valid.shape[0])
+    cids = None
+    c_overflow = jnp.zeros((), jnp.int32)
+    if cap:
+        setup, cids, c_overflow = compact_setup(setup, cap)
+        if records is not None:
+            records = records[cids]
     out_h = settings.height
     y_off = 0
     if dist is not None and dist.n_dev > 1:
         out_h = dist.slab_h
         y_off = dist.row0
-    return _dispatch_raster(
+    res = _dispatch_raster(
         setup, settings.width, out_h,
         min(settings.tile_h, out_h), settings.tile_w, settings.chunk,
         DEPTH_MAX, settings, y_offset=y_off, records=records,
     )
+    depth, tri_id, stats = res[0], res[1], dict(res[2])
+    stats["compact_overflow"] = c_overflow
+    attr = res[3] if records is not None else None
+    return depth, tri_id, stats, attr, cids
 
 
 @named_pass("ShadowMap")
@@ -707,6 +749,19 @@ def build_resolve_records(scene: DeviceScene, pix_h: jnp.ndarray) -> jnp.ndarray
     )
 
 
+def _gather_rows_split16(rec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact f32 row gather as two 16-bit half-table gathers + bitwise
+    rebuild.  16-bit tables stay on the TPU fast-gather path up to ~192k
+    rows where f32 falls off at ~96k (BENCHLOG gather law); the rebuild
+    ``(hi << 16) | lo`` reproduces every f32 bit pattern exactly."""
+    bits = rec.view(jnp.uint32)
+    hi = (bits >> 16).astype(jnp.uint16)
+    lo = (bits & 0xFFFF).astype(jnp.uint16)
+    h = hi[idx].astype(jnp.uint32)
+    l = lo[idx].astype(jnp.uint32)
+    return ((h << 16) | l).view(jnp.float32)
+
+
 @named_pass("MaterialResolve")
 def resolve_materials(
     scene: DeviceScene,
@@ -715,8 +770,10 @@ def resolve_materials(
     settings: RenderSettings,
     row0=0,
     next_tri_row: jnp.ndarray | None = None,
+    prev_tri_row: jnp.ndarray | None = None,
     row_halo=None,
     full_override: jnp.ndarray | None = None,
+    compact_ids: jnp.ndarray | None = None,
 ):
     """Visibility buffer -> interpolated attributes + sampled material values.
 
@@ -744,6 +801,25 @@ def resolve_materials(
         # record (bit-identical to the gather below -- tested); no per-pixel
         # gather at all
         full = full_override
+    elif compact_ids is not None:
+        # compact id space (raster_opaque compaction): the record table
+        # shrinks to the frame-visible cap, keeping the per-pixel gather on
+        # the TPU fast path (f32 under ~96k rows; 16-bit split under ~192k)
+        cap = compact_ids.shape[0]
+        rec = jnp.concatenate(
+            [
+                pix_h.reshape(t_count, 9)[compact_ids],
+                scene.tri_geo[compact_ids],
+                scene.tri_mrec[compact_ids],
+                jnp.zeros((cap, 7), jnp.float32),
+            ],
+            axis=1,
+        )
+        safe_id = jnp.maximum(tri_id, 0)
+        if cap > 94208:
+            full = _gather_rows_split16(rec, safe_id)
+        else:
+            full = rec[safe_id]
     else:
         # ONE (T, 128) per-pixel record gather (build_resolve_records);
         # fast for record tables under the ~96k-row gather cliff -- larger
@@ -799,11 +875,17 @@ def resolve_materials(
     uv_rot = M(PK.M_UVROT, 8)
     rects = M(PK.M_RECT, 16)
 
-    # forward-difference LOD neighbors; sharded callers pass the true row
-    # below the slab (ppermute) so seam rows pick the same mip as single-chip
+    # forward-difference LOD neighbors; sharded callers pass the true rows
+    # above/below the slab (ppermute) so seam rows pick the same mip as
+    # single-chip.  Backward (-x/-y) same-triangle masks gate the fallback
+    # derivative so it never reads across a triangle edge (ops/texture.py
+    # _edge_gated_uv_derivs).
     append_y = tri_id[-1:, :] if next_tri_row is None else next_tri_row
+    prepend_y = tri_id[:1, :] if prev_tri_row is None else prev_tri_row
     same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
     same_y = jnp.diff(tri_id, axis=0, append=append_y) == 0
+    same_bx = jnp.diff(tri_id, axis=1, prepend=tri_id[:, :1]) == 0
+    same_by = jnp.diff(tri_id, axis=0, prepend=prepend_y) == 0
 
     quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
     atlas_width = scene.quad_img.shape[1]
@@ -825,6 +907,7 @@ def resolve_materials(
             lod, dmaj, extent = tex.uv_screen_lod_aniso(
                 suv, base_w, base_h, same_x, same_y, n,
                 uv_above=ua, uv_below=ub,
+                same_tri_bx=same_bx, same_tri_by=same_by,
             )
             acc = 0.0
             for k in range(n):
@@ -836,6 +919,7 @@ def resolve_materials(
             return acc / n
         lod = tex.uv_screen_lod(
             suv, base_w, base_h, same_x, same_y, uv_above=ua, uv_below=ub,
+            same_tri_bx=same_bx, same_tri_by=same_by,
         )
         if settings.texture_filter == "bilinear":
             level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)

@@ -125,11 +125,9 @@ def deferred_frame(
     clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
     fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
     records = common.build_resolve_records(scene, pix_h) if fused else None
-    res = common.raster_opaque(
+    depth, tri_id, raster_stats, attr, compact_ids = common.raster_opaque(
         scene, clip, pix_h, opaque_mask, settings, dist, records=records
     )
-    depth, tri_id, raster_stats = res[0], res[1], res[2]
-    attr = res[3] if fused else None
     if settings.has_masked_models:
         masked_out = common.raster_masked_combine(
             scene, clip, pix_h, masked_mask, depth, tri_id, settings, dist,
@@ -142,8 +140,10 @@ def deferred_frame(
     g = common.resolve_materials(
         scene, pix_h, tri_id, settings, row0=dist.row0,
         next_tri_row=dist.row_below(tri_id) if sharded else None,
+        prev_tri_row=dist.row_above(tri_id) if sharded else None,
         row_halo=(lambda x: (dist.row_above(x), dist.row_below(x))) if sharded else None,
         full_override=attr,
+        compact_ids=compact_ids,
     )
 
     # --- 6. HZB for next frame (sharded: built replicated from the
@@ -310,6 +310,9 @@ def deferred_frame(
         "color": color,
         "hdr": hdr,
         "depth": depth,
+        # compact id space when compaction is on; tri_remap maps back to
+        # global triangle rows (equality/tie semantics are preserved, so
+        # LOD diffs and the multichip bit-exactness contract are unchanged)
         "tri_id": tri_id,
         "object_id": object_id,
         "model_visible": model_visible,
@@ -317,6 +320,8 @@ def deferred_frame(
         "frustum_culled": frustum_culled,
         "hzb_occluded": hzb_occluded,
     }
+    if compact_ids is not None:
+        out["tri_remap"] = compact_ids
     return out, new_state
 
 

@@ -43,11 +43,9 @@ def forward_frame(
 
     fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
     records = common.build_resolve_records(scene, pix_h) if fused else None
-    res = common.raster_opaque(
+    depth, tri_id, raster_stats, attr, compact_ids = common.raster_opaque(
         scene, clip, pix_h, opaque_mask, settings, records=records
     )
-    depth, tri_id, raster_stats = res[0], res[1], res[2]
-    attr = res[3] if fused else None
     if settings.has_masked_models:
         masked_out = common.raster_masked_combine(
             scene, clip, pix_h, masked_mask, depth, tri_id, settings,
@@ -69,7 +67,10 @@ def forward_frame(
     else:
         shadow9 = None
 
-    g = common.resolve_materials(scene, pix_h, tri_id, settings, full_override=attr)
+    g = common.resolve_materials(
+        scene, pix_h, tri_id, settings, full_override=attr,
+        compact_ids=compact_ids,
+    )
 
     n = g["normal"]
     v = pbr.normalize(params.camera_pos - g["world_pos"])

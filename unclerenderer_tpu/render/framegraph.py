@@ -113,14 +113,17 @@ def profile_deferred_passes(renderer, iterations: int = 3) -> PassTimingStats:
     clip, pix_h = timed("VertexStage", vert_fn, scene, params.view_proj)
 
     raster_fn = jax.jit(lambda sc, c, p, m: common.raster_opaque(sc, c, p, m, settings))
-    depth, tri_id = timed("GBuffer(Visibility)", raster_fn, scene, clip, pix_h, opaque_mask)
+    raster_out = timed("GBuffer(Visibility)", raster_fn, scene, clip, pix_h, opaque_mask)
+    depth, tri_id, cids = raster_out[0], raster_out[1], raster_out[4]
 
     if settings.enable_hzb:
         hzb_fn = jax.jit(lambda d: build_hzb(d, layout))
         timed("Build HZB", hzb_fn, depth)
 
-    resolve_fn = jax.jit(lambda sc, p, t: common.resolve_materials(sc, p, t, settings))
-    g = timed("MaterialResolve", resolve_fn, scene, pix_h, tri_id)
+    resolve_fn = jax.jit(
+        lambda sc, p, t, ci: common.resolve_materials(sc, p, t, settings, compact_ids=ci)
+    )
+    g = timed("MaterialResolve", resolve_fn, scene, pix_h, tri_id, cids)
 
     from ..ops import pbr
 

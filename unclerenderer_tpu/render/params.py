@@ -66,6 +66,15 @@ class RenderSettings:
     # ONE quad gather instead of one per slot.  Set by the Renderer at scene
     # build (requires per-model slots to share one KHR texture transform).
     combined_material: bool = False
+    # Frame-visible triangle compaction (ops/raster.py compact_setup): the
+    # opaque raster + material resolve work in compact id space so the
+    # per-pixel resolve record table stays under the TPU gather cliff
+    # (~96k f32 / ~192k 16-bit rows).  -1 auto: off when the scene is
+    # already under the cliff (T <= 94208) or has masked models (the
+    # masked merge needs one id space); else 163840.  0 = off.  Overflow
+    # (valid triangles beyond the cap, dropped) is counted in
+    # raster stats "compact_overflow" -- raise the cap when nonzero.
+    compact_cap: int = -1
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     # fused attribute emission: the Pallas raster kernels select the

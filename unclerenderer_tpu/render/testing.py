@@ -159,6 +159,49 @@ def synthetic_scene_data(
     return data
 
 
+def _rich_material_chains(n_combos: int, tex_size: int):
+    """Procedural Sponza-like material set: ``n_combos`` distinct materials,
+    each with baseColor + metallic-roughness + normal maps (emissive on
+    combo 0), fused into combined 16-channel chains exactly like the
+    Renderer does for real scenes (textures/image.py combined_chain)."""
+    from ..textures.image import combined_chain
+
+    combos = []
+    for ci in range(n_combos):
+        rng = np.random.default_rng(1000 + ci)
+        base = default_grid_texture(tex_size, cells=4 + 2 * (ci % 3))
+        tint = rng.uniform(0.4, 1.0, 3).astype(np.float32)
+        base[..., :3] *= tint
+        # MR: glTF layout G=roughness B=metallic; smooth noise bands
+        yy, xx = np.mgrid[0:tex_size, 0:tex_size].astype(np.float32) / tex_size
+        mr = np.zeros((tex_size, tex_size, 4), np.float32)
+        mr[..., 1] = 0.3 + 0.6 * (0.5 + 0.5 * np.sin(6.28 * (xx * (1 + ci) + yy)))
+        mr[..., 2] = (np.sin(12.56 * yy * (1 + ci % 2)) > 0.3).astype(np.float32)
+        mr[..., 3] = 1.0
+        # normal map: RG-encoded bumpy sin field (Z reconstructed in-shader)
+        freq = 8.0 + 4.0 * ci
+        nx = 0.25 * np.sin(freq * 6.28 * xx) * np.cos(freq * 3.14 * yy)
+        ny = 0.25 * np.cos(freq * 6.28 * yy)
+        nz = np.sqrt(np.maximum(1.0 - nx * nx - ny * ny, 0.0))
+        nm = np.stack([nx, ny, nz, np.ones_like(nx)], axis=-1) * 0.5 + 0.5
+        nm[..., 3] = 1.0
+        emis = None
+        if ci == 0:
+            e = np.zeros((tex_size // 4, tex_size // 4, 4), np.float32)
+            ys, xs = np.mgrid[0 : tex_size // 4, 0 : tex_size // 4]
+            glow = ((ys // 8 + xs // 8) % 4 == 0).astype(np.float32)
+            e[..., 0] = glow * 2.0
+            e[..., 1] = glow * 1.6
+            e[..., 2] = glow * 0.8
+            emis = generate_mips(e)
+        combos.append(
+            combined_chain(
+                [generate_mips(base), generate_mips(mr), generate_mips(nm.astype(np.float32)), emis]
+            )
+        )
+    return combos
+
+
 def synthetic_device_scene(
     n_objects: int = 4,
     seed: int = 0,
@@ -166,11 +209,42 @@ def synthetic_device_scene(
     with_masked: bool = False,
     sphere_res: tuple = (12, 8),
     ground: bool = False,
+    rich_materials: bool = False,
 ) -> DeviceScene:
     """with_masked gives every 4th model (starting at 1) an alpha-cutout
-    checker texture + MASK alpha mode, exercising the masked raster path."""
+    checker texture + MASK alpha mode, exercising the masked raster path.
+
+    rich_materials replaces the single grid map with a Sponza-like set of
+    full PBR materials (baseColor + MR + normal (+ emissive) maps) fused
+    into combined 16-channel chains -- the same path the Renderer takes for
+    real scenes; render with ``settings.combined_material=True``."""
     data = synthetic_scene_data(n_objects, seed, sphere_res=sphere_res, ground=ground)
     n = data.num_models
+    from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
+
+    if rich_materials:
+        assert not with_masked, "rich_materials does not model MASK materials"
+        n_combos = 6
+        combo_chains = _rich_material_chains(n_combos, tex_size=256)
+        quad_img, rect0 = build_pyramid_quad_atlas(
+            combo_chains, wrap=True, dtype=np.float32
+        )
+        model_combo = np.arange(n, dtype=np.int32) % n_combos
+        tex_ids = np.repeat(model_combo[:, None], 4, axis=1).astype(np.int32)
+        has_map = np.ones((n, 4), bool)
+        has_map[:, 3] = model_combo == 0  # emissive map on combo 0 only
+        # small emissive factor so the emissive channel contributes
+        data.emissive_factor = np.where(
+            (model_combo == 0)[:, None], np.float32(0.5), np.float32(0.0)
+        ) * np.ones((n, 3), np.float32)
+        slot_rect0 = np.repeat(
+            rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
+        )
+        model_rec = pack_model_record(data, has_map, slot_rect0)
+        tri_geo = pack_tri_geo(data)
+        tri_mrec = pack_tri_mrec(data, model_rec)
+        return _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec), data
+
     chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]
     tex_ids = np.zeros((n, 4), np.int32)
     has_map = np.zeros((n, 4), bool)
@@ -187,12 +261,15 @@ def synthetic_device_scene(
         has_map[1::4, 0] = True
         data.alpha_mode[1::4] = 1
     quad_img, rect0 = build_pyramid_quad_atlas(chains)
-    from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
 
     slot_rect0 = rect0[tex_ids].astype(np.float32)
     model_rec = pack_model_record(data, has_map, slot_rect0)
     tri_geo = pack_tri_geo(data)
     tri_mrec = pack_tri_mrec(data, model_rec)
+    return _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec), data
+
+
+def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) -> DeviceScene:
     return DeviceScene(
         position=jnp.asarray(data.position),
         normal=jnp.asarray(data.normal),
@@ -222,7 +299,7 @@ def synthetic_device_scene(
         env_tail=jnp.full((6, 1, 1, 4), 0.1, jnp.float32),
         tri_geo=jnp.asarray(tri_geo),
         tri_mrec=jnp.asarray(tri_mrec),
-    ), data
+    )
 
 
 def synthetic_frame_params(data, width: int, height: int, camera_pos=(0.0, 1.5, -4.0)):

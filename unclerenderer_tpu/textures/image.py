@@ -59,6 +59,67 @@ def solid_color_texture(rgba, size: int = 4) -> np.ndarray:
     return np.broadcast_to(c, (size, size, 4)).copy()
 
 
+# Combined material texture: every map of a material resampled to one
+# resolution and fused into an 11-channel texel, so the material resolve
+# costs ONE quad gather per pixel instead of one per slot (TPU row gathers
+# are latency-bound: ~55 ms per 2M rows whether 16 or 64 channels wide).
+# Channel layout (absent maps baked to neutral values so `sample * factor`
+# needs no has_map select); padded to 16 so the quad record is 64 channels --
+# non-power-of-two row widths hit a ~2.3x slower XLA gather path (measured:
+# 44/48-wide 84-94 ms vs 64-wide 37-55 ms per 2M rows).
+COMBINED_C = 16  # 0:4 base RGBA | 4 roughness, 5 metallic | 6:8 normal RG | 8:11 emissive RGB | 11:16 pad
+COMBINED_NEUTRAL = np.array([1, 1, 1, 1, 1, 1, 0.5, 0.5, 1, 1, 1, 0, 0, 0, 0, 0], np.float32)
+# slot -> (combined channels, source channels); MR follows glTF G=rough B=metal
+COMBINED_SLOT_CH = (
+    (slice(0, 4), slice(0, 4)),
+    (slice(4, 6), slice(1, 3)),
+    (slice(6, 8), slice(0, 2)),
+    (slice(8, 11), slice(0, 3)),
+)
+
+
+def resize_bilinear(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Host-side bilinear resample (half-texel centers, clamp)."""
+    h, w = img.shape[:2]
+    if (h, w) == (th, tw):
+        return img
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * (h / th) - 0.5
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    r0 = img[y0]
+    r1 = img[y1]
+    top = r0[:, x0] * (1.0 - fx) + r0[:, x1] * fx
+    bot = r1[:, x0] * (1.0 - fx) + r1[:, x1] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def combined_chain(slot_chains: list) -> list[np.ndarray]:
+    """Fuse up to 4 single-map mip chains (or None) into one 11-channel
+    chain at the max resolution; baked source mips are preserved by pairing
+    combined level L with the source level of matching size."""
+    tw = max((c[0].shape[1] for c in slot_chains if c), default=1)
+    th = max((c[0].shape[0] for c in slot_chains if c), default=1)
+    levels = max(int(np.log2(max(tw, th))) + 1, 1)
+    out = []
+    for lv in range(levels):
+        w, h = max(tw >> lv, 1), max(th >> lv, 1)
+        img = np.tile(COMBINED_NEUTRAL, (h, w, 1))
+        for si, chain in enumerate(slot_chains):
+            if chain is None:
+                continue
+            shift = int(np.log2(tw)) - int(np.log2(max(chain[0].shape[1], 1)))
+            src = chain[min(max(lv - shift, 0), len(chain) - 1)]
+            dst_sl, src_sl = COMBINED_SLOT_CH[si]
+            img[..., dst_sl] = resize_bilinear(src, h, w)[..., src_sl]
+        out.append(img)
+    return out
+
+
 def load_image(path: str | Path, srgb: bool = False) -> list[np.ndarray] | None:
     """Load any supported image -> list of float32 linear RGBA mips, or None.
 
