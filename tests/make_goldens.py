@@ -19,14 +19,19 @@ GOLDENS = Path(__file__).parent / "goldens"
 ASSETS = Path("/root/reference/Assets")
 
 # (name, scene, renderer_type, extra settings) -- the reference's own
-# graduated scene ladder incl. its two channel-correctness Compare scenes
+# graduated scene ladder incl. its two channel-correctness Compare scenes.
+# pica (76k tris) runs at 128^2: the exhaustive XLA raster on the 1-core CI
+# host costs ~2.5 min at 256^2, which would dominate the whole suite; the
+# smaller golden still gates structural regressions (256^2 imagery lives in
+# screenshots/, refreshed on TPU).
 CASES = [
     ("box_deferred", "BoxTextured.json", "deferred", {}),
     ("box_forward", "BoxTextured.json", "forward", {}),
     ("duck_deferred", "Duck.json", "deferred", {}),
     ("compare_basecolor_forward", "CompareBaseColor.json", "forward", {}),
     ("compare_normal_forward", "CompareNormal.json", "forward", {}),
-    ("pica_pica_deferred", "pica_pica.json", "deferred", {}),
+    ("pica_pica_deferred", "pica_pica.json", "deferred",
+     {"width": 128, "height": 128, "shadow_map_size": 128}),
 ]
 
 SIZE = 256
@@ -35,7 +40,7 @@ SIZE = 256
 def golden_settings(renderer_type, **overrides):
     from unclerenderer_tpu.render.params import RenderSettings
 
-    return RenderSettings(
+    kw = dict(
         width=SIZE,
         height=SIZE,
         renderer_type=renderer_type,
@@ -45,8 +50,9 @@ def golden_settings(renderer_type, **overrides):
         chunk=64,
         shadow_chunk=64,
         raster_backend="xla",  # deterministic on the CPU CI host
-        **overrides,
     )
+    kw.update(overrides)
+    return RenderSettings(**kw)
 
 
 def render_case(name, scene, renderer_type, overrides):

@@ -1,0 +1,176 @@
+"""On-chip per-stage profiler for the deferred frame at the bench's
+Sponza-class synthetic tier (1080p, ~263k tris, rich materials).
+
+Relay-safe timing (see BENCHLOG): every iteration carries a genuine data
+dependence so XLA cannot hoist the body; each measurement forces a host
+readback; loops run device-side in one lax.scan dispatch so the ~28 ms relay
+round trip is paid once per measurement, not per iter.
+
+    python tools/prof_frame.py [stage ...]   # default: all stages
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unclerenderer_tpu.core.jaxcache import enable_persistent_cache
+from unclerenderer_tpu.render import common
+from unclerenderer_tpu.render.deferred import deferred_frame
+from unclerenderer_tpu.render.params import FrameState, RenderSettings
+from unclerenderer_tpu.render.testing import (
+    synthetic_device_scene,
+    synthetic_frame_params,
+)
+
+enable_persistent_cache()
+
+ITERS = 8
+W, H = 1920, 1080
+
+
+def timed_scan(fn, *args, iters=ITERS, label=""):
+    def loop(n_static, *a):
+        def body(carry, _):
+            out = fn(*jax.tree_util.tree_map(
+                lambda x: x * (1.0 + carry * 1e-30)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                a,
+            ))
+            leaves = [l for l in jax.tree_util.tree_leaves(out)
+                      if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)]
+            probe = sum(jnp.asarray(l).ravel()[0].astype(jnp.float32) for l in leaves)
+            return carry + probe * 1e-30, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_static)
+        return c
+
+    jl = jax.jit(loop, static_argnums=(0,))
+    t0 = time.monotonic()
+    float(jl(1, *args))
+    compile_s = time.monotonic() - t0
+    float(jl(iters, *args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        float(jl(iters, *args))
+        best = min(best, (time.monotonic() - t0) / iters * 1e3)
+    print(f"{label:<46} {best:8.2f} ms/iter   (compile {compile_s:.0f}s)", flush=True)
+    return best
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    want = set(sys.argv[1:])
+
+    def on(name):
+        return not want or name in want
+
+    scene, data = synthetic_device_scene(
+        340, sphere_res=(32, 24), ground=True, rich_materials=True
+    )
+    t_count = int(scene.tri_geo.shape[0])
+    print("triangles:", t_count, flush=True)
+    settings = RenderSettings(
+        width=W, height=H, renderer_type="deferred", shadow_map_size=4096,
+        raster_backend="pallas", has_masked_models=False,
+        combined_material=True,
+    )
+    params = synthetic_frame_params(data, W, H)
+    state = FrameState.initial(W, H)
+    opaque, _ = common.tri_draw_masks(scene, params.model_visible)
+    opaque = jax.block_until_ready(opaque)
+
+    if on("frame"):
+        def full(sc, p, st):
+            out, st2 = deferred_frame(sc, p, st, settings)
+            return out["color"], st2.exposure_ev
+        timed_scan(full, scene, params, state, label="FULL deferred frame (4096 shadow)")
+
+    if on("vertex"):
+        timed_scan(
+            lambda sc, vp: common.vertex_stage(sc, vp, W, H),
+            scene, params.view_proj, label="vertex stage",
+        )
+
+    from unclerenderer_tpu.ops.raster import (
+        CULL_BACK, compact_setup, triangle_setup_expanded,
+    )
+
+    def setup_fn(sc, vp):
+        clip, pix_h = common.vertex_stage(sc, vp, W, H)
+        return triangle_setup_expanded(pix_h, clip[:, 2], opaque, CULL_BACK, W, H), pix_h
+
+    if on("setup"):
+        timed_scan(lambda sc, vp: setup_fn(sc, vp)[0], scene, params.view_proj,
+                   label="vertex + triangle setup")
+        cap = common.compaction_cap(settings, t_count)
+        print(f"  compaction cap = {cap}", flush=True)
+        if cap:
+            timed_scan(
+                lambda sc, vp: compact_setup(setup_fn(sc, vp)[0], cap)[:2],
+                scene, params.view_proj, label="vertex + setup + compact",
+            )
+            s0, _ = jax.jit(setup_fn)(scene, params.view_proj)
+            n_valid = int(jnp.sum(s0.valid))
+            _, _, ovf = jax.jit(lambda s: compact_setup(s, cap))(s0)
+            print(f"  valid tris this view = {n_valid}  overflow = {int(ovf)}",
+                  flush=True)
+
+    if on("raster"):
+        def raster_full(sc, vp):
+            clip, pix_h = common.vertex_stage(sc, vp, W, H)
+            d, t, st, _a, _c = common.raster_opaque(sc, clip, pix_h, opaque, settings)
+            return d, t
+        timed_scan(raster_full, scene, params.view_proj,
+                   label="vertex+setup+compact+binned raster")
+
+    if on("resolve"):
+        def raster_ids(sc, vp):
+            clip, pix_h = common.vertex_stage(sc, vp, W, H)
+            d, t, st, _a, cids = common.raster_opaque(sc, clip, pix_h, opaque, settings)
+            return pix_h, t, cids
+        pix_h0, tid0, cids0 = jax.jit(raster_ids)(scene, params.view_proj)
+        pix_h0, tid0 = jax.block_until_ready((pix_h0, tid0))
+
+        def resolve(sc, ph, t, ci):
+            g = common.resolve_materials(sc, ph, t, settings, compact_ids=ci)
+            return g["albedo"], g["normal"], g["world_pos"]
+        timed_scan(resolve, scene, pix_h0, tid0, cids0, label="material resolve (compact)")
+
+        def resolve_nc(sc, ph, t):
+            g = common.resolve_materials(sc, ph, t, settings)
+            return g["albedo"], g["normal"], g["world_pos"]
+        # global-id resolve for comparison (same tri image still works: ids
+        # are compact but the gather cost is what we time)
+        timed_scan(resolve_nc, scene, pix_h0, tid0, label="material resolve (global table)")
+
+    if on("shadow"):
+        timed_scan(
+            lambda sc, l: common.raster_shadow(sc, l, opaque, settings),
+            scene, params.light_view_proj, label="shadow raster 4096",
+        )
+
+    if on("light"):
+        # isolate lighting+post: run the frame with a precomputed shadow map
+        shadow = jax.block_until_ready(jax.jit(
+            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)
+        )(scene, params.light_view_proj))
+
+        def frame_cached_shadow(sc, p, st):
+            out, st2 = deferred_frame(sc, p, st, settings, shadow_map=shadow)
+            return out["color"], st2.exposure_ev
+        timed_scan(frame_cached_shadow, scene, params, state,
+                   label="frame minus shadow raster (cached map)")
+
+
+if __name__ == "__main__":
+    main()
