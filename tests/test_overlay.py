@@ -170,3 +170,35 @@ def test_viewer_settings_panel_scripted(tmp_path, monkeypatch):
     assert not r.settings.enable_tonemap          # '5' flipped tonemap
     assert r.settings.texture_filter == "trilinear"  # '9' cycled the filter
     assert r.selected_object_id == 0              # 'v' cleared the pick
+
+
+def test_ttf_bake_and_draw():
+    """Native TTF bake (native/ttf.cpp): a system DejaVu .ttf bakes into a
+    512^2 coverage atlas with sane per-glyph metrics, and draw_text_ttf
+    composites antialiased text.  Skips when the native lib or font is
+    absent (the 5x7 fallback covers that path)."""
+    import pytest
+
+    from unclerenderer_tpu.core.fontbake import CHAR_COUNT, bake_font, draw_text_ttf
+
+    font = bake_font(18.0)
+    if font is None:
+        pytest.skip("native ttf_bake or system .ttf unavailable")
+    assert font.atlas.shape == (512, 512)
+    assert (font.atlas > 0).sum() > 2000
+    inked = font.glyphs[:, 5] > 0
+    assert inked.sum() > 80  # nearly all of ASCII 32..127 has ink
+    # 'M' (code 77) has a sensible advance and size at 18 px
+    g = font.glyphs[77 - 32]
+    assert 4 < g[8] < 20 and 4 < g[4] < 20 and 6 < g[5] < 20
+    # antialiasing: coverage has intermediate values, not just 0/255
+    vals = np.unique(font.atlas)
+    assert len(vals) > 10
+
+    img = np.zeros((32, 256, 3), np.float32)
+    draw_text_ttf(img, 2, 2, "Hello jgq 0123!?", font)
+    assert (img.max(-1) > 0.1).sum() > 200
+    # lowercase is distinct from uppercase (the 5x7 font can't do this)
+    img2 = np.zeros((32, 256, 3), np.float32)
+    draw_text_ttf(img2, 2, 2, "HELLO JGQ 0123!?", font)
+    assert (np.abs(img - img2).max(-1) > 0.1).sum() > 50

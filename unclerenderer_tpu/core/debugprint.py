@@ -69,7 +69,17 @@ for ch, rows in {
 
 
 def draw_text(image: np.ndarray, x: int, y: int, text: str, color=(1.0, 1.0, 0.2), scale: int = 2) -> np.ndarray:
-    """Rasterize text onto an (H, W, 3) float image (in place; returns it)."""
+    """Rasterize text onto an (H, W, 3) float image (in place; returns it).
+
+    Prefers the antialiased TTF atlas baked by the native ttf_bake
+    (core/fontbake.py -- the reference's stb_truetype DebugPrintFont analog,
+    ``DebugPrintFont.cpp:37-93``); falls back to the built-in 5x7 bitmap
+    font when the native library or a system .ttf is unavailable."""
+    from .fontbake import bake_font, draw_text_ttf
+
+    font = bake_font(pixel_height=9.0 * scale)
+    if font is not None:
+        return draw_text_ttf(image, x, y, text, font, color=color)
     h, w = image.shape[:2]
     col = np.asarray(color, image.dtype)
     cx = x
