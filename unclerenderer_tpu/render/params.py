@@ -71,9 +71,11 @@ class RenderSettings:
     # per-pixel resolve record table stays under the TPU gather cliff
     # (~96k f32 / ~192k 16-bit rows).  -1 auto: off when the scene is
     # already under the cliff (T <= 94208) or has masked models (the
-    # masked merge needs one id space); else 163840.  0 = off.  Overflow
-    # (valid triangles beyond the cap, dropped) is counted in
-    # raster stats "compact_overflow" -- raise the cap when nonzero.
+    # masked merge needs one id space); else cap = 94208 (the largest
+    # measured fast f32 gather table).  0 = off.  Overflow (valid
+    # triangles beyond the cap, dropped) is counted in raster stats
+    # "compact_overflow" -- set the cap to 163840 (16-bit split-gather
+    # range, resolve falls back automatically) if it ever fires.
     compact_cap: int = -1
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
