@@ -223,12 +223,30 @@ def main() -> int:
 
         t0 = time.monotonic()
         renderer = Renderer(scene_json, settings=settings)
-        pica_ms, pica_setup = _measure(renderer.render_frame)
+
+        def orbit(r, i):
+            # ~0.2 deg/frame orbit, like the synthetic tier -- per-frame
+            # camera motion so no work can hoist out of the chained scan
+            import numpy as np
+
+            a = 0.0035 * r._frame_counter
+            c = np.asarray(r.scene_data.scene_center)
+            rad = 2.5 * float(r.scene_data.scene_radius)
+            r.camera.position = (
+                c[0] + rad * np.sin(a), c[1] + 0.4 * rad, c[2] - rad * np.cos(a)
+            )
+            r.camera.set_look_at(c)
+
+        def render_chain():
+            colors = renderer.render_frames(FRAMES, mutate=orbit)
+            return {"color": colors.mean(axis=(1, 2, 3))}
+
+        t_build = time.monotonic() - t0
+        pica_chunk_ms, pica_compile_s = _measure(render_chain, frames=1)
+        pica_ms = pica_chunk_ms / FRAMES
         extra.update(
             pica_pica_ms=round(pica_ms, 2),
-            pica_pica_setup_s=round(
-                time.monotonic() - t0 - pica_ms * FRAMES / 1e3, 1
-            ),
+            pica_pica_setup_s=round(t_build + pica_compile_s, 1),
         )
 
     print(

@@ -390,3 +390,37 @@ def test_interactive_viewer_scripted(tmp_path, monkeypatch):
     assert frames == 3
     assert shot.is_file() and shot.stat().st_size > 100
     assert not np.allclose(r.camera.position, pos0)  # the camera moved
+
+
+def test_render_frames_chain_matches_sequential(reference_assets):
+    """render_frames (lax.scan device chain, the relay-amortization path)
+    reproduces N sequential render_frame calls: same per-frame params
+    (incl. TAA jitter schedule), same carried state -> matching colors and
+    final exposure."""
+    def mk():
+        s = RenderSettings(renderer_type="deferred", enable_ibl=False, **SMALL)
+        return Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
+
+    def orbit(r, i):
+        # small per-frame camera motion so no two frames are identical
+        p = np.asarray(r.camera.position)
+        r.camera.position = (p[0] + 0.01, p[1], p[2])
+
+    r_seq = mk()
+    seq = []
+    for i in range(3):
+        orbit(r_seq, i)
+        seq.append(np.asarray(r_seq.render_frame()["color"]))
+
+    r_chain = mk()
+    colors = np.asarray(r_chain.render_frames(3, mutate=orbit))
+    assert colors.shape == (3, 64, 64, 3)
+    for i in range(3):
+        np.testing.assert_allclose(colors[i], seq[i], atol=1e-5,
+                                   err_msg=f"frame {i}")
+    assert float(r_chain.frame_state.exposure_ev) == pytest.approx(
+        float(r_seq.frame_state.exposure_ev), abs=1e-4
+    )
+    # stats() still works after a chain (re-renders the current view)
+    stats = r_chain.stats()
+    assert stats["triangles_total"] > 0

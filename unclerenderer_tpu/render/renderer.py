@@ -353,6 +353,7 @@ class Renderer:
         self._shadow_cache = None
         self._shadow_key = None
         self._shadow_fn = None
+        self._frames_fn = None
         self._last_out = None
         self.selected_object_id = 0
         self.selected_name = ""
@@ -514,6 +515,68 @@ class Renderer:
             jax.block_until_ready(out["color"])
             self._frame_times.add_sample("Frame", (time.monotonic() - t0) * 1e3)
         return out
+
+    def render_frames(self, n: int, delta_time: float = 1.0 / 60.0,
+                      mutate=None) -> "jnp.ndarray":
+        """Render ``n`` frames in ONE device dispatch: ``lax.scan`` over
+        host-prebuilt per-frame params with the frame state carried
+        device-side.  This is the throughput path -- through a relayed
+        backend every ``render_frame`` call pays a fixed dispatch round
+        trip (~28 ms measured, BENCHLOG), which a chain amortizes to
+        1/n per frame; it is also the analog of the reference's
+        frames-in-flight pipelining (``Application.cpp:569-573``).
+
+        ``mutate(renderer, i)`` may move the camera per frame (the light and
+        visibility stay fixed for the chain -- the shadow map is rendered
+        once like the cached single-frame path).  Returns the stacked
+        (n, H, W, 3) color array; frame state (TAA/exposure/HZB) advances
+        through all n frames.
+        """
+        import functools
+
+        from .deferred import deferred_frame
+
+        assert n >= 1
+        params_list = []
+        for i in range(n):
+            if mutate is not None:
+                mutate(self, i)
+            params_list.append(self.frame_params(delta_time))
+            self._frame_counter += 1
+            if (self.settings.renderer_type == "deferred"
+                    and self.settings.enable_taa):
+                self._taa_history_ready = True
+        params_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params_list
+        )
+        shadow_map = self._shadow_map(params_list[0])
+
+        if self._frames_fn is None:
+            settings = self.settings
+
+            @functools.partial(jax.jit, static_argnames=("deferred",))
+            def frames_fn(scene, pstack, state, shadow, deferred=True):
+                if deferred:
+                    def body(st, p):
+                        out, st2 = deferred_frame(scene, p, st, settings, shadow)
+                        return st2, out["color"]
+                    st, colors = jax.lax.scan(body, state, pstack)
+                    return colors, st
+                def body_fwd(st, p):
+                    out = forward_frame(scene, p, settings, shadow)
+                    return st, out["color"]
+                _, colors = jax.lax.scan(body_fwd, 0.0, pstack)
+                return colors, state
+
+            self._frames_fn = frames_fn
+        colors, self.frame_state = self._frames_fn(
+            self.device_scene, params_stack, self.frame_state, shadow_map,
+            deferred=self.settings.renderer_type == "deferred",
+        )
+        # per-frame outputs beyond color are not materialized on the chain
+        # path; stats()/pick() re-render the current view on demand
+        self._last_out = None
+        return colors
 
     def _latest_out(self) -> dict:
         """The most recently rendered frame's outputs; renders one frame only
