@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--output", default="out.png")
     ap.add_argument("--renderer", choices=["forward", "deferred"], default=None)
     ap.add_argument("--frames", type=int, default=1, help="render N frames (timing)")
+    ap.add_argument(
+        "--orbit", type=int, default=0, metavar="N",
+        help="render an N-frame camera orbit around the scene in ONE device "
+             "dispatch (Renderer.render_frames) and write out_000.png..; "
+             "also prints the chained ms/frame",
+    )
     ap.add_argument("--no-shadows", action="store_true")
     ap.add_argument("--shadow-size", type=int, default=4096)
     ap.add_argument("--no-sky", action="store_true")
@@ -80,6 +86,31 @@ def main(argv=None) -> int:
 
         frames = run_viewer(renderer, save_path=args.output)
         log_info(f"viewer exited after {frames} frames")
+        return 0
+
+    if args.orbit > 0:
+        c = np.asarray(renderer.scene_data.scene_center)
+        rad = 2.5 * float(renderer.scene_data.scene_radius)
+
+        def orbit(r, i):
+            a = 2.0 * np.pi * r._frame_counter / max(args.orbit, 1)
+            r.camera.position = (
+                c[0] + rad * np.sin(a), c[1] + 0.4 * rad, c[2] - rad * np.cos(a)
+            )
+            r.camera.set_look_at(c)
+
+        t0 = time.monotonic()
+        colors = np.asarray(renderer.render_frames(args.orbit, mutate=orbit))
+        total = time.monotonic() - t0
+        stem = Path(args.output)
+        for i, frame in enumerate(colors):
+            u8 = np.clip(np.rint(frame * 255.0), 0, 255).astype(np.uint8)
+            save_png(stem.with_name(f"{stem.stem}_{i:03d}{stem.suffix}"), u8)
+        log_info(
+            f"orbit: {args.orbit} frames in one dispatch, "
+            f"{total / args.orbit * 1e3:.2f} ms/frame incl. compile; "
+            f"wrote {stem.stem}_000{stem.suffix}..{stem.stem}_{args.orbit - 1:03d}{stem.suffix}"
+        )
         return 0
 
     t0 = time.monotonic()
