@@ -71,6 +71,8 @@ struct Font {
     if (cmap < 0 || glyf < 0 || loca < 0 || head < 0 || hhea < 0 || hmtx < 0 ||
         maxp < 0)
       return false;
+    if (!r.ok(head, 52) || !r.ok(hhea, 36) || !r.ok(maxp, 6) || !r.ok(cmap, 4))
+      return false;
     units_per_em = r.u16(head + 18);
     loca_long = r.s16(head + 50) != 0;
     num_glyphs = r.u16(maxp + 4);
@@ -100,7 +102,10 @@ struct Font {
 
   int glyph_index(int code) const {
     const int64_t s = cmap_sub;
+    if (!r.ok(s, 8)) return 0;
     int seg2 = r.u16(s + 6);
+    // endCode[seg2/2] + reserved + startCode + idDelta + idRangeOffset
+    if (!r.ok(s + 14, 4 * (int64_t)seg2 + 2)) return 0;
     int64_t end_codes = s + 14;
     int64_t start_codes = end_codes + seg2 + 2;
     int64_t deltas = start_codes + seg2;
@@ -123,6 +128,9 @@ struct Font {
 
   bool glyph_range(int gid, int64_t* off, int64_t* glen) const {
     if (gid < 0 || gid >= num_glyphs) return false;
+    if (!r.ok(loca + (loca_long ? 4 : 2) * (int64_t)(gid + 1),
+              loca_long ? 4 : 2))
+      return false;
     int64_t a, b;
     if (loca_long) {
       a = r.u32(loca + 4 * (int64_t)gid);
@@ -139,6 +147,7 @@ struct Font {
 
   int advance(int gid) const {
     int i = gid < num_hmetrics ? gid : num_hmetrics - 1;
+    if (i < 0 || !r.ok(hmtx + 4 * (int64_t)i, 2)) return 0;
     return r.u16(hmtx + 4 * (int64_t)i);
   }
 
@@ -150,15 +159,18 @@ struct Font {
     int64_t off, glen;
     if (!glyph_range(gid, &off, &glen)) return false;
     if (glen == 0) return true;  // empty glyph (space)
+    if (glen < 10) return false;
     int ncont = r.s16(off);
     if (ncont >= 0) {
       int64_t p = off + 10;
+      if (!r.ok(p, 2 * (int64_t)ncont + 2)) return false;
       std::vector<int> ends(ncont);
       for (int i = 0; i < ncont; ++i) ends[i] = r.u16(p + 2 * i);
       p += 2 * ncont;
       int npts = ncont ? ends[ncont - 1] + 1 : 0;
       int ilen = r.u16(p);
       p += 2 + ilen;
+      if (!r.ok(p, 0)) return false;
       // flags
       std::vector<uint8_t> flags;
       flags.reserve(npts);
@@ -236,13 +248,16 @@ struct Font {
       }
       float a = 1, b = 0, c = 0, d = 1;
       if (flags & 8) {  // single scale (F2Dot14)
+        if (!r.ok(p, 2)) return false;
         a = d = r.s16(p) / 16384.0f;
         p += 2;
       } else if (flags & 0x40) {  // x & y scale
+        if (!r.ok(p, 4)) return false;
         a = r.s16(p) / 16384.0f;
         d = r.s16(p + 2) / 16384.0f;
         p += 4;
       } else if (flags & 0x80) {  // 2x2
+        if (!r.ok(p, 8)) return false;
         a = r.s16(p) / 16384.0f;
         b = r.s16(p + 2) / 16384.0f;
         c = r.s16(p + 4) / 16384.0f;

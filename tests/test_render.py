@@ -424,3 +424,25 @@ def test_render_frames_chain_matches_sequential(reference_assets):
     # stats() still works after a chain (re-renders the current view)
     stats = r_chain.stats()
     assert stats["triangles_total"] > 0
+
+
+def test_update_settings_resolution_and_chain_invalidation(reference_assets):
+    """update_settings must rebuild resolution-shaped frame state on a
+    width/height change and invalidate the cached chained-frames fn (which
+    closes over settings) -- both previously stale (code-review r3)."""
+    s = RenderSettings(renderer_type="deferred", enable_ibl=False, **SMALL)
+    r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
+    r.render_frame()
+    c1 = np.asarray(r.render_frames(2))
+    assert c1.shape == (2, 64, 64, 3)
+
+    # settings change invalidates the chain fn: next chain uses new settings
+    r.update_settings(enable_tonemap=not r.settings.enable_tonemap)
+    assert r._frames_fn is None
+    c2 = np.asarray(r.render_frames(2))
+    assert (np.abs(c2[0] - c1[0]) > 1e-4).any()  # tonemap toggle visible
+
+    # resolution change rebuilds TAA/HZB state shapes; next frame renders
+    r.update_settings(width=32, height=32)
+    out = r.render_frame()
+    assert np.asarray(out["color"]).shape == (32, 32, 3)

@@ -51,6 +51,9 @@ def bake_font(
     from ..textures.native import get_native
 
     lib = get_native()
+    # a stale prebuilt .so may predate ttf_bake -- fall back to the 5x7 font
+    if lib is not None and not hasattr(lib, "ttf_bake"):
+        lib = None
     result = None
     if lib is not None:
         paths = [font_path] if font_path else _FONT_CANDIDATES
@@ -61,7 +64,7 @@ def bake_font(
             data = np.frombuffer(p.read_bytes(), np.uint8)
             atlas = np.zeros((atlas_size, atlas_size), np.uint8)
             glyphs = np.zeros((CHAR_COUNT, 9), np.float32)
-            if not hasattr(lib, "_ttf_configured"):
+            if not getattr(lib, "_ttf_configured", False):
                 lib.ttf_bake.restype = ctypes.c_int
                 lib.ttf_bake.argtypes = [
                     ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,

@@ -65,13 +65,17 @@ def _use_pallas(settings: RenderSettings) -> bool:
 def compaction_cap(settings: RenderSettings, t_count: int) -> int:
     """Static frame-visible compaction cap (ops/raster.py compact_setup).
 
-    0 = no compaction.  Auto keeps it off when the resolve record table is
-    already under the ~96k-row gather fast path, or when the scene has
-    alpha-masked models (the masked merge and opaque raster must share one
-    id space; extendable later by compacting the union)."""
+    0 = no compaction.  Compaction is ALWAYS off for scenes with
+    alpha-masked models -- the masked merge writes global tri ids into the
+    same image, so the opaque raster must stay in global id space too
+    (extendable later by compacting the union).  Auto (-1) additionally
+    keeps it off when the resolve record table is already under the
+    ~96k-row gather fast path."""
+    if settings.has_masked_models:
+        return 0
     cap = settings.compact_cap
     if cap == -1:
-        if settings.has_masked_models or t_count <= 94208:
+        if t_count <= 94208:
             return 0
         # 94208 is the largest measured f32 fast-gather table (one plain
         # f32 record gather, ~7 ms/2M); the sub-center cull keeps the
@@ -733,20 +737,27 @@ def _rasterize_alpha_binned(
     return depth, tri
 
 
-def build_resolve_records(scene: DeviceScene, pix_h: jnp.ndarray) -> jnp.ndarray:
+def build_resolve_records(
+    scene: DeviceScene, pix_h: jnp.ndarray, ids: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """The (T, 128) per-triangle resolve record:
     [9 pix_h | 48 tri_geo | 64 tri_mrec | 7 pad] (render/packing.py).
-    Shared by the per-pixel-gather resolve and the fused-emission path."""
+    Shared by the per-pixel-gather resolve and the fused-emission path.
+
+    ``ids`` (the compact->global map from compact_setup) builds the record
+    table for just those rows -- component-wise gathers BEFORE the concat,
+    so no full-size (T, 128) intermediate ever materializes."""
     t_count = scene.tri_geo.shape[0]
-    return jnp.concatenate(
-        [
-            pix_h.reshape(t_count, 9),
-            scene.tri_geo,
-            scene.tri_mrec,
-            jnp.zeros((t_count, 7), jnp.float32),
-        ],
-        axis=1,
-    )
+    parts = [
+        pix_h.reshape(t_count, 9),
+        scene.tri_geo,
+        scene.tri_mrec,
+    ]
+    if ids is not None:
+        parts = [p[ids] for p in parts]
+    rows = parts[0].shape[0]
+    parts.append(jnp.zeros((rows, 7), jnp.float32))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _gather_rows_split16(rec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -806,15 +817,7 @@ def resolve_materials(
         # shrinks to the frame-visible cap, keeping the per-pixel gather on
         # the TPU fast path (f32 under ~96k rows; 16-bit split under ~192k)
         cap = compact_ids.shape[0]
-        rec = jnp.concatenate(
-            [
-                pix_h.reshape(t_count, 9)[compact_ids],
-                scene.tri_geo[compact_ids],
-                scene.tri_mrec[compact_ids],
-                jnp.zeros((cap, 7), jnp.float32),
-            ],
-            axis=1,
-        )
+        rec = build_resolve_records(scene, pix_h, ids=compact_ids)
         safe_id = jnp.maximum(tri_id, 0)
         if cap > 94208:
             full = _gather_rows_split16(rec, safe_id)

@@ -607,15 +607,22 @@ class Renderer:
         new = dataclasses.replace(self.settings, **changes)
         if new == self.settings:
             return
+        old = self.settings
         self.settings = new
-        # the cached shadow fn/map close over settings
+        # the cached shadow fn/map and the chained-frames fn close over
+        # settings
         self._shadow_cache = None
         self._shadow_key = None
         self._shadow_fn = None
+        self._frames_fn = None
         self._taa_history_ready = False
-        self.frame_state = dataclasses.replace(
-            self.frame_state, taa_valid=jnp.array(False)
-        )
+        if (new.width, new.height) != (old.width, old.height):
+            # frame-carried state (TAA history, HZB) is resolution-shaped
+            self.frame_state = FrameState.initial(new.width, new.height)
+        else:
+            self.frame_state = dataclasses.replace(
+                self.frame_state, taa_valid=jnp.array(False)
+            )
         log_info(f"settings updated: {changes} (frame will retrace)")
 
     def pick(self, x: int, y: int) -> tuple[int, str]:

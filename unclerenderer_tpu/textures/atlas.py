@@ -183,23 +183,40 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
     data = np.zeros((height, width, 4 * channels), dtype)
     c = channels
 
+    # Mip rectangles, computed once: offset 2*(w0 - w_lv) plus one extra
+    # column per tail level whose width already saturated at 1 (tall
+    # textures).  Must match ops/texture.py _pyramid_rect exactly -- the
+    # occupancy check below is the build-time guard on that contract (it
+    # replaced the old all-zeros data scan when the fill went parallel).
+    mip_rects = {}
+    occupancy = np.zeros((height, width), np.uint8)
+    for t, chain in enumerate(texture_mips):
+        x0, y0 = places[t]
+        h0, w0 = chain[0].shape[:2]
+        lw0 = int(np.log2(w0))
+        rects = []
+        for lv, img in enumerate(chain):
+            xl = x0 + 2 * (w0 - max(w0 >> lv, 1)) + max(lv - lw0, 0)
+            h, w = img.shape[:2]
+            rects.append((xl, y0, w, h))
+            occupancy[y0 : y0 + h, xl : xl + w] += 1
+        mip_rects[t] = rects
+    assert occupancy.max() <= 1, "pyramid atlas mip rectangles overlap"
+    del occupancy
+
     def _fill_texture(t: int) -> None:
-        # Each texture writes a disjoint atlas region, so textures fuse in
-        # parallel on the task pool.  The quad's +x/+y/+xy shifted copies are
-        # written as two strided slice assignments each (wrap duplicates the
-        # first row/column, clamp the last) -- no np.roll/concatenate
-        # temporaries, and the only dtype conversion is the final store.
+        # Each texture writes a disjoint atlas region (guarded above), so
+        # textures fuse in parallel on the task pool.  The quad's +x/+y/+xy
+        # shifted copies are written as two strided slice assignments each
+        # (wrap duplicates the first row/column, clamp the last) -- no
+        # np.roll/concatenate temporaries, and the only dtype conversion is
+        # the final store.
         chain = texture_mips[t]
         x0, y0 = places[t]
         h0, w0 = chain[0].shape[:2]
         rect0[t] = (x0, y0, w0, h0)
-        lw0 = int(np.log2(w0))
         for lv, img in enumerate(chain):
-            # Mip offset: 2*(w0 - w_lv) plus one extra column per tail level
-            # whose width already saturated at 1 (tall textures).  Must match
-            # ops/texture.py _pyramid_rect exactly.
-            xl = x0 + 2 * (w0 - max(w0 >> lv, 1)) + max(lv - lw0, 0)
-            h, w = img.shape[:2]
+            xl, _, w, h = mip_rects[t][lv]
             dst = data[y0 : y0 + h, xl : xl + w]
             ex = 0 if wraps[t] else w - 1  # wrap -> col 0, clamp -> last col
             ey = 0 if wraps[t] else h - 1

@@ -42,8 +42,10 @@ def get_native():
     if _lib_checked:
         return _lib
     _lib_checked = True
-    if not _LIB_PATH.is_file():
-        _try_build()
+    # make is a ~50ms no-op when the .so is fresh, and rebuilds it when a
+    # source file is newer (e.g. a checkout carrying a stale prebuilt lib
+    # that predates newly added entry points)
+    _try_build()
     if not _LIB_PATH.is_file():
         log_warning("native library not built; using pure-Python asset decoders")
         return None

@@ -196,7 +196,10 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
                         **{field: not getattr(renderer.settings, field)}
                     )
                 elif k == "9":
-                    cur = filters.index(renderer.settings.texture_filter)
+                    cur = (
+                        filters.index(renderer.settings.texture_filter)
+                        if renderer.settings.texture_filter in filters else -1
+                    )
                     renderer.update_settings(
                         texture_filter=filters[(cur + 1) % len(filters)]
                     )
