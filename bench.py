@@ -169,8 +169,45 @@ def _pallas_parity_gate():
     return ok
 
 
+def _probe_backend(timeout_s: float = 240.0):
+    """Bounded backend probe in a subprocess.  When the axon TPU relay is
+    unreachable, backend init *blocks forever* instead of raising (the
+    platform is pre-registered by sitecustomize), which would hang the whole
+    bench.  Returns the backend name, or None if init hung/failed."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    lines = [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+    return lines[-1] if lines else None
+
+
 def main() -> int:
     import dataclasses
+
+    backend = _probe_backend()
+    if backend is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "sponza_class_263k_1080p_deferred_full_pipeline_ms_per_frame",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": "tpu_relay_unreachable (backend init hung; no device to measure)",
+                }
+            )
+        )
+        return 1
 
     import jax
 
