@@ -43,3 +43,27 @@ def test_ops_layer_has_no_render_imports():
         if "..render" in text or "from unclerenderer_tpu.render" in text:
             offenders.append(f.name)
     assert not offenders, f"ops modules import render layer: {offenders}"
+
+
+def test_package_import_initializes_no_backend():
+    """Importing the whole package (CLI entry chain) must not create a JAX
+    backend: a module-level device array triggers backend init at import
+    time, which blocks forever when the TPU relay platform is registered but
+    unreachable (the CLI would hang before parsing arguments).  Regression:
+    ops/post.py LUM_WEIGHTS used to be a module-level jnp.array."""
+    code = (
+        "import unclerenderer_tpu.app, unclerenderer_tpu.viewer, "
+        "unclerenderer_tpu.parallel.multichip\n"
+        "from jax._src import xla_bridge as xb\n"
+        "assert not xb._backends, f'backends initialized: {list(xb._backends)}'\n"
+        "print('no-backend-ok')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "no-backend-ok" in proc.stdout

@@ -220,3 +220,71 @@ def test_anisotropic_lod_sharper_at_grazing():
         np.testing.assert_allclose(
             np.asarray(extent)[2, 2], 1.0 - 1.0 / min(n, 16), atol=1e-4
         )
+
+
+def test_cube_pyramid_tri_matches_two_gather():
+    """The packed-trilinear env atlas (one 64-lane gather,
+    textures/atlas.py build_pyramid_tri_atlas + ops/texture.py
+    sample_cube_pyramid_tri) must be BIT-EXACT vs the two-gather quad-atlas
+    path for the same bf16-stored chains: random directions plus face
+    centers/edges/corners, lods covering integer, fractional, 0, lmax and
+    past-the-end clamping."""
+    from unclerenderer_tpu.textures.atlas import build_pyramid_tri_atlas
+
+    try:
+        from ml_dtypes import bfloat16 as np_bf16
+    except ImportError:  # pragma: no cover
+        np_bf16 = np.float32
+
+    rng = np.random.default_rng(23)
+    chains = [
+        generate_mips(rng.random((16, 16, 4), np.float32)) for _ in range(6)
+    ]
+    quad, rq = build_pyramid_quad_atlas(chains, wrap=False, dtype=np_bf16)
+    tri, rt = build_pyramid_tri_atlas(chains, dtype=np_bf16)
+    np.testing.assert_array_equal(rq, rt)
+
+    n = 512
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    # exact face centers, edges and corners exercise the CLAMP paths
+    specials = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1],
+         [1, 1, 0], [1, -1, 0], [1, 0, 1], [-1, 1, 1], [1, 1, 1], [-1, -1, -1],
+         [1, 0.999, 0.999], [1, -0.999, 0.999]],
+        np.float32,
+    )
+    dirs = jnp.asarray(np.concatenate([dirs, specials]))
+    m = dirs.shape[0]
+    lods = jnp.asarray(
+        np.concatenate([
+            rng.uniform(0.0, 4.0, m - 8).astype(np.float32),
+            np.array([0.0, 1.0, 2.0, 3.0, 4.0, 3.5, 7.0, -1.0], np.float32),
+        ])
+    )
+    ref = tex.sample_cube_pyramid(
+        jnp.asarray(quad.astype(np.float32)).reshape(-1, 16), quad.shape[1],
+        jnp.asarray(rq, jnp.float32), dirs, lods,
+    )
+    got = tex.sample_cube_pyramid_tri(
+        jnp.asarray(tri.astype(np.float32)).reshape(-1, 64), tri.shape[1],
+        jnp.asarray(rt, jnp.float32), dirs, lods,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_cube_pyramid_tri_flat_env():
+    """The 1x1-chain degenerate case (flat fallback env, testing.py) returns
+    the constant at every lod."""
+    from unclerenderer_tpu.textures.atlas import build_pyramid_tri_atlas
+
+    chains = [[np.full((1, 1, 4), 0.1, np.float32)] for _ in range(6)]
+    tri, rt = build_pyramid_tri_atlas(chains)
+    dirs = jnp.asarray(np.random.default_rng(5).normal(size=(32, 3)).astype(np.float32))
+    lods = jnp.asarray(np.linspace(0.0, 3.0, 32, dtype=np.float32))
+    out = np.asarray(
+        tex.sample_cube_pyramid_tri(
+            jnp.asarray(tri).reshape(-1, 64), tri.shape[1],
+            jnp.asarray(rt, jnp.float32), dirs, lods,
+        )
+    )
+    np.testing.assert_allclose(out, 0.1, atol=1e-6)

@@ -58,6 +58,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     set_log_level(args.log_level)
+    from .core.jaxcache import pin_platform_from_env
+
+    pin_platform_from_env()
     cfg = load_config(args.config)
     if args.renderer:
         cfg.renderer_type = args.renderer

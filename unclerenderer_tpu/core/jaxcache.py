@@ -15,6 +15,20 @@ import os
 _enabled = False
 
 
+def pin_platform_from_env() -> None:
+    """Honor ``JAX_PLATFORMS`` at the config level too.
+
+    With only the env var, a pre-registered experimental platform (the axon
+    TPU relay) can still attempt backend init -- and *block forever* when the
+    relay is unreachable; ``jax.config.update("jax_platforms", ...)`` pins the
+    requested platform reliably.  No-op when the env var is unset."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Idempotently point JAX at an on-disk compilation cache."""
     global _enabled

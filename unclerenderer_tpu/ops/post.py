@@ -7,10 +7,13 @@ and ``Cas.hlsl`` as fused per-pixel jnp passes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.passes import named_pass
 
-LUM_WEIGHTS = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+# host-side constant: a module-level jnp.array would initialize the JAX
+# backend at import time (and block forever when the TPU relay is down)
+LUM_WEIGHTS = np.array([0.2126, 0.7152, 0.0722], np.float32)
 
 
 @named_pass("TemporalAA")

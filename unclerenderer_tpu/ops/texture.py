@@ -312,15 +312,96 @@ def sample_cube_pyramid(
     """Cubemap sampling over the pyramid atlas.  face_rect0: (6, 4) traced
     array; the per-pixel face select uses 6 static slices + where (no
     gather)."""
-    face, uv = cube_direction_to_face_uv(direction)
-    rect = jnp.zeros(face.shape + (4,), jnp.float32)
-    for f in range(6):
-        rect = jnp.where((face == f)[..., None], face_rect0[f].astype(jnp.float32), rect)
+    rect, uv = _cube_face_rect(face_rect0, direction)
     lod = jnp.maximum(lod, 0.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
     frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
     a = sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, l0, ADDRESS_CLAMP)
     b = sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, l0 + 1, ADDRESS_CLAMP)
+    return a * (1.0 - frac) + b * frac
+
+
+def _cube_face_rect(face_rect0, direction):
+    """Shared cube face select: direction -> (rect (..., 4) f32, uv)."""
+    face, uv = cube_direction_to_face_uv(direction)
+    rect = jnp.zeros(face.shape + (4,), jnp.float32)
+    for f in range(6):
+        rect = jnp.where(
+            (face == f)[..., None], face_rect0[f].astype(jnp.float32), rect
+        )
+    return rect, uv
+
+
+def sample_cube_pyramid_tri(
+    env_tri_flat: jnp.ndarray,
+    atlas_width: int,
+    face_rect0,
+    direction: jnp.ndarray,
+    lod: jnp.ndarray,
+) -> jnp.ndarray:
+    """Trilinear cubemap sample with ONE row gather (the packed-trilinear
+    atlas, textures/atlas.py build_pyramid_tri_atlas): lanes 0:16 of the
+    gathered row are the mip-L bilinear quad, lanes 16:52 the parent texel's
+    3x3 at mip L+1, from which the second tap's 2x2 footprint is a cheap
+    lane select (base index is always parent-1 or parent).  Bit-exact vs
+    ``sample_cube_pyramid`` on the two-gather quad atlas (same stored bf16
+    texels, same blend order); reference semantics: trilinear prefiltered
+    env fetch, ``DeferredLighting.hlsl:76-91``.
+
+    env_tri_flat: (H*W, 64); face_rect0: (6, 4); returns (..., 4) f32.
+    """
+    rect, uv = _cube_face_rect(face_rect0, direction)
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    # --- tap a: mip l0 (CLAMP addressing, identical to
+    # sample_pyramid_bilinear's ADDRESS_CLAMP path) ---
+    x, y, w, h = _pyramid_rect(rect, l0)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    tx = jnp.clip(uv[..., 0] * wf - 0.5, 0.0, wf - 1.0)
+    ty = jnp.clip(uv[..., 1] * hf - 0.5, 0.0, hf - 1.0)
+    fx0 = jnp.floor(tx)
+    fy0 = jnp.floor(ty)
+    fx = (tx - fx0)[..., None]
+    fy = (ty - fy0)[..., None]
+    ix = _wrap_index(fx0.astype(jnp.int32), w, ADDRESS_CLAMP)
+    iy = _wrap_index(fy0.astype(jnp.int32), h, ADDRESS_CLAMP)
+    row = jnp.take(
+        env_tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
+    ).astype(jnp.float32)
+    quad = row[..., 0:16]
+    top = quad[..., 0:4] * (1.0 - fx) + quad[..., 4:8] * fx
+    bot = quad[..., 8:12] * (1.0 - fx) + quad[..., 12:16] * fx
+    a = top * (1.0 - fy) + bot * fy
+
+    # --- tap b: mip l0+1, reconstructed from the packed parent 3x3 ---
+    _, _, w2, h2 = _pyramid_rect(rect, l0 + 1)
+    w2f = w2.astype(jnp.float32)
+    h2f = h2.astype(jnp.float32)
+    tx2 = jnp.clip(uv[..., 0] * w2f - 0.5, 0.0, w2f - 1.0)
+    ty2 = jnp.clip(uv[..., 1] * h2f - 0.5, 0.0, h2f - 1.0)
+    fx20 = jnp.floor(tx2)
+    fy20 = jnp.floor(ty2)
+    fx2 = (tx2 - fx20)[..., None]
+    fy2 = (ty2 - fy20)[..., None]
+    ix2 = _wrap_index(fx20.astype(jnp.int32), w2, ADDRESS_CLAMP)
+    iy2 = _wrap_index(fy20.astype(jnp.int32), h2, ADDRESS_CLAMP)
+    # 3x3 window column/row of the base corner: parent p = i>>1, base in
+    # {p-1, p} -> col = i2 - (p - 1) in {0, 1} (1 when clamped at the edge)
+    cox = (ix2 - (ix >> 1) + 1)[..., None]
+    roy = (iy2 - (iy >> 1) + 1)[..., None]
+    r3 = row[..., 16:52].reshape(row.shape[:-1] + (3, 3, 4))
+    win_t = jnp.where(cox[..., None] == 0, r3[..., 0, 0:2, :], r3[..., 0, 1:3, :])
+    win_m = jnp.where(cox[..., None] == 0, r3[..., 1, 0:2, :], r3[..., 1, 1:3, :])
+    win_b = jnp.where(cox[..., None] == 0, r3[..., 2, 0:2, :], r3[..., 2, 1:3, :])
+    row_top = jnp.where(roy[..., None] == 0, win_t, win_m)
+    row_bot = jnp.where(roy[..., None] == 0, win_m, win_b)
+    top2 = row_top[..., 0, :] * (1.0 - fx2) + row_top[..., 1, :] * fx2
+    bot2 = row_bot[..., 0, :] * (1.0 - fx2) + row_bot[..., 1, :] * fx2
+    b = top2 * (1.0 - fy2) + bot2 * fy2
+
     return a * (1.0 - frac) + b * frac
 
 
@@ -333,8 +414,5 @@ def sample_cube_pyramid_level(
 ) -> jnp.ndarray:
     """Single-tap cube sample at an integer mip (the reference's
     SampleLevel(maxMip) irradiance fetch)."""
-    face, uv = cube_direction_to_face_uv(direction)
-    rect = jnp.zeros(face.shape + (4,), jnp.float32)
-    for f in range(6):
-        rect = jnp.where((face == f)[..., None], face_rect0[f].astype(jnp.float32), rect)
+    rect, uv = _cube_face_rect(face_rect0, direction)
     return sample_pyramid_bilinear(env_quad_flat, atlas_width, rect, uv, level, ADDRESS_CLAMP)

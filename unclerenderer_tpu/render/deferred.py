@@ -194,7 +194,8 @@ def deferred_frame(
         env_w = scene.env_quad.shape[1]
 
         def env_sample(direction, lod):
-            return tex.sample_cube_pyramid(
+            # packed-trilinear atlas: both taps from one 64-lane row gather
+            return tex.sample_cube_pyramid_tri(
                 env_flat, env_w, scene.env_rect0, direction, lod
             )[..., :3]
 

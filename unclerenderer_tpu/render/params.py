@@ -193,7 +193,7 @@ class DeviceScene:
     # ops/texture.py sample_table_bilinear_matmul)
     brdf_lut: jnp.ndarray = None           # (TH, TW, 2) f32
     # environment cube pyramid quad atlas + per-face base rects
-    env_quad: jnp.ndarray = None           # (EH, EW, 16) f32
+    env_quad: jnp.ndarray = None           # (EH, EW, 64) bf16 packed-trilinear
     env_rect0: jnp.ndarray = None          # (6, 4) f32
     # last env mip per face (the irradiance tap), matmul-sampled like the LUT
     env_tail: jnp.ndarray = None           # (6, th, tw, 4) f32

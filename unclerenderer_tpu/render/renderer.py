@@ -22,7 +22,7 @@ from ..core.logging import log_info, log_warning
 from ..scene.build import SceneData, build_scene
 from ..scene.camera import Camera
 from ..scene.scene_json import SceneLightDesc, load_scene_json
-from ..textures.atlas import build_pyramid_quad_atlas
+from ..textures.atlas import build_pyramid_quad_atlas, build_pyramid_tri_atlas
 
 import ml_dtypes
 
@@ -102,14 +102,14 @@ def _build_device_scene(
         face_chains = []
         for face in range(6):
             face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
-        env_img, env_rect0 = build_pyramid_quad_atlas(
-            face_chains, wrap=False, dtype=_BF16
-        )
+        # packed-trilinear atlas: one 64-lane row gather serves both
+        # trilinear taps (bf16 64-wide gathers cost the same as 16-wide)
+        env_img, env_rect0 = build_pyramid_tri_atlas(face_chains, dtype=_BF16)
         env_tail = np.stack([chain[-1][..., :4] for chain in face_chains])
     else:
         if env_dds is None:
             log_warning(f"environment cube not found at {env_path}; IBL will be flat")
-        env_img = np.full((8, 128, 16), 0.1, np.float32)
+        env_img = np.full((8, 128, 64), 0.1, np.float32)
         env_rect0 = np.zeros((6, 4), np.int32)
         env_rect0[:, 2:] = 1
         env_tail = np.full((6, 1, 1, 4), 0.1, np.float32)

@@ -238,3 +238,65 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
         f"({data.nbytes / 1e6:.1f} MB {np.dtype(dtype).name})"
     )
     return data, rect0
+
+
+def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
+                            dtype=np.float32):
+    """Packed-trilinear pyramid atlas for environment cube chains.
+
+    Each texel row carries BOTH taps of a trilinear sample:
+      lanes  0:16 -- the texel's own 2x2 bilinear quad at its mip (CLAMP,
+                     corner order TL,TR,BL,BR like the quad atlas),
+      lanes 16:52 -- the 3x3 neighborhood of its PARENT texel at the next
+                     mip (row-major, edge-clamped),
+      lanes 52:64 -- zero pad (non-pow2 gather rows are ~2.3x slower).
+
+    Why 3x3 is always enough: a uv that lands on texel ix = floor(u*w - 0.5)
+    at mip L has its mip-L+1 bilinear base index in {ix>>1 - 1, ix>>1}, so
+    the 2x2 footprint sits inside the 3x3 centred on (ix>>1, iy>>1).  The
+    sampler (ops/texture.py sample_cube_pyramid_tri) therefore needs ONE row
+    gather per trilinear sample instead of two; bf16 64-wide row gathers cost
+    the same as 16-wide (measured TPU gather law, BENCHLOG), so the second
+    tap becomes free.  Replaces the reference's hardware trilinear cube fetch
+    (``DeferredLighting.hlsl:76-91``) bit-exactly vs the two-gather path.
+
+    Requires square power-of-two 4-channel chains complete down to 1x1 (the
+    last level packs its own 3x3 as edge-replicated self, which reproduces
+    the clamped lod = lmax tap exactly).
+    """
+    for chain in texture_mips:
+        h0, w0 = chain[0].shape[:2]
+        assert h0 == w0, f"tri atlas requires square chains, got {w0}x{h0}"
+        assert len(chain) == int(w0).bit_length(), (
+            f"tri atlas requires a full mip chain to 1x1 ({w0} needs "
+            f"{int(w0).bit_length()} levels, got {len(chain)})"
+        )
+        assert chain[0].shape[-1] == 4, "tri atlas is 4-channel only"
+    quad, rect0 = build_pyramid_quad_atlas(texture_mips, wrap=False,
+                                           dtype=np.float32)
+    height, width = quad.shape[:2]
+    data = np.zeros((height, width, 64), np.float32)
+    data[..., :16] = quad
+    del quad
+    for t, chain in enumerate(texture_mips):
+        x0, y0, w0, _h0 = (int(v) for v in rect0[t])
+        levels = len(chain)
+        for lv, img in enumerate(chain):
+            h, w = img.shape[:2]
+            xl = x0 + 2 * (w0 - max(w0 >> lv, 1))
+            nxt = chain[min(lv + 1, levels - 1)].astype(np.float32)
+            pad = np.pad(nxt, ((1, 1), (1, 1), (0, 0)), mode="edge")
+            py = np.arange(h) >> 1
+            px = np.arange(w) >> 1
+            for j in range(3):
+                rows = pad[py + j]
+                for i in range(3):
+                    lo = 16 + (j * 3 + i) * 4
+                    data[y0:y0 + h, xl:xl + w, lo:lo + 4] = rows[:, px + i]
+    if np.dtype(dtype) != np.float32:
+        data = data.astype(dtype)
+    log_info(
+        f"pyramid tri atlas: {len(texture_mips)} chains into {width}x{height}"
+        f" ({data.nbytes / 1e6:.1f} MB {np.dtype(dtype).name})"
+    )
+    return data, rect0
