@@ -154,11 +154,15 @@ def test_sort_pairs_matches_stable_argsort():
         np.testing.assert_array_equal(np.asarray(st), order // 4)
 
 
-def test_shadow_blocks_matches_reference():
+@pytest.mark.parametrize("size", [256, 4096])
+def test_shadow_blocks_matches_reference(size):
     """Superblock PCF (fast-gather f32 table + Pallas lane select) must
-    reproduce the packed-tail semantics with unquantized f32 depths: the
+    reproduce the packed-tail semantics with unquantized f32 depths.
+    size=256 covers the square-block 128-lane f32 path; size=4096 (the
+    reference's shadow resolution) covers the wide 8x16-block 256-lane
+    path with the 16-bit split gather (131k rows > the f32 cliff).  The
     want below feeds the shared _pcf_tail with directly-sliced depth
-    planes, isolating the new fetch machinery (superblock gather + lane
+    planes, isolating the fetch machinery (superblock gather + lane
     select) as the only thing under test.  (The unpacked shadow_factor
     differs at map borders by construction -- it re-derives coordinates
     per tap; both packed layouts share the clamp-mask border.)"""
@@ -170,7 +174,6 @@ def test_shadow_blocks_matches_reference():
     )
 
     rng = np.random.default_rng(3)
-    size = 256
     shadow_map = jnp.asarray(rng.uniform(0.3, 1.0, (size, size)).astype(np.float32))
     # receivers spread over and beyond the map (border behavior included)
     world = jnp.asarray(rng.uniform(-8.0, 8.0, (64, 96, 3)).astype(np.float32))

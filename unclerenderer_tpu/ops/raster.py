@@ -267,6 +267,19 @@ def flip_depth_key(setup: RasterSetup) -> RasterSetup:
     return RasterSetup(coef=coef, valid=setup.valid, bbox=setup.bbox)
 
 
+def gather_rows_split16(rec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact f32 row gather as two 16-bit half-table gathers + bitwise
+    rebuild.  16-bit tables stay on the TPU fast-gather path up to ~192k
+    rows where f32 falls off at ~96k (BENCHLOG gather law); the rebuild
+    ``(hi << 16) | lo`` reproduces every f32 bit pattern exactly."""
+    bits = rec.view(jnp.uint32)
+    hi = (bits >> 16).astype(jnp.uint16)
+    lo = (bits & 0xFFFF).astype(jnp.uint16)
+    h = hi[idx].astype(jnp.uint32)
+    l = lo[idx].astype(jnp.uint32)
+    return ((h << 16) | l).view(jnp.float32)
+
+
 def compact_setup(setup: RasterSetup, cap: int):
     """Frame-visible triangle compaction -- the TPU analog of the
     reference's GPU culling writing per-draw InstanceCounts into the

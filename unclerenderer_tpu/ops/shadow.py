@@ -227,14 +227,23 @@ def shadow_factor_packed(
 
 
 def shadow_block_shape(size: int) -> tuple:
-    """Block dims (bh, bw) such that the packed table stays under the
-    fast-gather row cliff; row channel count (bh+2)*(bw+2) stays <= 128."""
+    """Block dims (bh, bw) keeping the packed table on a fast-gather path.
+
+    <= 2048^2 maps: square blocks, (bh+2)*(bw+2) <= 128 lanes, rows under
+    the ~96k f32 cliff.  4096^2 (the reference's shadow resolution,
+    ``Renderer.cpp:240-296``): 8x8 blocks would make 262k rows -- deep past
+    the f32 cliff -- so blocks widen to 8x16 (131k rows, 180-lane window
+    padded to 256) and ``shadow_factor_blocks`` switches to the bit-exact
+    16-bit split gather, fast to ~192k rows (BENCHLOG gather law)."""
     b = max(4, min(8, size // 256))
-    return b, b
+    bw = b
+    while (size // b) * (size // bw) > 96_000 and (b + 2) * (2 * bw + 2) <= 256:
+        bw *= 2
+    return b, bw
 
 
 def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
-    """(S, S) depth -> (S/bh * S/bw, 128) f32 superblock rows.
+    """(S, S) depth -> (S/bh * S/bw, 128|256) f32 superblock rows.
 
     Row r = block (by, bx) holds texels [by*bh .. by*bh+bh+1] x
     [bx*bw .. bx*bw+bw+1] (apron +2 on the positive side only: a base pixel
@@ -248,7 +257,8 @@ def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
     s = shadow_map.shape[0]
     bh, bw = shadow_block_shape(s)
     c = (bh + 2) * (bw + 2)
-    assert c <= 128, (bh, bw)
+    cpad = 128 if c <= 128 else 256
+    assert c <= 256, (bh, bw)
     inf = jnp.float32(jnp.inf)
     padded = jnp.pad(shadow_map, ((0, 2), (0, 2)), constant_values=inf)
     # overlapping blocks via strided slices (no gather): channel (dy, dx) of
@@ -261,35 +271,38 @@ def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
     ]
     blocks = jnp.stack(chans, axis=-1)  # (nby, nbx, (bh+2)*(bw+2))
     flat = blocks.reshape(nby * nbx, c)
-    return jnp.pad(flat, ((0, 0), (0, 128 - c)))
+    return jnp.pad(flat, ((0, 0), (0, cpad - c)))
 
 
-def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix):
+def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
     """Extract 9 dynamic lanes per row: out[p, k] = rows[p, base[p]+deltas[k]].
-    rows_ref (1, P, 128) f32; base_ref (1, 1, P) i32; out (1, P, 16) f32."""
-    rows = rows_ref[0]                              # (P, 128)
+    rows_ref (1, P, L) f32; base_ref (1, 1, P) i32; out (1, P, 16) f32."""
+    rows = rows_ref[0]                              # (P, L)
     base = base_ref[0, 0, :][:, None]               # (P, 1) -> lanes broadcast
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, 128), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, lanes_n), 1)
     for k, d in enumerate(deltas):
         sel = lanes == (base + d)
         out_ref[0, :, k] = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
 
 
 def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
-    """(N, 128) f32 rows + (N,) i32 base -> (N, 9) f32 via Pallas."""
+    """(N, L) f32 rows (L = 128 or 256) + (N,) i32 base -> (N, 9) f32 via
+    Pallas."""
     from jax.experimental import pallas as pl
 
-    n = rows.shape[0]
+    n, lanes_n = rows.shape
     pix = 1024
     n_pad = -(-n // pix) * pix
-    rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0))).reshape(-1, pix, 128)
+    rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0))).reshape(-1, pix, lanes_n)
     base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
     grid = n_pad // pix
     out = pl.pallas_call(
-        lambda r, b, o: _select9_kernel(r, b, o, deltas=deltas, pix=pix),
+        lambda r, b, o: _select9_kernel(
+            r, b, o, deltas=deltas, pix=pix, lanes_n=lanes_n
+        ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, pix, 128), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, pix, lanes_n), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, pix), lambda g: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, pix, 16), lambda g: (g, 0, 0)),
@@ -315,13 +328,20 @@ def shadow_factor_blocks(
     unquantized f32 depths -- bit-comparable to the unpacked
     ``shadow_factor`` reference (the f16 packed path quantizes)."""
     bh, bw = shadow_block_shape(size)
-    nbx = size // bw
+    nby, nbx = size // bh, size // bw
     uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
         world_pos, light_view_proj, size, shadow_bias
     )
     row = (yi0 // bh) * nbx + (xi0 // bw)
     base = (yi0 % bh) * (bw + 2) + (xi0 % bw)
-    rows = blocks_flat[row.reshape(-1)]             # fast: <= 65k-row table
+    if nby * nbx > 96_000:
+        # 4096^2: 131k rows -- past the f32 fast-gather cliff but under the
+        # ~192k 16-bit one; split the table into hi/lo u16 halves (bit-exact)
+        from .raster import gather_rows_split16
+
+        rows = gather_rows_split16(blocks_flat, row.reshape(-1))
+    else:
+        rows = blocks_flat[row.reshape(-1)]         # fast: <= 96k-row table
     deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
     nb = _select9(rows, base.reshape(-1), deltas, interpret=interpret)
     nb = nb.reshape(compare.shape + (9,))

@@ -25,6 +25,7 @@ from ..ops.raster import (
     DEPTH_MAX,
     DEPTH_MIN,
     RasterSetup,
+    gather_rows_split16,
     rasterize,
     triangle_setup_expanded,
     viewport_homogeneous,
@@ -760,17 +761,7 @@ def build_resolve_records(
     return jnp.concatenate(parts, axis=1)
 
 
-def _gather_rows_split16(rec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Bit-exact f32 row gather as two 16-bit half-table gathers + bitwise
-    rebuild.  16-bit tables stay on the TPU fast-gather path up to ~192k
-    rows where f32 falls off at ~96k (BENCHLOG gather law); the rebuild
-    ``(hi << 16) | lo`` reproduces every f32 bit pattern exactly."""
-    bits = rec.view(jnp.uint32)
-    hi = (bits >> 16).astype(jnp.uint16)
-    lo = (bits & 0xFFFF).astype(jnp.uint16)
-    h = hi[idx].astype(jnp.uint32)
-    l = lo[idx].astype(jnp.uint32)
-    return ((h << 16) | l).view(jnp.float32)
+# moved to ops/raster.py gather_rows_split16 (shared with the superblock PCF)
 
 
 @named_pass("MaterialResolve")
@@ -820,7 +811,7 @@ def resolve_materials(
         rec = build_resolve_records(scene, pix_h, ids=compact_ids)
         safe_id = jnp.maximum(tri_id, 0)
         if cap > 94208:
-            full = _gather_rows_split16(rec, safe_id)
+            full = gather_rows_split16(rec, safe_id)
         else:
             full = rec[safe_id]
     else:
