@@ -260,7 +260,7 @@ def test_compact_setup_preserves_order_and_counts():
 def test_split16_gather_bit_exact():
     """The two-half-table 16-bit gather reassembles every f32 bit pattern
     exactly (incl. negatives, denormals, NaN payloads)."""
-    from unclerenderer_tpu.render.common import _gather_rows_split16
+    from unclerenderer_tpu.ops.raster import gather_rows_split16 as _gather_rows_split16
 
     rng = np.random.default_rng(1)
     rec = rng.normal(size=(64, 8)).astype(np.float32)

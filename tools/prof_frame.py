@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unclerenderer_tpu.core.jaxcache import enable_persistent_cache
+from unclerenderer_tpu.core.jaxcache import (
+    enable_persistent_cache,
+    pin_platform_from_env,
+)
 from unclerenderer_tpu.render import common
 from unclerenderer_tpu.render.deferred import deferred_frame
 from unclerenderer_tpu.render.params import FrameState, RenderSettings
@@ -31,10 +34,18 @@ from unclerenderer_tpu.render.testing import (
     synthetic_frame_params,
 )
 
+pin_platform_from_env()
 enable_persistent_cache()
 
-ITERS = 8
-W, H = 1920, 1080
+import os
+
+ITERS = int(os.environ.get("PROF_ITERS", "8"))
+W = int(os.environ.get("PROF_W", "1920"))
+H = int(os.environ.get("PROF_H", "1080"))
+SHADOW = int(os.environ.get("PROF_SHADOW", "4096"))
+N_OBJECTS = int(os.environ.get("PROF_OBJECTS", "340"))
+BACKEND = os.environ.get("PROF_BACKEND", "pallas")
+INTERPRET = bool(int(os.environ.get("PROF_INTERPRET", "0")))
 
 
 def timed_scan(fn, *args, iters=ITERS, label=""):
@@ -75,14 +86,14 @@ def main():
         return not want or name in want
 
     scene, data = synthetic_device_scene(
-        340, sphere_res=(32, 24), ground=True, rich_materials=True
+        N_OBJECTS, sphere_res=(32, 24), ground=True, rich_materials=True
     )
     t_count = int(scene.tri_geo.shape[0])
     print("triangles:", t_count, flush=True)
     settings = RenderSettings(
-        width=W, height=H, renderer_type="deferred", shadow_map_size=4096,
-        raster_backend="pallas", has_masked_models=False,
-        combined_material=True,
+        width=W, height=H, renderer_type="deferred", shadow_map_size=SHADOW,
+        raster_backend=BACKEND, has_masked_models=False,
+        combined_material=True, pallas_interpret=INTERPRET,
     )
     params = synthetic_frame_params(data, W, H)
     state = FrameState.initial(W, H)
@@ -170,6 +181,70 @@ def main():
             return out["color"], st2.exposure_ev
         timed_scan(frame_cached_shadow, scene, params, state,
                    label="frame minus shadow raster (cached map)")
+
+    if on("pcf") or on("ibl"):
+        # shared fixtures: a resolved g-buffer and a shadow map
+        from unclerenderer_tpu.ops import pbr
+        from unclerenderer_tpu.ops.shadow import (
+            pack_shadow_blocks, shadow_block_shape, shadow_factor_blocks,
+        )
+
+        def gbuf(sc, vp):
+            clip, pix_h = common.vertex_stage(sc, vp, W, H)
+            d, t, st, _a, cids = common.raster_opaque(
+                sc, clip, pix_h, opaque, settings)
+            return common.resolve_materials(
+                sc, pix_h, t, settings, compact_ids=cids)
+        g = jax.block_until_ready(jax.jit(gbuf)(scene, params.view_proj))
+
+    if on("pcf"):
+        s = settings.shadow_map_size
+        print(f"  pcf table: blocks {shadow_block_shape(s)}, "
+              f"rows {(s // shadow_block_shape(s)[0]) * (s // shadow_block_shape(s)[1])}",
+              flush=True)
+        shadow = jax.block_until_ready(jax.jit(
+            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)
+        )(scene, params.light_view_proj))
+        blocks = jax.block_until_ready(jax.jit(pack_shadow_blocks)(shadow))
+
+        def pcf_only(bl, wp, lvp):
+            return shadow_factor_blocks(
+                bl, s, wp, lvp, jnp.float32(0.9), jnp.float32(2e-3),
+                pcf="deferred", interpret=INTERPRET)
+        timed_scan(pcf_only, blocks, g["world_pos"], params.light_view_proj,
+                   label=f"PCF superblocks ({s})")
+        timed_scan(lambda sm: pack_shadow_blocks(sm), shadow,
+                   label="pack_shadow_blocks")
+
+    if on("ibl"):
+        from unclerenderer_tpu.ops import texture as tex_ops
+
+        env_flat = scene.env_quad.reshape(-1, scene.env_quad.shape[-1])
+        env_w = scene.env_quad.shape[1]
+
+        def ibl_only(sc, g_albedo, g_metal, g_rough, g_normal, g_wpos):
+            f0 = 0.04 + (g_albedo - 0.04) * g_metal[..., None]
+            n_world = pbr.normalize(g_normal)
+            v_world = pbr.normalize(params.camera_pos - g_wpos)
+
+            def env_sample(direction, lod):
+                return tex_ops.sample_cube_pyramid_tri(
+                    env_flat, env_w, sc.env_rect0, direction, lod)[..., :3]
+
+            def env_level(direction, level):
+                del level
+                return tex_ops.sample_cube_tail_matmul(
+                    sc.env_tail, direction)[..., :3]
+
+            def brdf(uv):
+                return tex_ops.sample_table_bilinear_matmul(sc.brdf_lut, uv)
+
+            return pbr.ibl_ambient(
+                g_albedo, g_metal, f0, n_world, v_world, env_sample, brdf,
+                params.env_mip_count, g_rough, env_sample_level_fn=env_level)
+        timed_scan(ibl_only, scene, g["albedo"], g["metallic"],
+                   g["roughness"], g["normal"], g["world_pos"],
+                   label="IBL ambient (packed-tri env)")
 
 
 if __name__ == "__main__":
