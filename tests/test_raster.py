@@ -338,3 +338,104 @@ def test_subcenter_cull_exact():
     for yy, xx in zip(*np.nonzero(diff)):
         old_winner = t_off_np[yy, xx]
         assert old_winner >= 0 and not has_center[old_winner]
+
+
+def test_shadow_compaction_bit_exact_and_overflow():
+    """Light-space compaction in raster_shadow must leave the shadow map
+    bit-identical (depth-only: ids never surface, compaction only reorders
+    the min-depth reduction's inputs), and casters dropped past the cap must
+    be counted, never silent."""
+    import dataclasses
+
+    import jax
+
+    from unclerenderer_tpu.render import common
+    from unclerenderer_tpu.render.params import RenderSettings
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    scene, data = synthetic_device_scene(8, sphere_res=(10, 8), ground=True)
+    params = synthetic_frame_params(data, 64, 64)
+    base = RenderSettings(
+        width=64, height=64, shadow_map_size=128, raster_backend="xla"
+    )
+    opaque, _ = common.tri_draw_masks(scene, params.model_visible)
+    t_count = int(scene.position.shape[0]) // 3
+
+    def shadow(settings):
+        d, ov = jax.jit(
+            lambda sc, l, mk: common.raster_shadow(sc, l, mk, settings)
+        )(scene, params.light_view_proj, opaque)
+        return np.asarray(d), int(ov)
+
+    d_off, ov_off = shadow(dataclasses.replace(base, shadow_compact_cap=0))
+    assert ov_off == 0
+
+    # light-space valid count (front-cull + subcenter) sizes the caps.
+    # Derived through raster_shadow's own jitted pipeline (an eager setup
+    # recomputation can flip a few sliver-cull edge cases by f32 fusion
+    # differences): overflow at a small cap = valid - cap.
+    probe_cap = 32
+    _d, ov_probe = shadow(
+        dataclasses.replace(base, shadow_compact_cap=probe_cap)
+    )
+    n_valid = probe_cap + ov_probe
+    assert probe_cap < n_valid < t_count
+
+    # roomy cap: parity must be bit-exact, zero overflow
+    d_on, ov_on = shadow(
+        dataclasses.replace(base, shadow_compact_cap=n_valid + 8)
+    )
+    assert ov_on == 0
+    np.testing.assert_array_equal(d_on, d_off)
+
+    # tight cap: every dropped caster is counted
+    drop = 5
+    _d, ov_tight = shadow(
+        dataclasses.replace(base, shadow_compact_cap=n_valid - drop)
+    )
+    assert ov_tight == drop
+
+
+def test_binning_split16_coef_window_bit_exact():
+    """bin_triangles' coefficient gather switches to the bit-exact 16-bit
+    split gather in the (94208, 163840] table-row window (gather law); the
+    produced blocks must be identical to the plain-gather path."""
+    from unclerenderer_tpu.ops.binning import bin_triangles
+    from unclerenderer_tpu.ops.raster import RasterSetup
+
+    rng = np.random.default_rng(7)
+    t_small = 512
+    coef = rng.normal(size=(t_small, 16)).astype(np.float32)
+    bbox = np.zeros((4, t_small), np.float32)
+    bbox[0] = rng.uniform(0, 50, t_small)
+    bbox[1] = rng.uniform(0, 50, t_small)
+    bbox[2] = bbox[0] + rng.uniform(0, 10, t_small)
+    bbox[3] = bbox[1] + rng.uniform(0, 10, t_small)
+    valid = rng.uniform(size=t_small) < 0.8
+
+    def blocks(t_rows):
+        # place the same triangles in a table of t_rows rows (tail invalid);
+        # only the table SIZE changes, so outputs must agree on the shared
+        # prefix ids
+        c = np.zeros((t_rows, 16), np.float32)
+        c[:t_small] = coef
+        b = np.zeros((4, t_rows), np.float32)
+        b[:, :t_small] = bbox
+        v = np.zeros(t_rows, bool)
+        v[:t_small] = valid
+        st = RasterSetup(
+            coef=jnp.asarray(c), valid=jnp.asarray(v), bbox=jnp.asarray(b)
+        )
+        out = bin_triangles(st, 64, 64, 16, 64, 32)
+        return np.asarray(out.coef), np.asarray(out.tri_id), np.asarray(out.valid)
+
+    c_plain, t_plain, v_plain = blocks(94208)      # plain-gather path
+    c_split, t_split, v_split = blocks(94209)      # split16 window path
+    np.testing.assert_array_equal(t_plain, t_split)
+    np.testing.assert_array_equal(v_plain, v_split)
+    np.testing.assert_array_equal(
+        c_plain.view(np.uint32), c_split.view(np.uint32)
+    )

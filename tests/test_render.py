@@ -370,7 +370,8 @@ def test_interactive_viewer_scripted(tmp_path, monkeypatch):
                        enable_shadows=False, **SMALL)
     r = Renderer(tmp_path / "missing.json", settings=s)  # procedural fallback
 
-    scripted = [["w", "arrow_left"], ["arrow_up", "d"], ["p"], ["x"]]
+    # slider keys: "]" selects tonemap_exposure, ".." nudges it +0.2
+    scripted = [["w", "arrow_left"], ["arrow_up", "d", "]", ".", "."], ["p"], ["x"]]
 
     class FakeRaw:
         def __enter__(self):
@@ -390,6 +391,8 @@ def test_interactive_viewer_scripted(tmp_path, monkeypatch):
     assert frames == 3
     assert shot.is_file() and shot.stat().st_size > 100
     assert not np.allclose(r.camera.position, pos0)  # the camera moved
+    # the slider keys adjusted the live config (FrameParams feed, no retrace)
+    assert r.config.tonemap_exposure == pytest.approx(1.2)
 
 
 def test_render_frames_chain_matches_sequential(reference_assets):

@@ -167,13 +167,20 @@ def main():
     if on("shadow"):
         timed_scan(
             lambda sc, l: common.raster_shadow(sc, l, opaque, settings),
-            scene, params.light_view_proj, label="shadow raster 4096",
+            scene, params.light_view_proj,
+            label=f"shadow raster {SHADOW} (compacted)",
+        )
+        no_compact = dataclasses.replace(settings, shadow_compact_cap=0)
+        timed_scan(
+            lambda sc, l: common.raster_shadow(sc, l, opaque, no_compact),
+            scene, params.light_view_proj,
+            label=f"shadow raster {SHADOW} (no compaction)",
         )
 
     if on("light"):
         # isolate lighting+post: run the frame with a precomputed shadow map
         shadow = jax.block_until_ready(jax.jit(
-            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)
+            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)[0]
         )(scene, params.light_view_proj))
 
         def frame_cached_shadow(sc, p, st):
@@ -181,6 +188,69 @@ def main():
             return out["color"], st2.exposure_ev
         timed_scan(frame_cached_shadow, scene, params, state,
                    label="frame minus shadow raster (cached map)")
+
+    if on("shadowparts"):
+        # sub-stage split of the shadow raster (VERDICT r2 #1a: how much of
+        # the 4096^2 number is setup/binning vs kernels vs merge epilogue)
+        from unclerenderer_tpu.ops import pallas_raster as pr
+        from unclerenderer_tpu.ops.binning import bin_triangles
+        from unclerenderer_tpu.ops.raster import (
+            CULL_FRONT, DEPTH_MIN, flip_depth_key, normalize_ortho_setup,
+            viewport_homogeneous,
+        )
+
+        s = settings.shadow_map_size
+        th, tw = min(settings.shadow_tile_h, s), settings.shadow_tile_w
+        ck = settings.shadow_chunk
+
+        def light_setup(sc, lvp):
+            hom = jnp.concatenate(
+                [sc.position, jnp.ones_like(sc.position[..., :1])], axis=-1)
+            clip = hom @ lvp
+            pix_h = viewport_homogeneous(clip, s, s)
+            st = triangle_setup_expanded(
+                pix_h, clip[:, 2], opaque, CULL_FRONT, s, s)
+            return normalize_ortho_setup(st)
+
+        timed_scan(light_setup, scene, params.light_view_proj,
+                   label="shadow: vertex+setup+ortho-norm")
+        setup0 = jax.block_until_ready(
+            jax.jit(light_setup)(scene, params.light_view_proj))
+        n_valid = int(jnp.sum(setup0.valid))
+        print(f"  light-space valid tris = {n_valid} / {t_count}", flush=True)
+
+        def bins_only(st):
+            b = bin_triangles(
+                flip_depth_key(st), s, s, th, tw, ck,
+                max_span=settings.bin_max_span,
+                budget_factor=settings.shadow_bin_budget_factor)
+            return b.coef, b.valid, b.overflow
+        timed_scan(bins_only, setup0, label="shadow: fine binning (sort+gather)")
+
+        bins0 = jax.block_until_ready(jax.jit(
+            lambda st: bin_triangles(
+                flip_depth_key(st), s, s, th, tw, ck,
+                max_span=settings.bin_max_span,
+                budget_factor=settings.shadow_bin_budget_factor)
+        )(setup0))
+
+        def fine_only(b):
+            out = pr._run_binned_kernel(
+                b, s, s, th, tw, ck, 0, INTERPRET, False, want_ids=False,
+                ortho=True)
+            return out[0]
+        timed_scan(fine_only, bins0, label="shadow: fine kernel only")
+
+        def full_binned(st):
+            d, _t, _st = pr.rasterize_binned(
+                st, s, s, tile_h=th, tile_w=tw, chunk=ck,
+                depth_mode=DEPTH_MIN, want_ids=False, ortho=True,
+                budget_factor=settings.shadow_bin_budget_factor,
+                giant_tile_h=settings.shadow_giant_tile_h,
+                giant_tile_w=settings.shadow_giant_tile_w,
+                interpret=INTERPRET)
+            return d
+        timed_scan(full_binned, setup0, label="shadow: full binned raster")
 
     if on("pcf") or on("ibl"):
         # shared fixtures: a resolved g-buffer and a shadow map
@@ -203,7 +273,7 @@ def main():
               f"rows {(s // shadow_block_shape(s)[0]) * (s // shadow_block_shape(s)[1])}",
               flush=True)
         shadow = jax.block_until_ready(jax.jit(
-            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)
+            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)[0]
         )(scene, params.light_view_proj))
         blocks = jax.block_until_ready(jax.jit(pack_shadow_blocks)(shadow))
 

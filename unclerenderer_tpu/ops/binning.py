@@ -180,7 +180,18 @@ def bin_triangles(
     # (16, chunk) layout keeps the kernel's DMA rows contiguous (512 B) --
     # a (chunk, 16) block layout degrades the block DMA to 128 strided
     # 64 B reads and is ~15x slower end to end (measured).
-    coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
+    #
+    # f32 row gathers fall off the TPU fast path past ~96k table rows while
+    # 16-bit tables stay fast to ~192k (BENCHLOG gather law): in that window
+    # the bit-exact split-16 gather (two u16 half-table gathers + rebuild)
+    # is the cheaper path.  Past ~192k both halves are slow, so plain f32
+    # (one slow gather beats two).
+    if 94208 < t_count <= 163840:
+        from .raster import gather_rows_split16
+
+        coef = gather_rows_split16(setup.coef, blocks_tid)
+    else:
+        coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
     coef = coef.transpose(0, 2, 1)  # (n_blocks, 16, chunk)
 
     # optional per-pair resolve records for fused attribute emission;

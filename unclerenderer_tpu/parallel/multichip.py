@@ -97,6 +97,10 @@ def render_frame_multichip(
             "pair_overflow": rep,
             "giant_truncated": rep,
             "compact_overflow": rep,
+            # light-space compaction runs identically on every device
+            # (raster_shadow shards rows only after setup), so the count
+            # is replicated, not psummed (render/deferred.py)
+            "shadow_compact_overflow": rep,
         },
         "frustum_culled": rep,
         "hzb_occluded": rep,

@@ -89,6 +89,23 @@ def compaction_cap(settings: RenderSettings, t_count: int) -> int:
     return cap
 
 
+def shadow_compaction_cap(settings: RenderSettings, t_count: int) -> int:
+    """Light-space compaction cap for the depth-only shadow raster.
+
+    Unlike the camera-view cap (``compaction_cap``), ids never leave the
+    raster (no resolve, no masked merge), so this is safe for every scene
+    including masked ones.  Auto: 163840 when the scene is over the f32
+    fast-gather cliff -- front-face culling alone keeps the light-space
+    valid set well under that at Sponza-class counts, and the compacted
+    table rides the 16-bit split gather window in ops/binning.py."""
+    cap = settings.shadow_compact_cap
+    if cap == -1:
+        cap = 0 if t_count <= 94208 else 163840
+    if cap <= 0 or cap >= t_count:
+        return 0
+    return cap
+
+
 def use_fused_resolve(settings, t_count: int) -> bool:
     """Fused attribute emission (the raster kernels select the winner's
     resolve record in-VMEM) replaces the per-pixel record gather, which
@@ -216,7 +233,11 @@ def raster_shadow(
     """Depth-only shadow raster: CULL_FRONT + LESS_EQUAL over a standard-Z
     ortho projection (``Renderer.cpp:271-296``).  Sharded: each device
     rasterizes a row slab of the map, then ``all_gather`` assembles the full
-    map on every device (every receiver samples everywhere)."""
+    map on every device (every receiver samples everywhere).
+
+    Returns ``(depth, compact_overflow)`` -- the i32 count of valid casters
+    dropped past the light-space compaction cap (0 when compaction is off;
+    surface it in stats, raise ``shadow_compact_cap`` if it fires)."""
     size = settings.shadow_map_size
     hom = jnp.concatenate(
         [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
@@ -224,11 +245,18 @@ def raster_shadow(
     clip = hom @ light_view_proj
     pix_h = viewport_homogeneous(clip, size, size)
     setup = triangle_setup_expanded(pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size)
+    # light-space compaction: depth-only needs no ids, so dropping
+    # never-visible rows is free correctness-wise and keeps the binning
+    # gathers on a fast path (shadow_compaction_cap)
+    from ..ops.raster import compact_setup, normalize_ortho_setup
+
+    cap = shadow_compaction_cap(settings, setup.valid.shape[0])
+    overflow = jnp.zeros((), jnp.int32)
+    if cap:
+        setup, _ids, overflow = compact_setup(setup, cap)
     # directional light = orthographic projection (w == 1): fold the constant
     # depth denominator into the setup once so the depth-only kernels skip
     # the per-pixel nw evaluation and divide (ops/raster.py)
-    from ..ops.raster import normalize_ortho_setup
-
     setup = normalize_ortho_setup(setup)
     out_h = size
     y_off = 0
@@ -250,7 +278,7 @@ def raster_shadow(
     )
     if dist is not None and dist.n_dev > 1:
         depth = dist.all_gather_rows(depth)
-    return depth
+    return depth, overflow
 
 
 @named_pass("MaskedRaster")

@@ -105,10 +105,11 @@ def deferred_frame(
     # behind the camera still casts; the reference culls against the light
     # frustum instead).  The host may pass a cached map (static light+scene).
     opaque_mask, masked_mask = common.tri_draw_masks(scene, model_visible)
+    shadow_overflow = jnp.zeros((), jnp.int32)
     if settings.enable_shadows:
         if shadow_map is None:
             cast_o, cast_m = common.tri_draw_masks(scene, params.model_visible)
-            shadow_map = common.raster_shadow(
+            shadow_map, shadow_overflow = common.raster_shadow(
                 scene, params.light_view_proj, cast_o | cast_m, settings, dist
             )
         # Superblock layout on TPU (fast-gather table + Pallas lane select);
@@ -136,6 +137,9 @@ def deferred_frame(
         depth, tri_id = masked_out[0], masked_out[1]
         attr = masked_out[2] if attr is not None else None
     raster_stats = {k: dist.psum(v) for k, v in raster_stats.items()}
+    # replicated under sharding (identical setup math on every device), so
+    # no psum -- the single-chip and multichip stats stay bit-identical
+    raster_stats["shadow_compact_overflow"] = shadow_overflow
 
     g = common.resolve_materials(
         scene, pix_h, tri_id, settings, row0=dist.row0,

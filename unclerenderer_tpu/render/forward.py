@@ -54,9 +54,10 @@ def forward_frame(
         depth, tri_id = masked_out[0], masked_out[1]
         attr = masked_out[2] if attr is not None else None
 
+    shadow_overflow = jnp.zeros((), jnp.int32)
     if settings.enable_shadows:
         if shadow_map is None:
-            shadow_map = common.raster_shadow(
+            shadow_map, shadow_overflow = common.raster_shadow(
                 scene, params.light_view_proj, opaque_mask | masked_mask, settings
             )
         shadow_blocks = common._use_pallas(settings)
@@ -154,6 +155,7 @@ def forward_frame(
     object_id = jnp.where(
         g["valid"], g["object_id_f"].astype(jnp.uint32), jnp.uint32(0)
     )
+    raster_stats["shadow_compact_overflow"] = shadow_overflow
     return {
         "color": color,
         "depth": depth,

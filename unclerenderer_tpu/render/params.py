@@ -108,6 +108,16 @@ class RenderSettings:
     # pair budget for shadow binning: spans at 32x128 tiles are mostly one
     # tile, so 1.5 still carries wide margin (overflow is counted in stats)
     shadow_bin_budget_factor: float = 1.5
+    # Light-space triangle compaction for the shadow raster.  Depth-only
+    # rasters never touch triangle ids, so compaction is unconditionally
+    # safe (no tie-break/id-space concerns, works with masked models).
+    # -1 auto: off when T <= 94208; else cap 163840 -- front-face culling
+    # keeps the light-space valid set well under that at the Sponza-class
+    # tier, and the 94208<rows<=163840 compacted table puts the binning
+    # coef gather on the 16-bit split fast path (ops/binning.py).  0 = off.
+    # Dropped casters (valid beyond the cap) are counted in raster stats
+    # "shadow_compact_overflow" -- never silent.
+    shadow_compact_cap: int = -1
     # pl.debug_print per bin block in the Pallas raster kernels (the
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
     kernel_debug_print: bool = False

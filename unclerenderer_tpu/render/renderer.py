@@ -351,6 +351,7 @@ class Renderer:
         self._taa_history_ready = False
         self._frame_counter = 0
         self._shadow_cache = None
+        self._shadow_overflow = 0
         self._shadow_key = None
         self._shadow_fn = None
         self._frames_fn = None
@@ -470,9 +471,15 @@ class Renderer:
             opaque, masked = common.tri_draw_masks(
                 self.device_scene, jnp.asarray(self.scene_data.visible_mask)
             )
-            self._shadow_cache = self._shadow_fn(
+            self._shadow_cache, overflow = self._shadow_fn(
                 self.device_scene, params.light_view_proj, opaque | masked
             )
+            self._shadow_overflow = int(overflow)
+            if self._shadow_overflow:
+                log_warning(
+                    f"shadow compaction dropped {self._shadow_overflow} "
+                    "casters -- raise RenderSettings.shadow_compact_cap"
+                )
             self._shadow_key = key
         return self._shadow_cache
 
@@ -612,6 +619,7 @@ class Renderer:
         # the cached shadow fn/map and the chained-frames fn close over
         # settings
         self._shadow_cache = None
+        self._shadow_overflow = 0
         self._shadow_key = None
         self._shadow_fn = None
         self._frames_fn = None
@@ -678,6 +686,13 @@ class Renderer:
             # valid triangles dropped past the frame-visible compaction cap
             # (ops/raster.py compact_setup); raise settings.compact_cap if ever > 0
             "compact_overflow": int(np.asarray(rs.get("compact_overflow", 0))),
+            # casters dropped past the light-space cap (raster_shadow).  The
+            # Renderer always feeds frames a cached map, so the in-frame
+            # counter is 0 there and the cache-build count is the real one.
+            "shadow_compact_overflow": max(
+                int(np.asarray(rs.get("shadow_compact_overflow", 0))),
+                int(self._shadow_overflow),
+            ),
             "exposure_ev": float(self.frame_state.exposure_ev),
             "taa_history_valid": bool(self.frame_state.taa_valid),
             # HBM usage/budget (the reference's VRAM panel row,
@@ -786,6 +801,7 @@ class Renderer:
         self.frame_state = FrameState.initial(self.settings.width, self.settings.height)
         self._taa_history_ready = False
         self._shadow_cache = None
+        self._shadow_overflow = 0
         self._shadow_key = None
         self._last_out = None
         _models, light, camera_desc = load_scene_json(scene_path)

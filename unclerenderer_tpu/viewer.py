@@ -22,6 +22,13 @@ analog):
   0 deferred/forward     t  per-pass timing overlay
   c pick model at screen center (selection AABB overlay)   v clear pick
 
+Float sliders (the panel's DragFloat rows, ``Application.cpp:1524-1700``):
+``[`` / ``]`` cycle the active parameter (shadow bias, tonemap
+exposure/gamma, CAS sharpness, TAA weight, auto-exposure key/min/max,
+light intensity), ``,`` / ``.`` nudge it.  These are traced FrameParams
+read from ``renderer.config`` each frame, so adjustment is live -- no
+retrace (unlike the 0-9 toggles, which swap static pipeline flags).
+
 Every frame honors the renderer's full pipeline (TAA accumulates across
 interactive frames exactly like the reference's swapchain loop).
 """
@@ -144,6 +151,20 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
         "8": "enable_gpu_culling",
     }
     filters = ["bilinear", "trilinear", "anisotropic"]
+    # float sliders: (label, getter-object attr, step, lo, hi); values live
+    # on renderer.config / renderer.light and feed FrameParams every frame
+    sliders = [
+        ("shadow_bias", "config", 0.0005, 0.0, 0.05),
+        ("tonemap_exposure", "config", 0.1, 0.05, 8.0),
+        ("tonemap_gamma", "config", 0.1, 1.0, 4.0),
+        ("cas_sharpness", "config", 0.05, 0.0, 1.0),
+        ("taa_history_weight", "config", 0.02, 0.0, 0.99),
+        ("auto_exposure_key", "config", 0.02, 0.01, 2.0),
+        ("auto_exposure_min", "config", 0.05, 0.0, 4.0),
+        ("auto_exposure_max", "config", 0.25, 0.5, 16.0),
+        ("intensity", "light", 0.25, 0.0, 20.0),
+    ]
+    slider_i = 0
     sys.stdout.write(f"{ESC}[2J")  # clear
     t_prev = time.monotonic()
     with _RawInput() as raw:
@@ -223,6 +244,16 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
                 elif k == "v":
                     renderer.selected_object_id = 0
                     renderer.selected_name = ""
+                elif k == "[":
+                    slider_i = (slider_i - 1) % len(sliders)
+                elif k == "]":
+                    slider_i = (slider_i + 1) % len(sliders)
+                elif k in (",", "."):
+                    name, holder, step, lo, hi = sliders[slider_i]
+                    obj = getattr(renderer, holder)
+                    val = float(getattr(obj, name))
+                    val += step if k == "." else -step
+                    setattr(obj, name, min(hi, max(lo, val)))
             if np.any(move):
                 cam.position = cam.position + move * speed * max(dt, 1.0 / 60.0)
             cam.set_rotation_euler_degrees(
@@ -259,13 +290,16 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
                     f"{st['hbm_bytes_limit'] / 1e9:.0f}G"
                     if "hbm_bytes_in_use" in st else ""
                 )
+                sname, sholder, _st_, _lo, _hi = sliders[slider_i]
+                sval = float(getattr(getattr(renderer, sholder), sname))
                 sys.stdout.write(
                     f"{ESC}[0m{1.0 / max(dt, 1e-6):5.1f} fps  "
                     f"pos=({cam.position[0]:.1f},{cam.position[1]:.1f},{cam.position[2]:.1f})  "
                     f"vis {st['models_visible']}/{st['models_total']}  "
                     f"frustum {st['frustum_culled']} hzb {st['hzb_occluded']}  "
                     f"[{flags}|{s.renderer_type[:3]}|{s.texture_filter[:3]}]{hbm}  "
-                    f"[1-9/0 settings, t timing, c pick, x quit]{ESC}[K"
+                    f"[]{sname}={sval:.3g}  "
+                    f"[1-9/0 toggles, [],. sliders, t timing, c pick, x quit]{ESC}[K"
                 )
             sys.stdout.flush()
             # frame pacing
