@@ -116,7 +116,7 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
         return {"color": means}
 
     n_tris = int(data.tri_model.shape[0])
-    return render, n_tris
+    return render, n_tris, settings
 
 
 def _pallas_parity_gate():
@@ -233,7 +233,7 @@ def main() -> int:
     # headline: Sponza-class synthetic (~263k tris) -- the north-star load at
     # the reference's 4096^2 shadow resolution (Renderer.cpp:240-296); each
     # render() executes FRAMES device-chained frames (one dispatch)
-    render, n_tris = _synthetic_runner(
+    render, n_tris, eff = _synthetic_runner(
         settings, n_objects=340, sphere_res=(32, 24), ground=True
     )
     ms_chunk, setup_s = _measure(render, frames=3)
@@ -242,14 +242,14 @@ def main() -> int:
     extra = {}
     # secondary rows: 2048^2 shadow (continuity with rounds 1-2) and
     # trilinear filtering (sampler-parity cost as a number, not a footnote)
-    render2k, _ = _synthetic_runner(
+    render2k, _, _ = _synthetic_runner(
         dataclasses.replace(settings, shadow_map_size=2048),
         n_objects=340, sphere_res=(32, 24), ground=True,
     )
     ms2k_chunk, _ = _measure(render2k, frames=2)
     extra["shadow2048_ms"] = round(ms2k_chunk / FRAMES, 2)
 
-    render_tri, _ = _synthetic_runner(
+    render_tri, _, _ = _synthetic_runner(
         dataclasses.replace(settings, texture_filter="trilinear"),
         n_objects=340, sphere_res=(32, 24), ground=True,
     )
@@ -297,9 +297,9 @@ def main() -> int:
                 "vs_baseline": round(BASELINE_MS / ms, 3),
                 "triangles": n_tris,
                 "shadow_map_size": shadow_size,
-                "texture_filter": settings.texture_filter,
+                "texture_filter": eff.texture_filter,
                 "rich_materials": True,
-                "combined_material": True,
+                "combined_material": eff.combined_material,
                 "pallas_parity": pallas_parity,
                 "device": str(jax.devices()[0]),
                 "on_tpu": on_tpu,

@@ -431,7 +431,9 @@ int ttf_bake(const uint8_t* font_data, int64_t font_len, float pixel_height,
     }
     std::vector<uint8_t> bmp((size_t)gw * gh, 0);
     fill(edges, bmp.data(), gw, gh);
-    // row-pack into the atlas
+    // row-pack into the atlas; a glyph wider than the whole row (malformed
+    // font or huge pixel_height) can never fit -- skip it, don't overrun
+    if (gw + 2 > aw) { ++missed; continue; }
     if (pen_x + gw + 1 > aw) { pen_x = 1; pen_y += row_h + 1; row_h = 0; }
     if (pen_y + gh + 1 > ah) { ++missed; continue; }
     for (int yy = 0; yy < gh; ++yy)

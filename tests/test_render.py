@@ -447,5 +447,10 @@ def test_update_settings_resolution_and_chain_invalidation(reference_assets):
 
     # resolution change rebuilds TAA/HZB state shapes; next frame renders
     r.update_settings(width=32, height=32)
+    # the change must also drop the last rendered frame: stats()/pick()
+    # would otherwise read the stale 64x64 outputs (code-review r3 #2)
+    assert r._last_out is None
+    oid, _name = r.pick(31, 31)  # in range only for the NEW resolution
+    assert oid >= 0
     out = r.render_frame()
     assert np.asarray(out["color"]).shape == (32, 32, 3)

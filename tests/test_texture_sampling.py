@@ -272,6 +272,40 @@ def test_cube_pyramid_tri_matches_two_gather():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_cube_pyramid_tri_truncated_chain():
+    """Prefiltered IBL cubes often stop their mip chain short of 1x1 (e.g.
+    at 4x4): the packed-trilinear atlas must accept the truncated chain and
+    stay bit-exact vs the two-gather quad path for lods clamped to the real
+    last level (the caller clamp, ops/pbr.py) -- including exactly lmax,
+    where the last level's self-referenced parent 3x3 gets weight 0."""
+    from unclerenderer_tpu.textures.atlas import build_pyramid_tri_atlas
+
+    rng = np.random.default_rng(31)
+    chains = [
+        generate_mips(rng.random((16, 16, 4), np.float32))[:3]  # 16,8,4
+        for _ in range(6)
+    ]
+    quad, rq = build_pyramid_quad_atlas(chains, wrap=False)
+    tri, rt = build_pyramid_tri_atlas(chains)
+    lmax = float(len(chains[0]) - 1)
+    dirs = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+    lods = jnp.asarray(
+        np.concatenate([
+            rng.uniform(0.0, lmax, 252).astype(np.float32),
+            np.array([0.0, 1.0, 1.5, lmax], np.float32),
+        ])
+    )
+    ref = tex.sample_cube_pyramid(
+        jnp.asarray(quad).reshape(-1, 16), quad.shape[1],
+        jnp.asarray(rq, jnp.float32), dirs, lods,
+    )
+    got = tex.sample_cube_pyramid_tri(
+        jnp.asarray(tri).reshape(-1, 64), tri.shape[1],
+        jnp.asarray(rt, jnp.float32), dirs, lods,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_cube_pyramid_tri_flat_env():
     """The 1x1-chain degenerate case (flat fallback env, testing.py) returns
     the constant at every lod."""

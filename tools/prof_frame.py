@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -48,34 +47,11 @@ BACKEND = os.environ.get("PROF_BACKEND", "pallas")
 INTERPRET = bool(int(os.environ.get("PROF_INTERPRET", "0")))
 
 
+from tools.timing import timed_scan as _timed_scan
+
+
 def timed_scan(fn, *args, iters=ITERS, label=""):
-    def loop(n_static, *a):
-        def body(carry, _):
-            out = fn(*jax.tree_util.tree_map(
-                lambda x: x * (1.0 + carry * 1e-30)
-                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-                a,
-            ))
-            leaves = [l for l in jax.tree_util.tree_leaves(out)
-                      if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)]
-            probe = sum(jnp.asarray(l).ravel()[0].astype(jnp.float32) for l in leaves)
-            return carry + probe * 1e-30, ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_static)
-        return c
-
-    jl = jax.jit(loop, static_argnums=(0,))
-    t0 = time.monotonic()
-    float(jl(1, *args))
-    compile_s = time.monotonic() - t0
-    float(jl(iters, *args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        float(jl(iters, *args))
-        best = min(best, (time.monotonic() - t0) / iters * 1e3)
-    print(f"{label:<46} {best:8.2f} ms/iter   (compile {compile_s:.0f}s)", flush=True)
-    return best
+    return _timed_scan(fn, *args, iters=iters, label=label, label_width=46)
 
 
 def main():

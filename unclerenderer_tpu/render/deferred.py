@@ -136,7 +136,14 @@ def deferred_frame(
         )
         depth, tri_id = masked_out[0], masked_out[1]
         attr = masked_out[2] if attr is not None else None
-    raster_stats = {k: dist.psum(v) for k, v in raster_stats.items()}
+    # pair_overflow/giant_truncated come from per-slab binning -> psum;
+    # compact_overflow comes from the REPLICATED camera-view compaction
+    # (identical setup math on every device), so psumming it would inflate
+    # by n_dev -- keep it replicated, like shadow_compact_overflow below
+    raster_stats = {
+        k: (v if k == "compact_overflow" else dist.psum(v))
+        for k, v in raster_stats.items()
+    }
     # replicated under sharding (identical setup math on every device), so
     # no psum -- the single-chip and multichip stats stay bit-identical
     raster_stats["shadow_compact_overflow"] = shadow_overflow

@@ -624,6 +624,9 @@ class Renderer:
         self._shadow_fn = None
         self._frames_fn = None
         self._taa_history_ready = False
+        # stats()/pick() must not read a frame from the OLD pipeline (its
+        # arrays may even have the old resolution)
+        self._last_out = None
         if (new.width, new.height) != (old.width, old.height):
             # frame-carried state (TAA history, HZB) is resolution-shaped
             self.frame_state = FrameState.initial(new.width, new.height)

@@ -260,15 +260,17 @@ def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
     tap becomes free.  Replaces the reference's hardware trilinear cube fetch
     (``DeferredLighting.hlsl:76-91``) bit-exactly vs the two-gather path.
 
-    Requires square power-of-two 4-channel chains complete down to 1x1 (the
-    last level packs its own 3x3 as edge-replicated self, which reproduces
-    the clamped lod = lmax tap exactly).
+    Requires square power-of-two 4-channel chains.  The chain may stop
+    short of 1x1 (prefiltered IBL cubes often do): the last level packs its
+    own edge-replicated 3x3 as its "parent", which is harmless because the
+    sampler's lod is clamped to env_mip_count-1 by the caller (ops/pbr.py),
+    making the parent-tap weight exactly 0 at the last level.
     """
     for chain in texture_mips:
         h0, w0 = chain[0].shape[:2]
         assert h0 == w0, f"tri atlas requires square chains, got {w0}x{h0}"
-        assert len(chain) == int(w0).bit_length(), (
-            f"tri atlas requires a full mip chain to 1x1 ({w0} needs "
+        assert len(chain) <= int(w0).bit_length(), (
+            f"tri atlas chain longer than the mip pyramid ({w0} allows "
             f"{int(w0).bit_length()} levels, got {len(chain)})"
         )
         assert chain[0].shape[-1] == 4, "tri atlas is 4-channel only"

@@ -285,11 +285,11 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
                         ("I", s.enable_ibl), ("G", s.enable_gpu_culling),
                     ]
                 )
-                hbm = (
-                    f"  hbm {st['hbm_bytes_in_use'] / 1e9:.1f}/"
-                    f"{st['hbm_bytes_limit'] / 1e9:.0f}G"
-                    if "hbm_bytes_in_use" in st else ""
-                )
+                hbm = ""
+                if "hbm_bytes_in_use" in st:
+                    hbm = f"  hbm {st['hbm_bytes_in_use'] / 1e9:.1f}"
+                    if "hbm_bytes_limit" in st:
+                        hbm += f"/{st['hbm_bytes_limit'] / 1e9:.0f}G"
                 sname, sholder, _st_, _lo, _hi = sliders[slider_i]
                 sval = float(getattr(getattr(renderer, sholder), sname))
                 sys.stdout.write(
