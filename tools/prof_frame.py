@@ -228,6 +228,53 @@ def main():
             return d
         timed_scan(full_binned, setup0, label="shadow: full binned raster")
 
+    if on("rasterparts"):
+        # sub-stage split of the camera-view binned raster: where do the
+        # ~31 ms of kernels+merges (round-2 profile) actually sit?
+        from unclerenderer_tpu.ops import pallas_raster as pr
+        from unclerenderer_tpu.ops.binning import bin_triangles
+
+        def cam_setup(sc, vp):
+            st, _ph = setup_fn(sc, vp)
+            cap = common.compaction_cap(settings, t_count)
+            if cap:
+                st, _ids, _ovf = compact_setup(st, cap)
+            return st
+
+        setup0 = jax.block_until_ready(
+            jax.jit(cam_setup)(scene, params.view_proj))
+        th, tw, ck = settings.tile_h, settings.tile_w, settings.chunk
+
+        def bins_only(st):
+            b = bin_triangles(
+                st, W, H, th, tw, ck, max_span=settings.bin_max_span,
+                budget_factor=settings.bin_budget_factor)
+            return b.coef, b.valid, b.overflow
+        timed_scan(bins_only, setup0, label="raster: fine binning (sort+gather)")
+
+        bins0 = jax.block_until_ready(jax.jit(
+            lambda st: bin_triangles(
+                st, W, H, th, tw, ck, max_span=settings.bin_max_span,
+                budget_factor=settings.bin_budget_factor)
+        )(setup0))
+
+        def fine_only(b):
+            out = pr._run_binned_kernel(b, W, H, th, tw, ck, 0, INTERPRET)
+            return out[0], out[1]
+        timed_scan(fine_only, bins0, label="raster: fine kernel only")
+
+        def full_binned(st):
+            d, t, _st = pr.rasterize_binned(
+                st, W, H, tile_h=th, tile_w=tw, chunk=ck,
+                budget_factor=settings.bin_budget_factor,
+                max_span=settings.bin_max_span,
+                mid_divisor=settings.bin_mid_divisor,
+                giant_divisor=settings.bin_giant_divisor,
+                interpret=INTERPRET)
+            return d, t
+        timed_scan(full_binned, setup0,
+                   label="raster: full binned (fine+mid+giant+merge)")
+
     if on("pcf") or on("ibl"):
         # shared fixtures: a resolved g-buffer and a shadow map
         from unclerenderer_tpu.ops import pbr
