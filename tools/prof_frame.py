@@ -66,10 +66,24 @@ def main():
     )
     t_count = int(scene.tri_geo.shape[0])
     print("triangles:", t_count, flush=True)
+    # optional raster-tuning sweeps (defaults = RenderSettings defaults)
+    overrides = {}
+    for env, field, conv in [
+        ("PROF_TILE_H", "tile_h", int), ("PROF_TILE_W", "tile_w", int),
+        ("PROF_CHUNK", "chunk", int),
+        ("PROF_BUDGET", "bin_budget_factor", float),
+        ("PROF_SHADOW_TILE_H", "shadow_tile_h", int),
+        ("PROF_SHADOW_TILE_W", "shadow_tile_w", int),
+        ("PROF_SHADOW_CHUNK", "shadow_chunk", int),
+    ]:
+        if os.environ.get(env):
+            overrides[field] = conv(os.environ[env])
+    if overrides:
+        print("overrides:", overrides, flush=True)
     settings = RenderSettings(
         width=W, height=H, renderer_type="deferred", shadow_map_size=SHADOW,
         raster_backend=BACKEND, has_masked_models=False,
-        combined_material=True, pallas_interpret=INTERPRET,
+        combined_material=True, pallas_interpret=INTERPRET, **overrides,
     )
     params = synthetic_frame_params(data, W, H)
     state = FrameState.initial(W, H)
