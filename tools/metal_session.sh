@@ -17,4 +17,22 @@ timeout 5400 python bench.py 2>&1 | tail -3 | tee /tmp/metal/bench.json
 echo "== stage profile ==" | tee -a /tmp/metal/log
 timeout 4500 python tools/prof_frame.py 2>&1 | grep -vE "WARNING|INFO" | tee /tmp/metal/prof.txt | tail -40
 
+# tile-shape sweep on the two dominant kernels (env overrides); each row is
+# independent so a dropped relay mid-sweep keeps everything measured so far
+echo "== raster tile sweep ==" | tee -a /tmp/metal/log
+for cfg in "8 128 64" "16 128 64" "16 64 128" "32 128 64"; do
+  set -- $cfg
+  echo "-- tile_h=$1 tile_w=$2 chunk=$3 --" | tee -a /tmp/metal/sweep.txt
+  PROF_TILE_H=$1 PROF_TILE_W=$2 PROF_CHUNK=$3 timeout 900 \
+    python tools/prof_frame.py rasterparts 2>&1 \
+    | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -4
+done
+for cfg in "16 256 64" "32 256 64" "64 128 64" "32 128 128"; do
+  set -- $cfg
+  echo "-- shadow_tile_h=$1 shadow_tile_w=$2 shadow_chunk=$3 --" | tee -a /tmp/metal/sweep.txt
+  PROF_SHADOW_TILE_H=$1 PROF_SHADOW_TILE_W=$2 PROF_SHADOW_CHUNK=$3 timeout 900 \
+    python tools/prof_frame.py shadowparts 2>&1 \
+    | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -5
+done
+
 echo "== done ==" | tee -a /tmp/metal/log
