@@ -284,6 +284,8 @@ def main():
                 max_span=settings.bin_max_span,
                 mid_divisor=settings.bin_mid_divisor,
                 giant_divisor=settings.bin_giant_divisor,
+                giant_tile_h=min(settings.giant_tile_h, H),
+                giant_tile_w=settings.giant_tile_w,
                 interpret=INTERPRET)
             return d, t
         timed_scan(full_binned, setup0,

@@ -215,6 +215,7 @@ def raster_opaque(
         setup, settings.width, out_h,
         min(settings.tile_h, out_h), settings.tile_w, settings.chunk,
         DEPTH_MAX, settings, y_offset=y_off, records=records,
+        giant_tile=(min(settings.giant_tile_h, out_h), settings.giant_tile_w),
     )
     depth, tri_id, stats = res[0], res[1], dict(res[2])
     stats["compact_overflow"] = c_overflow

@@ -128,6 +128,14 @@ class RenderSettings:
     # (live blocks ~= 0.35 x budget at 3.0); overflow is counted and
     # surfaced in Renderer.stats() -- raise when pair_overflow is nonzero.
     bin_budget_factor: float = 2.0
+    # Camera-view giant-level brute kernel tiles.  The giant level holds a
+    # handful of wall/floor triangles but its grid is (tiles x chunks):
+    # at 32x128 tiles 1080p runs 510 tiles x ~23 chunks of step overhead
+    # for almost no work; 64x256 cuts the grid ~3.75x (bit-exact -- tile
+    # shape only affects scheduling).  Same rationale as the shadow
+    # giant tiles above.
+    giant_tile_h: int = 64
+    giant_tile_w: int = 256
     # compacted mid/giant raster level capacities = T // divisor (see
     # ops/pallas_raster.py rasterize_binned).  Measured Sponza-class tier:
     # 604 mid of 263k (T/435), a handful giant -- the defaults keep >25x
