@@ -454,3 +454,16 @@ def test_update_settings_resolution_and_chain_invalidation(reference_assets):
     assert oid >= 0
     out = r.render_frame()
     assert np.asarray(out["color"]).shape == (32, 32, 3)
+
+
+def test_profile_trace(tmp_path):
+    """Renderer.profile_trace writes a jax.profiler capture (the PIX-capture
+    analog, SURVEY 5.1) containing at least one trace event file."""
+    s = RenderSettings(renderer_type="forward", enable_ibl=False, enable_sky=False,
+                      enable_shadows=False, **SMALL)
+    r = Renderer(tmp_path / "missing.json", settings=s)  # procedural fallback
+    out_dir = r.profile_trace(tmp_path / "trace", frames=1)
+    import pathlib
+
+    files = list(pathlib.Path(out_dir).rglob("*"))
+    assert any(f.is_file() for f in files), "trace produced no files"

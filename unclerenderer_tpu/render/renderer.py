@@ -731,6 +731,22 @@ class Renderer:
 
         return profile_deferred_passes(self, iterations)
 
+    def profile_trace(self, trace_dir, frames: int = 3) -> str:
+        """Capture a ``jax.profiler`` device trace of ``frames`` rendered
+        frames into ``trace_dir`` (viewable with TensorBoard / Perfetto).
+        The XLA/device-level analog of the reference's PIX capture
+        (``Source/Core/GpuDebugMarkers.h``): every ``named_pass`` shows up
+        as a ``jax.named_scope`` annotation in the trace."""
+        import jax.profiler
+
+        trace_dir = str(trace_dir)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(frames):
+                out = self.render_frame()
+            jax.block_until_ready(out["color"])
+        log_info(f"profiler trace ({frames} frames) written to {trace_dir}")
+        return trace_dir
+
     def save_state(self, path) -> None:
         """Checkpoint camera + frame-carried state (goes beyond the
         reference, which persists only the INI; trivial with pytrees)."""
