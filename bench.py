@@ -163,8 +163,10 @@ def _pallas_parity_gate():
     )
     if not ok:
         ndiff = int((np.asarray(dx) != np.asarray(dp)).sum())
-        raise AssertionError(
-            f"Pallas/XLA raster mismatch on this backend: {ndiff} depth pixels differ"
+        print(
+            f"PALLAS PARITY FAILURE: {ndiff} depth pixels differ vs XLA on "
+            "this backend -- benching the XLA raster path instead",
+            file=sys.stderr,
         )
     return ok
 
@@ -227,7 +229,9 @@ def main() -> int:
         height=HEIGHT,
         renderer_type="deferred",
         shadow_map_size=shadow_size,
-        raster_backend="auto",
+        # a Mosaic miscompile (parity False) demotes the headline to the
+        # bit-trusted XLA raster; the JSON still records the failure
+        raster_backend="auto" if pallas_parity is not False else "xla",
     )
 
     # headline: Sponza-class synthetic (~263k tris) -- the north-star load at
