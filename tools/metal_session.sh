@@ -35,4 +35,7 @@ for cfg in "16 256 64" "32 256 64" "64 128 64" "32 128 128"; do
     | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -5
 done
 
+echo "== gather law: lanes vs bytes ==" | tee -a /tmp/metal/log
+timeout 1800 python tools/prof_gather.py 2>&1 | grep -vE "WARNING|INFO" | tee /tmp/metal/gather.txt | tail -30
+
 echo "== done ==" | tee -a /tmp/metal/log

@@ -1,0 +1,69 @@
+"""On-chip gather-law prober: cost vs (table rows, lanes, dtype).
+
+Answers the open question the round-2 gather law left: is the ~128-lane
+fast-path limit in LANES or BYTES?  f32 128-lane rows are 512 B; if the
+cliff is bytes, bf16 rows stay fast to 256 lanes -- which would make a
+packed-trilinear MATERIAL atlas (16 own + 144 parent bf16 lanes = 320 B)
+a single fast gather and trilinear filtering ~free (ARCHITECTURE.md
+deviation #1 could then default to parity).
+
+    python tools/prof_gather.py        # full sweep
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unclerenderer_tpu.core.jaxcache import (
+    enable_persistent_cache,
+    pin_platform_from_env,
+)
+
+pin_platform_from_env()
+enable_persistent_cache()
+
+from tools.timing import timed_scan
+
+N_REQ = 2_000_000  # one request per 1080p-ish pixel
+
+
+def probe(rows: int, lanes: int, dtype):
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.random((rows, lanes), np.float32), dtype)
+    idx = jnp.asarray(rng.integers(0, rows, N_REQ, dtype=np.int64), jnp.int32)
+
+    def gather(t, i):
+        return t[i].astype(jnp.float32).sum(axis=-1)
+
+    bytes_per_row = lanes * jnp.dtype(dtype).itemsize
+    ms = timed_scan(
+        gather, table, idx, iters=4,
+        label=f"{rows:>8} rows x {lanes:>3} {jnp.dtype(dtype).name:<9}"
+              f" ({bytes_per_row:>4} B/row)",
+    )
+    return ms / N_REQ * 1e6  # ns per request
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    for rows in (65536, 94208, 163840, 262144):
+        for lanes, dtype in (
+            (128, jnp.float32),   # known fast under ~96k rows
+            (160, jnp.float32),   # known always slow (lane > 128)
+            (128, jnp.bfloat16),  # 256 B/row
+            (160, jnp.bfloat16),  # 320 B/row -- the material packed-tri row
+            (256, jnp.bfloat16),  # 512 B/row == the f32 128-lane byte width
+            (320, jnp.bfloat16),  # 640 B/row -- past it
+        ):
+            probe(rows, lanes, dtype)
+
+
+if __name__ == "__main__":
+    main()
