@@ -58,9 +58,19 @@ def main():
             (128, jnp.float32),   # known fast under ~96k rows
             (160, jnp.float32),   # known always slow (lane > 128)
             (128, jnp.bfloat16),  # 256 B/row
-            (160, jnp.bfloat16),  # 320 B/row -- the material packed-tri row
+            (160, jnp.bfloat16),  # 320 B/row
+            (208, jnp.bfloat16),  # the 16ch packed-tri material row (unpadded)
             (256, jnp.bfloat16),  # 512 B/row == the f32 128-lane byte width
             (320, jnp.bfloat16),  # 640 B/row -- past it
+        ):
+            probe(rows, lanes, dtype)
+    # the production material-tap shape: combined quad atlas, ~0.5M rows.
+    # Round-2 stage math implies this runs FASTER than the law's 12-19
+    # ns/row slow path (resolve budget doesn't fit otherwise) -- measure it
+    # directly, f32 vs bf16.
+    for rows in (524288,):
+        for lanes, dtype in (
+            (64, jnp.float32), (64, jnp.bfloat16), (256, jnp.bfloat16),
         ):
             probe(rows, lanes, dtype)
 
