@@ -467,3 +467,53 @@ def test_profile_trace(tmp_path):
 
     files = list(pathlib.Path(out_dir).rglob("*"))
     assert any(f.is_file() for f in files), "trace produced no files"
+
+
+def test_packed_trilinear_material_frame_bit_exact():
+    """material_packed_trilinear=True (ONE 256-lane row gather per material
+    tap, textures/atlas.py build_pyramid_tri_atlas) must reproduce the
+    two-gather trilinear frame -- full deferred pipeline on the
+    rich-materials synthetic scene, plus the bilinear and anisotropic filter
+    modes through the same packed atlas.  The SAMPLERS are bit-exact
+    (test_pyramid_tri_matches_two_gather); at frame level XLA fuses the
+    single-gather expression tree differently (FMA/reassociation), so the
+    comparison allows the repo's standard 1e-5 fp tolerance (measured
+    max delta 2.5e-7)."""
+    import dataclasses
+
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="deferred", has_masked_models=False,
+        combined_material=True, **SMALL
+    )
+    params = None
+    outs = {}
+    for packed in (False, True):
+        scene, data = synthetic_device_scene(
+            6, sphere_res=(10, 8), ground=True, rich_materials=True,
+            packed_trilinear=packed,
+        )
+        if params is None:
+            params = synthetic_frame_params(data, 64, 64)
+        assert scene.quad_img.shape[-1] == (256 if packed else 64)
+        for filt in ("trilinear", "bilinear", "anisotropic"):
+            s = dataclasses.replace(
+                base, texture_filter=filt, material_packed_trilinear=packed
+            )
+            state = FrameState.initial(64, 64)
+            out, _ = jax.jit(
+                lambda sc, p, st, s=s: deferred_frame(sc, p, st, s)
+            )(scene, params, state)
+            outs[(packed, filt)] = np.asarray(out["color"])
+    for filt in ("trilinear", "bilinear", "anisotropic"):
+        np.testing.assert_allclose(
+            outs[(True, filt)], outs[(False, filt)], atol=1e-5, err_msg=filt
+        )
+    # sanity: the three filters genuinely differ on this scene
+    diff = np.abs(outs[(True, "trilinear")] - outs[(True, "bilinear")])
+    assert diff.max() > 1e-3

@@ -322,3 +322,65 @@ def test_cube_pyramid_tri_flat_env():
         )
     )
     np.testing.assert_allclose(out, 0.1, atol=1e-6)
+
+
+@pytest.mark.parametrize("wrap,c,shape,levels", [
+    (True, 4, (32, 32), 6),      # square full chain, WRAP
+    (False, 4, (32, 32), 6),     # CLAMP
+    (True, 16, (64, 64), 7),     # combined-material channel count
+    (True, 4, (16, 64), 7),      # wide rectangular (tall tail on w axis)
+    (True, 4, (64, 16), 7),      # tall rectangular
+    (True, 16, (64, 64), 4),     # truncated chain (stops at 8x8)
+])
+def test_pyramid_tri_matches_two_gather(wrap, c, shape, levels):
+    """sample_pyramid_tri (ONE row gather over the packed tri atlas) must be
+    BIT-EXACT vs sample_pyramid_trilinear (two quad gathers) for the same
+    stored chains -- WRAP and CLAMP addressing, C=4 and C=16 channels,
+    rectangular chains with saturated tails, truncated chains, tiling and
+    negative uvs, lods hitting 0 / integers / fractions / lmax."""
+    from unclerenderer_tpu.textures.atlas import (
+        build_pyramid_quad_atlas,
+        build_pyramid_tri_atlas,
+    )
+
+    rng = np.random.default_rng(int(shape[0]) * 131 + c + levels)
+    h0, w0 = shape
+    full = generate_mips(rng.random((h0, w0, 4), np.float32))
+    if c != 4:
+        # synthesize a C-channel chain by tiling the 4-channel mips
+        full = [np.tile(m, (1, 1, c // 4)) for m in full]
+    chains = [full[:levels], [m * 0.5 for m in full][:levels]]
+    quad, rq = build_pyramid_quad_atlas(chains, wrap=wrap)
+    tri, rt = build_pyramid_tri_atlas(chains, wrap=wrap)
+    np.testing.assert_array_equal(rq, rt)
+    assert tri.shape[-1] == 16 * c
+
+    mode = tex.ADDRESS_WRAP if wrap else tex.ADDRESS_CLAMP
+    n = 512
+    uv = jnp.asarray(rng.uniform(-2.0, 3.0, (n, 2)).astype(np.float32))
+    lmax = float(levels - 1)
+    lods = jnp.asarray(
+        np.concatenate([
+            rng.uniform(0.0, lmax, n - 6).astype(np.float32),
+            np.array([0.0, 1.0, 1.5, lmax - 0.25, lmax, -0.5], np.float32),
+        ])
+    )
+    which = rng.integers(0, 2, n)
+    rect = jnp.asarray(np.stack([rq[i] for i in which]).astype(np.float32))
+    ref = tex.sample_pyramid_trilinear(
+        jnp.asarray(quad).reshape(-1, 4 * c), quad.shape[1], rect, uv, lods, mode
+    )
+    got = tex.sample_pyramid_tri(
+        jnp.asarray(tri).reshape(-1, 16 * c), tri.shape[1], rect, uv, lods, mode
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # the packed atlas also serves single-level bilinear taps (lanes 0:4C)
+    lvl = jnp.asarray(rng.integers(0, levels, n, dtype=np.int64), jnp.int32)
+    ref_b = tex.sample_pyramid_bilinear(
+        jnp.asarray(quad).reshape(-1, 4 * c), quad.shape[1], rect, uv, lvl, mode
+    )
+    got_b = tex.sample_pyramid_tri_level(
+        jnp.asarray(tri).reshape(-1, 16 * c), tri.shape[1], rect, uv, lvl, mode
+    )
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))

@@ -35,6 +35,15 @@ for cfg in "16 256 64" "32 256 64" "64 128 64" "32 128 128"; do
     | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -5
 done
 
+echo "== trilinear resolve: packed vs two-gather ==" | tee -a /tmp/metal/log
+for cfg in "0 trilinear" "1 trilinear" "1 bilinear"; do
+  set -- $cfg
+  echo "-- packed_tri=$1 filter=$2 --" | tee -a /tmp/metal/sweep.txt
+  PROF_PACKED_TRI=$1 PROF_FILTER=$2 timeout 900 \
+    python tools/prof_frame.py resolve 2>&1 \
+    | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -3
+done
+
 echo "== gather law: lanes vs bytes ==" | tee -a /tmp/metal/log
 timeout 1800 python tools/prof_gather.py 2>&1 | grep -vE "WARNING|INFO" | tee /tmp/metal/gather.txt | tail -30
 

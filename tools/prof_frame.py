@@ -45,6 +45,8 @@ SHADOW = int(os.environ.get("PROF_SHADOW", "4096"))
 N_OBJECTS = int(os.environ.get("PROF_OBJECTS", "340"))
 BACKEND = os.environ.get("PROF_BACKEND", "pallas")
 INTERPRET = bool(int(os.environ.get("PROF_INTERPRET", "0")))
+# packed-trilinear material atlas (single 256-lane tap per material sample)
+PACKED_TRI = bool(int(os.environ.get("PROF_PACKED_TRI", "0")))
 
 
 from tools.timing import timed_scan as _timed_scan
@@ -62,7 +64,8 @@ def main():
         return not want or name in want
 
     scene, data = synthetic_device_scene(
-        N_OBJECTS, sphere_res=(32, 24), ground=True, rich_materials=True
+        N_OBJECTS, sphere_res=(32, 24), ground=True, rich_materials=True,
+        packed_trilinear=PACKED_TRI,
     )
     t_count = int(scene.tri_geo.shape[0])
     print("triangles:", t_count, flush=True)
@@ -83,7 +86,10 @@ def main():
     settings = RenderSettings(
         width=W, height=H, renderer_type="deferred", shadow_map_size=SHADOW,
         raster_backend=BACKEND, has_masked_models=False,
-        combined_material=True, pallas_interpret=INTERPRET, **overrides,
+        combined_material=True, pallas_interpret=INTERPRET,
+        material_packed_trilinear=PACKED_TRI,
+        texture_filter=os.environ.get("PROF_FILTER", "bilinear"),
+        **overrides,
     )
     params = synthetic_frame_params(data, W, H)
     state = FrameState.initial(W, H)

@@ -302,6 +302,123 @@ def sample_pyramid_trilinear(
     return a * (1.0 - frac) + b * frac
 
 
+def sample_pyramid_tri(
+    tri_flat: jnp.ndarray,
+    atlas_width: int,
+    rect0: jnp.ndarray,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    """Trilinear pyramid sample with ONE row gather over the packed
+    atlas (textures/atlas.py build_pyramid_tri_atlas): lanes 0:4C of the
+    gathered row are the mip-L bilinear quad, lanes 4C:13C the parent
+    texel's 3x3 at mip L+1, from which the second tap's 2x2 footprint is a
+    lane select.  Bit-exact vs ``sample_pyramid_trilinear`` on the
+    matching quad atlas (same stored texels, same blend order).
+
+    tri_flat: (H*W, 16C); returns (..., C).  WRAP: the base-index relation
+    is computed on UNwrapped floors (ix2_raw - (ix_raw >> 1) in {-1, 0} is
+    pure arithmetic while the level width halves), then the window content
+    -- built with wrap padding -- lands the wrapped texels; on a saturated
+    axis (w == 1 tail) every window column is the same texel, so the
+    clipped select stays exact.
+    """
+    c = tri_flat.shape[-1] // 16
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    # --- tap a: mip l0, from the row's own quad (lanes 0:4C) ---
+    x, y, w, h = _pyramid_rect(rect0, l0)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    tx = uv[..., 0] * wf - 0.5
+    ty = uv[..., 1] * hf - 0.5
+    if address_mode == ADDRESS_CLAMP:
+        tx = jnp.clip(tx, 0.0, wf - 1.0)
+        ty = jnp.clip(ty, 0.0, hf - 1.0)
+    fx0 = jnp.floor(tx)
+    fy0 = jnp.floor(ty)
+    fx = (tx - fx0)[..., None]
+    fy = (ty - fy0)[..., None]
+    ix_raw = fx0.astype(jnp.int32)
+    iy_raw = fy0.astype(jnp.int32)
+    ix = _wrap_index(ix_raw, w, address_mode)
+    iy = _wrap_index(iy_raw, h, address_mode)
+    row = jnp.take(
+        tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
+    ).astype(jnp.float32)
+    quad = row[..., 0 : 4 * c]
+    top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
+    bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
+    a = top * (1.0 - fy) + bot * fy
+
+    # --- tap b: mip l0+1, reconstructed from the packed parent 3x3 ---
+    _, _, w2, h2 = _pyramid_rect(rect0, l0 + 1)
+    w2f = w2.astype(jnp.float32)
+    h2f = h2.astype(jnp.float32)
+    tx2 = uv[..., 0] * w2f - 0.5
+    ty2 = uv[..., 1] * h2f - 0.5
+    if address_mode == ADDRESS_CLAMP:
+        tx2 = jnp.clip(tx2, 0.0, w2f - 1.0)
+        ty2 = jnp.clip(ty2, 0.0, h2f - 1.0)
+    fx20 = jnp.floor(tx2)
+    fy20 = jnp.floor(ty2)
+    fx2 = (tx2 - fx20)[..., None]
+    fy2 = (ty2 - fy20)[..., None]
+    ix2_raw = fx20.astype(jnp.int32)
+    iy2_raw = fy20.astype(jnp.int32)
+    # 3x3 window column/row of the base corner: parent p = i>>1, base in
+    # {p-1, p} -> col = i2 - (p - 1) in {0, 1}; the clip covers the
+    # saturated tail (w == w2), where the window is uniform anyway
+    cox = jnp.clip(ix2_raw - (ix_raw >> 1) + 1, 0, 1)[..., None]
+    roy = jnp.clip(iy2_raw - (iy_raw >> 1) + 1, 0, 1)[..., None]
+    r3 = row[..., 4 * c : 13 * c].reshape(row.shape[:-1] + (3, 3, c))
+    win_t = jnp.where(cox[..., None] == 0, r3[..., 0, 0:2, :], r3[..., 0, 1:3, :])
+    win_m = jnp.where(cox[..., None] == 0, r3[..., 1, 0:2, :], r3[..., 1, 1:3, :])
+    win_b = jnp.where(cox[..., None] == 0, r3[..., 2, 0:2, :], r3[..., 2, 1:3, :])
+    row_top = jnp.where(roy[..., None] == 0, win_t, win_m)
+    row_bot = jnp.where(roy[..., None] == 0, win_m, win_b)
+    top2 = row_top[..., 0, :] * (1.0 - fx2) + row_top[..., 1, :] * fx2
+    bot2 = row_bot[..., 0, :] * (1.0 - fx2) + row_bot[..., 1, :] * fx2
+    b = top2 * (1.0 - fy2) + bot2 * fy2
+
+    return a * (1.0 - frac) + b * frac
+
+
+def sample_pyramid_tri_level(
+    tri_flat: jnp.ndarray,
+    atlas_width: int,
+    rect0: jnp.ndarray,
+    uv: jnp.ndarray,
+    level: jnp.ndarray,
+    address_mode: int = ADDRESS_WRAP,
+) -> jnp.ndarray:
+    """Single bilinear tap at an integer mip over the PACKED tri atlas
+    (lanes 0:4C are exactly the quad atlas) -- serves the bilinear filter
+    mode on a packed-trilinear material atlas without a second layout."""
+    c = tri_flat.shape[-1] // 16
+    x, y, w, h = _pyramid_rect(rect0, level)
+    tx = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    ty = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    if address_mode == ADDRESS_CLAMP:
+        tx = jnp.clip(tx, 0.0, w.astype(jnp.float32) - 1.0)
+        ty = jnp.clip(ty, 0.0, h.astype(jnp.float32) - 1.0)
+    fx0 = jnp.floor(tx)
+    fy0 = jnp.floor(ty)
+    fx = (tx - fx0)[..., None]
+    fy = (ty - fy0)[..., None]
+    ix = _wrap_index(fx0.astype(jnp.int32), w, address_mode)
+    iy = _wrap_index(fy0.astype(jnp.int32), h, address_mode)
+    quad = jnp.take(
+        tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
+    ).astype(jnp.float32)[..., 0 : 4 * c]
+    top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
+    bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def sample_cube_pyramid(
     env_quad_flat: jnp.ndarray,
     atlas_width: int,

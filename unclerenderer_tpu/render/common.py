@@ -53,6 +53,31 @@ def tri_draw_masks(scene: DeviceScene, model_visible: jnp.ndarray):
     return vis & ~masked, vis & masked
 
 
+def _atlas_is_packed_tri(quad_flat: jnp.ndarray) -> bool:
+    """Static layout dispatch: the combined packed-trilinear material atlas
+    has 16*COMBINED_C = 256 lanes; plain quad layouts are 16 (per-map) or
+    64 (combined).  Packed rows only exist for the combined atlas
+    (renderer.py _build_device_scene), so the lane count is unambiguous."""
+    return quad_flat.shape[-1] == 256
+
+
+def _sample_level_any(quad_flat, atlas_width, rect0, uv, level):
+    """Bilinear tap at an integer mip on EITHER atlas layout (the alpha-test
+    kernels and the bilinear filter mode share it)."""
+    if _atlas_is_packed_tri(quad_flat):
+        return tex.sample_pyramid_tri_level(quad_flat, atlas_width, rect0, uv, level)
+    return tex.sample_pyramid_bilinear(quad_flat, atlas_width, rect0, uv, level)
+
+
+def _sample_trilinear_any(quad_flat, atlas_width, rect0, uv, lod):
+    """Trilinear tap on either layout: ONE row gather on the packed atlas
+    (textures/atlas.py build_pyramid_tri_atlas, bit-exact), two on the
+    plain quad atlas."""
+    if _atlas_is_packed_tri(quad_flat):
+        return tex.sample_pyramid_tri(quad_flat, atlas_width, rect0, uv, lod)
+    return tex.sample_pyramid_trilinear(quad_flat, atlas_width, rect0, uv, lod)
+
+
 def _use_pallas(settings: RenderSettings) -> bool:
     if settings.raster_backend == "pallas":
         return True
@@ -483,7 +508,7 @@ def _rasterize_alpha(
         ca = form(c_nca[:, 0], c_nca[:, 1], c_nca[:, 2]) / denom
 
         uv = jnp.stack([u, v], axis=-1)
-        texel = tex.sample_pyramid_bilinear(
+        texel = _sample_level_any(
             quad_flat,
             atlas_width,
             jnp.broadcast_to(rect0[None, None, :, :], u.shape + (4,)),
@@ -683,7 +708,7 @@ def _rasterize_alpha_binned(
             v = lin(3) / denom
             ca = lin(6) / denom
             rect0 = jnp.broadcast_to(ar[:, None, :, 12:16], u.shape + (4,))
-            texel = tex.sample_pyramid_bilinear(
+            texel = _sample_level_any(
                 quad_flat, atlas_width, rect0,
                 jnp.stack([u, v], axis=-1), jnp.zeros(u.shape, jnp.int32),
             )
@@ -935,7 +960,7 @@ def resolve_materials(
             acc = 0.0
             for k in range(n):
                 t = ((k + 0.5) / n - 0.5) * extent
-                acc = acc + tex.sample_pyramid_trilinear(
+                acc = acc + _sample_trilinear_any(
                     quad_flat, atlas_width, rect0,
                     suv + dmaj * t[..., None], lod,
                 )
@@ -946,8 +971,8 @@ def resolve_materials(
         )
         if settings.texture_filter == "bilinear":
             level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)
-            return tex.sample_pyramid_bilinear(quad_flat, atlas_width, rect0, suv, level)
-        return tex.sample_pyramid_trilinear(quad_flat, atlas_width, rect0, suv, lod)
+            return _sample_level_any(quad_flat, atlas_width, rect0, suv, level)
+        return _sample_trilinear_any(quad_flat, atlas_width, rect0, suv, lod)
 
     albedo = M(PK.M_BCF, 3) * v_color[..., :3]
     alpha = M(PK.M_ALPHA) * v_color[..., 3]

@@ -61,6 +61,15 @@ class RenderSettings:
     max_anisotropy: int = 4
     # user knob: allow fusing material maps into the combined atlas
     enable_combined_material: bool = True
+    # Packed-trilinear material atlas: each texel row carries its own 2x2
+    # quad AND the parent mip's 3x3 (textures/atlas.py
+    # build_pyramid_tri_atlas), so a trilinear tap is ONE 256-lane bf16
+    # (512 B) row gather instead of two quad gathers -- the same packing
+    # that made IBL's env taps single-gather.  Requires combined_material
+    # (the Renderer forces it off otherwise); 4x atlas HBM.  Whether a
+    # 512 B row rides the gather fast path is measured by
+    # tools/prof_gather.py -- flip the default when the prober says yes.
+    material_packed_trilinear: bool = False
     # True when the scene atlas fuses all material maps into one 16-channel
     # texture per material (render/renderer.py COMBINED_C): the resolve does
     # ONE quad gather instead of one per slot.  Set by the Renderer at scene

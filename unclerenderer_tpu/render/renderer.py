@@ -44,7 +44,8 @@ from ..textures.image import COMBINED_C, combined_chain as _combined_chain  # no
 
 
 def _build_device_scene(
-    data: SceneData, assets_root: Path, allow_combined: bool = True
+    data: SceneData, assets_root: Path, allow_combined: bool = True,
+    packed_trilinear: bool = False,
 ) -> tuple[DeviceScene, float, bool]:
     """Assemble all device arrays: geometry, material tables, atlases."""
     cache = TextureCache()
@@ -171,7 +172,16 @@ def _build_device_scene(
             ),
             combo_keys,
         )
-        quad_img, rect0 = build_pyramid_quad_atlas(combo_chains, wrap=True, dtype=_BF16)
+        if packed_trilinear:
+            # 256-lane rows: both trilinear taps in ONE gather
+            # (RenderSettings.material_packed_trilinear)
+            quad_img, rect0 = build_pyramid_tri_atlas(
+                combo_chains, wrap=True, dtype=_BF16
+            )
+        else:
+            quad_img, rect0 = build_pyramid_quad_atlas(
+                combo_chains, wrap=True, dtype=_BF16
+            )
         slot_rect0 = np.repeat(
             rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
         )  # (M, 4, 4): every slot = the combined rect
@@ -332,10 +342,18 @@ class Renderer:
             self.background = np.array([0.1, 0.1, 0.15], np.float32)
 
         self.device_scene, self.env_mip_count, combined = _build_device_scene(
-            self.scene_data, self.assets_root, settings.enable_combined_material
+            self.scene_data, self.assets_root, settings.enable_combined_material,
+            packed_trilinear=settings.material_packed_trilinear,
         )
-        if settings.combined_material != combined:
-            settings = dataclasses.replace(settings, combined_material=combined)
+        # packed-trilinear rows only exist for the combined atlas
+        packed = settings.material_packed_trilinear and combined
+        if (settings.combined_material, settings.material_packed_trilinear) != (
+            combined, packed
+        ):
+            settings = dataclasses.replace(
+                settings, combined_material=combined,
+                material_packed_trilinear=packed,
+            )
             self.settings = settings
         self.frame_state = FrameState.initial(settings.width, settings.height)
         log_info(
@@ -616,6 +634,19 @@ class Renderer:
             return
         old = self.settings
         self.settings = new
+        if ("enable_combined_material" in changes
+                or "material_packed_trilinear" in changes):
+            # atlas layout is scene-level state: rebuild the device scene
+            # (and resync the derived flags, exactly like __init__)
+            self.device_scene, self.env_mip_count, combined = _build_device_scene(
+                self.scene_data, self.assets_root, new.enable_combined_material,
+                packed_trilinear=new.material_packed_trilinear,
+            )
+            packed = new.material_packed_trilinear and combined
+            new = dataclasses.replace(
+                new, combined_material=combined, material_packed_trilinear=packed
+            )
+            self.settings = new
         # the cached shadow fn/map and the chained-frames fn close over
         # settings
         self._shadow_cache = None
@@ -797,7 +828,8 @@ class Renderer:
             if data is None:
                 raise ValueError(f"failed to load scene {scene_path}")
             dev, mips, combined = _build_device_scene(
-                data, self.assets_root, self.settings.enable_combined_material
+                data, self.assets_root, self.settings.enable_combined_material,
+                packed_trilinear=self.settings.material_packed_trilinear,
             )
             return scene_path, data, dev, mips, combined
 

@@ -210,6 +210,7 @@ def synthetic_device_scene(
     sphere_res: tuple = (12, 8),
     ground: bool = False,
     rich_materials: bool = False,
+    packed_trilinear: bool = False,
 ) -> DeviceScene:
     """with_masked gives every 4th model (starting at 1) an alpha-cutout
     checker texture + MASK alpha mode, exercising the masked raster path.
@@ -226,9 +227,16 @@ def synthetic_device_scene(
         assert not with_masked, "rich_materials does not model MASK materials"
         n_combos = 6
         combo_chains = _rich_material_chains(n_combos, tex_size=256)
-        quad_img, rect0 = build_pyramid_quad_atlas(
-            combo_chains, wrap=True, dtype=np.float32
-        )
+        if packed_trilinear:
+            from ..textures.atlas import build_pyramid_tri_atlas
+
+            quad_img, rect0 = build_pyramid_tri_atlas(
+                combo_chains, wrap=True, dtype=np.float32
+            )
+        else:
+            quad_img, rect0 = build_pyramid_quad_atlas(
+                combo_chains, wrap=True, dtype=np.float32
+            )
         model_combo = np.arange(n, dtype=np.int32) % n_combos
         tex_ids = np.repeat(model_combo[:, None], 4, axis=1).astype(np.int32)
         has_map = np.ones((n, 4), bool)

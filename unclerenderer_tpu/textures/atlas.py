@@ -241,60 +241,80 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
 
 
 def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
-                            dtype=np.float32):
-    """Packed-trilinear pyramid atlas for environment cube chains.
+                            dtype=np.float32, wrap=False):
+    """Packed-trilinear pyramid atlas (env cubes AND, optionally, the
+    combined material atlas).
 
-    Each texel row carries BOTH taps of a trilinear sample:
-      lanes  0:16 -- the texel's own 2x2 bilinear quad at its mip (CLAMP,
-                     corner order TL,TR,BL,BR like the quad atlas),
-      lanes 16:52 -- the 3x3 neighborhood of its PARENT texel at the next
-                     mip (row-major, edge-clamped),
-      lanes 52:64 -- zero pad (non-pow2 gather rows are ~2.3x slower).
+    Each texel row carries BOTH taps of a trilinear sample of a C-channel
+    texture:
+      lanes     0:4C -- the texel's own 2x2 bilinear quad at its mip
+                        (corner order TL,TR,BL,BR like the quad atlas),
+      lanes  4C:13C -- the 3x3 neighborhood of its PARENT texel at the
+                        next mip (row-major, wrap- or edge-padded to match
+                        the address mode),
+      lanes 13C:16C -- zero pad to 16C (non-pow2 gather rows are ~2.3x
+                        slower; 16C is the next power of two of 13C for
+                        pow2 C).
 
     Why 3x3 is always enough: a uv that lands on texel ix = floor(u*w - 0.5)
     at mip L has its mip-L+1 bilinear base index in {ix>>1 - 1, ix>>1}, so
     the 2x2 footprint sits inside the 3x3 centred on (ix>>1, iy>>1).  The
-    sampler (ops/texture.py sample_cube_pyramid_tri) therefore needs ONE row
-    gather per trilinear sample instead of two; bf16 64-wide row gathers cost
-    the same as 16-wide (measured TPU gather law, BENCHLOG), so the second
-    tap becomes free.  Replaces the reference's hardware trilinear cube fetch
-    (``DeferredLighting.hlsl:76-91``) bit-exactly vs the two-gather path.
+    samplers (ops/texture.py sample_cube_pyramid_tri / sample_pyramid_tri)
+    therefore need ONE row gather per trilinear sample instead of two,
+    bit-exact vs the two-gather path.  C=4 env rows are 64 bf16 lanes
+    (128 B); C=16 combined-material rows are 256 lanes (512 B) -- the same
+    byte width as a 128-lane f32 row.  Replaces the reference's hardware
+    trilinear fetches (``DeferredLighting.hlsl:76-91``,
+    ``ForwardRenderer.cpp:956-959`` anisotropic base).
 
-    Requires square power-of-two 4-channel chains.  The chain may stop
-    short of 1x1 (prefiltered IBL cubes often do): the last level packs its
-    own edge-replicated 3x3 as its "parent", which is harmless because the
-    sampler's lod is clamped to env_mip_count-1 by the caller (ops/pbr.py),
-    making the parent-tap weight exactly 0 at the last level.
+    wrap: bool or per-texture list, same semantics as
+    build_pyramid_quad_atlas (False = CLAMP -- cube faces; True = WRAP --
+    tiling material textures).
+
+    Chains may be rectangular (pow2, tall tails supported) and may stop
+    short of 1x1: the last level packs its own padded 3x3 as its "parent",
+    which is harmless because the sampler's lod is clamped to
+    mip_count - 1 by the caller, making the parent-tap weight exactly 0
+    at the last level.
     """
     for chain in texture_mips:
         h0, w0 = chain[0].shape[:2]
-        assert h0 == w0, f"tri atlas requires square chains, got {w0}x{h0}"
-        assert len(chain) <= int(w0).bit_length(), (
-            f"tri atlas chain longer than the mip pyramid ({w0} allows "
-            f"{int(w0).bit_length()} levels, got {len(chain)})"
+        assert len(chain) <= max(int(w0).bit_length(), int(h0).bit_length()), (
+            f"tri atlas chain longer than the mip pyramid ({w0}x{h0}, "
+            f"got {len(chain)} levels)"
         )
-        assert chain[0].shape[-1] == 4, "tri atlas is 4-channel only"
-    quad, rect0 = build_pyramid_quad_atlas(texture_mips, wrap=False,
+    c = texture_mips[0][0].shape[-1]
+    assert (c & (c - 1)) == 0, f"tri atlas channel count must be pow2, got {c}"
+    wraps = [wrap] * len(texture_mips) if isinstance(wrap, bool) else list(wrap)
+    quad, rect0 = build_pyramid_quad_atlas(texture_mips, wrap=wrap,
                                            dtype=np.float32)
     height, width = quad.shape[:2]
-    data = np.zeros((height, width, 64), np.float32)
-    data[..., :16] = quad
+    data = np.zeros((height, width, 16 * c), np.float32)
+    data[..., : 4 * c] = quad
     del quad
     for t, chain in enumerate(texture_mips):
         x0, y0, w0, _h0 = (int(v) for v in rect0[t])
+        lw0 = int(np.log2(w0))
+        pad_mode = "wrap" if wraps[t] else "edge"
         levels = len(chain)
         for lv, img in enumerate(chain):
             h, w = img.shape[:2]
-            xl = x0 + 2 * (w0 - max(w0 >> lv, 1))
+            # same per-level x offset as build_pyramid_quad_atlas /
+            # _pyramid_rect (incl. the tall-texture tail shift)
+            xl = x0 + 2 * (w0 - max(w0 >> lv, 1)) + max(lv - lw0, 0)
             nxt = chain[min(lv + 1, levels - 1)].astype(np.float32)
-            pad = np.pad(nxt, ((1, 1), (1, 1), (0, 0)), mode="edge")
-            py = np.arange(h) >> 1
-            px = np.arange(w) >> 1
+            pad = np.pad(nxt, ((1, 1), (1, 1), (0, 0)), mode=pad_mode)
+            # parent center of texel i is i>>1; when the parent level is a
+            # saturated self-reference (last level / saturated axis) the
+            # window content is uniform along that axis, so the sampler's
+            # clipped column/row select stays exact
+            py = np.minimum(np.arange(h) >> 1, nxt.shape[0] - 1)
+            px = np.minimum(np.arange(w) >> 1, nxt.shape[1] - 1)
             for j in range(3):
                 rows = pad[py + j]
                 for i in range(3):
-                    lo = 16 + (j * 3 + i) * 4
-                    data[y0:y0 + h, xl:xl + w, lo:lo + 4] = rows[:, px + i]
+                    lo = 4 * c + (j * 3 + i) * c
+                    data[y0:y0 + h, xl:xl + w, lo:lo + c] = rows[:, px + i]
     if np.dtype(dtype) != np.float32:
         data = data.astype(dtype)
     log_info(
