@@ -149,3 +149,17 @@ def test_occlusion_cull_behind_big_occluder():
     )
     assert occ[0]  # behind the wall -> occluded
     assert not occ[1]  # in front of the wall -> visible
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (60, 34), (128, 72)])
+def test_hzb_pallas_tail_bit_exact(shape):
+    """The single-launch Pallas tail cascade (build_hzb pallas_tail=True,
+    interpret mode) must produce the identical packed pyramid as the XLA
+    reduction chain -- including odd-dimension crop/clamp levels."""
+    h, w = shape
+    rng = np.random.default_rng(h * 7 + w)
+    depth = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    layout, _total = hzb_layout(w // 2, h // 2)
+    ref = np.asarray(build_hzb(depth, layout))
+    got = np.asarray(build_hzb(depth, layout, pallas_tail=True, interpret=True))
+    np.testing.assert_array_equal(got, ref)

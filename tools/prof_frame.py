@@ -297,6 +297,23 @@ def main():
         timed_scan(full_binned, setup0,
                    label="raster: full binned (fine+mid+giant+merge)")
 
+    if on("hzb"):
+        from unclerenderer_tpu.ops.hzb import build_hzb, hzb_layout
+
+        layout, _total = hzb_layout(W // 2, H // 2)
+        depth0 = jax.block_until_ready(jax.jit(
+            lambda sc, vp: common.raster_opaque(
+                sc, *common.vertex_stage(sc, vp, W, H), opaque, settings
+            )[0]
+        )(scene, params.view_proj))
+        timed_scan(lambda d: build_hzb(d, layout), depth0,
+                   label="HZB build (XLA reduction chain)")
+        timed_scan(
+            lambda d: build_hzb(d, layout, pallas_tail=True,
+                                interpret=INTERPRET),
+            depth0, label="HZB build (Pallas single-launch tail)",
+        )
+
     if on("pcf") or on("ibl"):
         # shared fixtures: a resolved g-buffer and a shadow map
         from unclerenderer_tpu.ops import pbr

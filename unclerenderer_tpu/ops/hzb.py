@@ -10,6 +10,7 @@ FrameState).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.passes import named_pass
@@ -30,27 +31,69 @@ def hzb_layout(width: int, height: int):
     return layout, off
 
 
+def _reduce_level(cur: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
+    """One min-downsample level with the HLSL's clamped-edge/crop semantics
+    (written as 4 strided slices + elementwise min so the same code lowers
+    in both XLA and Mosaic -- identical values to reshape(h,2,w,2).min)."""
+    ch, cw = cur.shape
+    th, tw = h * 2, w * 2
+    if ch < th:
+        cur = jnp.concatenate([cur, cur[-1:, :]], axis=0)
+    elif ch > th:
+        cur = cur[:th, :]
+    if cw < tw:
+        cur = jnp.concatenate([cur, cur[:, -1:]], axis=1)
+    elif cw > tw:
+        cur = cur[:, :tw]
+    return jnp.minimum(
+        jnp.minimum(cur[0::2, 0::2], cur[1::2, 0::2]),
+        jnp.minimum(cur[0::2, 1::2], cur[1::2, 1::2]),
+    )
+
+
 @named_pass("BuildHZB")
-def build_hzb(depth: jnp.ndarray, layout) -> jnp.ndarray:
+def build_hzb(depth: jnp.ndarray, layout, pallas_tail: bool = False,
+              interpret: bool = False) -> jnp.ndarray:
     """Full-res reverse-Z depth (H, W) -> packed min-depth pyramid.
 
     Mip 0 of the pyramid is half the render resolution
     (``DeferredRenderer.cpp:2801-2878``); empty pixels carry depth 0 (far),
     min-propagation matches the HLSL's clamped-edge SampleDepth.
+
+    pallas_tail: compute every level past the first two in ONE Pallas
+    launch (the whole tail fits VMEM) instead of ~9 separate tiny XLA
+    reductions -- the mip-cascade analog of BuildHZB.hlsl's 4-mips-per-
+    dispatch groupshared loop.  Bit-identical values (same min tree).
     """
+    n_xla = len(layout) if not pallas_tail else min(2, len(layout))
     parts = []
     cur = depth
-    for _off, w, h in layout:
-        ch, cw = cur.shape
-        # clamp-pad odd dims like SampleDepth's min(coord, size-1)
-        th, tw = h * 2, w * 2
-        if ch != th or cw != tw:
-            cur = jnp.pad(cur, ((0, max(0, th - ch)), (0, max(0, tw - cw))), mode="edge")[
-                :th, :tw
-            ]
-        cur = cur.reshape(h, 2, w, 2).min(axis=(1, 3))
+    for _off, w, h in layout[:n_xla]:
+        cur = _reduce_level(cur, w, h)
         parts.append(cur.reshape(-1))
+    if n_xla < len(layout):
+        parts.extend(
+            t.reshape(-1) for t in _hzb_tail_pallas(cur, layout[n_xla:], interpret)
+        )
     return jnp.concatenate(parts)
+
+
+def _hzb_tail_pallas(top: jnp.ndarray, tail_layout, interpret: bool):
+    """All remaining pyramid levels in one kernel: ``top`` (the last
+    XLA-computed level, <= ~0.5 MB at 1080p) loads into VMEM once and the
+    unrolled min cascade writes each level to its own output ref."""
+    from jax.experimental import pallas as pl
+
+    def kernel(in_ref, *out_refs):
+        cur = in_ref[...]
+        for (_off, w, h), ref in zip(tail_layout, out_refs):
+            cur = _reduce_level(cur, w, h)
+            ref[...] = cur
+
+    out_shape = [
+        jax.ShapeDtypeStruct((h, w), jnp.float32) for _off, w, h in tail_layout
+    ]
+    return pl.pallas_call(kernel, out_shape=out_shape, interpret=interpret)(top)
 
 
 def hzb_load(pyramid: jnp.ndarray, layout, mip: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -160,7 +160,11 @@ def deferred_frame(
     # --- 6. HZB for next frame (sharded: built replicated from the
     # all_gather'd depth slabs so next frame's culling sees the full screen)
     if settings.enable_hzb:
-        new_hzb = build_hzb(dist.all_gather_rows(depth), layout)
+        new_hzb = build_hzb(
+            dist.all_gather_rows(depth), layout,
+            pallas_tail=settings.hzb_pallas_tail and common._use_pallas(settings),
+            interpret=settings.pallas_interpret,
+        )
     else:
         new_hzb = state.hzb
 

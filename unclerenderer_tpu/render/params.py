@@ -137,6 +137,12 @@ class RenderSettings:
     # (live blocks ~= 0.35 x budget at 3.0); overflow is counted and
     # surfaced in Renderer.stats() -- raise when pair_overflow is nonzero.
     bin_budget_factor: float = 2.0
+    # Compute all HZB pyramid levels past the first two in ONE Pallas
+    # launch (the tail fits VMEM) instead of ~9 tiny XLA reductions -- a
+    # candidate for the measured 6 ms HZB cost if it is launch-overhead
+    # bound (BENCHLOG speed-of-light notes).  Off until measured on metal;
+    # bit-identical values either way (tests/test_post.py).
+    hzb_pallas_tail: bool = False
     # Camera-view giant-level brute kernel tiles.  The giant level holds a
     # handful of wall/floor triangles but its grid is (tiles x chunks):
     # at 32x128 tiles 1080p runs 510 tiles x ~23 chunks of step overhead
