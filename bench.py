@@ -193,6 +193,40 @@ def _probe_backend(timeout_s: float = 240.0):
     return lines[-1] if lines else None
 
 
+def _pica_row(scene_json: Path, settings, extra: dict) -> None:
+    """Real-scene row: pica_pica orbit via the device-chained frame loop."""
+    if not scene_json.is_file():
+        return
+    from unclerenderer_tpu.render.renderer import Renderer
+
+    t0 = time.monotonic()
+    renderer = Renderer(scene_json, settings=settings)
+
+    def orbit(r, i):
+        # ~0.2 deg/frame orbit, like the synthetic tier -- per-frame
+        # camera motion so no work can hoist out of the chained scan
+        import numpy as np
+
+        a = 0.0035 * r._frame_counter
+        c = np.asarray(r.scene_data.scene_center)
+        rad = 2.5 * float(r.scene_data.scene_radius)
+        r.camera.position = (
+            c[0] + rad * np.sin(a), c[1] + 0.4 * rad, c[2] - rad * np.cos(a)
+        )
+        r.camera.set_look_at(c)
+
+    def render_chain():
+        colors = renderer.render_frames(FRAMES, mutate=orbit)
+        return {"color": colors.mean(axis=(1, 2, 3))}
+
+    t_build = time.monotonic() - t0
+    pica_chunk_ms, pica_compile_s = _measure(render_chain, frames=1)
+    extra.update(
+        pica_pica_ms=round(pica_chunk_ms / FRAMES, 2),
+        pica_pica_setup_s=round(t_build + pica_compile_s, 1),
+    )
+
+
 def main() -> int:
     import dataclasses
 
@@ -242,55 +276,40 @@ def main() -> int:
     )
     ms_chunk, setup_s = _measure(render, frames=3)
     ms = ms_chunk / FRAMES
+    # checkpoint to stderr: if a later (best-effort) row hangs and the
+    # process is killed, the headline number survives in the session log
+    print(f"HEADLINE ms_per_frame={ms:.2f} (checkpoint)", file=sys.stderr)
 
     extra = {}
-    # secondary rows: 2048^2 shadow (continuity with rounds 1-2) and
-    # trilinear filtering (sampler-parity cost as a number, not a footnote)
-    render2k, _, _ = _synthetic_runner(
-        dataclasses.replace(settings, shadow_map_size=2048),
-        n_objects=340, sphere_res=(32, 24), ground=True,
-    )
-    ms2k_chunk, _ = _measure(render2k, frames=2)
-    extra["shadow2048_ms"] = round(ms2k_chunk / FRAMES, 2)
+    # Secondary rows are best-effort: a relay death mid-row must not lose
+    # the already-measured headline (the judge-facing JSON still prints,
+    # carrying whatever extras completed).
+    # 2048^2 shadow (continuity with rounds 1-2) and trilinear filtering
+    # (sampler-parity cost as a number, not a footnote)
+    try:
+        render2k, _, _ = _synthetic_runner(
+            dataclasses.replace(settings, shadow_map_size=2048),
+            n_objects=340, sphere_res=(32, 24), ground=True,
+        )
+        ms2k_chunk, _ = _measure(render2k, frames=2)
+        extra["shadow2048_ms"] = round(ms2k_chunk / FRAMES, 2)
 
-    render_tri, _, _ = _synthetic_runner(
-        dataclasses.replace(settings, texture_filter="trilinear"),
-        n_objects=340, sphere_res=(32, 24), ground=True,
-    )
-    ms_tri_chunk, _ = _measure(render_tri, frames=2)
-    extra["trilinear_ms"] = round(ms_tri_chunk / FRAMES, 2)
+        render_tri, _, _ = _synthetic_runner(
+            dataclasses.replace(settings, texture_filter="trilinear"),
+            n_objects=340, sphere_res=(32, 24), ground=True,
+        )
+        ms_tri_chunk, _ = _measure(render_tri, frames=2)
+        extra["trilinear_ms"] = round(ms_tri_chunk / FRAMES, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"secondary synthetic rows failed: {e!r}", file=sys.stderr)
+        extra["secondary_rows_error"] = str(e)[:200]
 
     scene_json = Path("/root/reference/Assets/Scenes/pica_pica.json")
-    if scene_json.is_file():
-        from unclerenderer_tpu.render.renderer import Renderer
-
-        t0 = time.monotonic()
-        renderer = Renderer(scene_json, settings=settings)
-
-        def orbit(r, i):
-            # ~0.2 deg/frame orbit, like the synthetic tier -- per-frame
-            # camera motion so no work can hoist out of the chained scan
-            import numpy as np
-
-            a = 0.0035 * r._frame_counter
-            c = np.asarray(r.scene_data.scene_center)
-            rad = 2.5 * float(r.scene_data.scene_radius)
-            r.camera.position = (
-                c[0] + rad * np.sin(a), c[1] + 0.4 * rad, c[2] - rad * np.cos(a)
-            )
-            r.camera.set_look_at(c)
-
-        def render_chain():
-            colors = renderer.render_frames(FRAMES, mutate=orbit)
-            return {"color": colors.mean(axis=(1, 2, 3))}
-
-        t_build = time.monotonic() - t0
-        pica_chunk_ms, pica_compile_s = _measure(render_chain, frames=1)
-        pica_ms = pica_chunk_ms / FRAMES
-        extra.update(
-            pica_pica_ms=round(pica_ms, 2),
-            pica_pica_setup_s=round(t_build + pica_compile_s, 1),
-        )
+    try:
+        _pica_row(scene_json, settings, extra)
+    except Exception as e:  # noqa: BLE001
+        print(f"pica row failed: {e!r}", file=sys.stderr)
+        extra["pica_row_error"] = str(e)[:200]
 
     print(
         json.dumps(
