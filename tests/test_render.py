@@ -517,3 +517,20 @@ def test_packed_trilinear_material_frame_bit_exact():
     # sanity: the three filters genuinely differ on this scene
     diff = np.abs(outs[(True, "trilinear")] - outs[(True, "bilinear")])
     assert diff.max() > 1e-3
+
+
+def test_cli_main_renders_and_profiles(reference_assets, tmp_path):
+    """The CLI entry (app.main) end to end: arg parsing, config plumbing,
+    deferred render, PNG write, --profile-passes table and --trace capture."""
+    from unclerenderer_tpu import app
+
+    out = tmp_path / "cli.png"
+    rc = app.main([
+        "--scene", str(reference_assets / "Scenes" / "BoxTextured.json"),
+        "--renderer", "deferred", "--width", "64", "--height", "64",
+        "--shadow-size", "64", "--output", str(out),
+        "--profile-passes", "--trace", str(tmp_path / "trace"),
+    ])
+    assert rc == 0
+    assert out.is_file() and out.stat().st_size > 100
+    assert any((tmp_path / "trace").rglob("*"))

@@ -51,6 +51,16 @@ def main(argv=None) -> int:
     ap.add_argument("--no-ibl", action="store_true")
     ap.add_argument("--log-level", default="info")
     ap.add_argument(
+        "--profile-passes", action="store_true",
+        help="print the per-pass timing table after rendering (the GPU "
+             "timing panel analog, deferred only)",
+    )
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler device trace of the rendered frames "
+             "into DIR (the PIX-capture analog)",
+    )
+    ap.add_argument(
         "--interactive", action="store_true",
         help="terminal viewer with WASD/arrow camera controls "
              "(Application.cpp input-loop analog)",
@@ -120,6 +130,15 @@ def main(argv=None) -> int:
     img = renderer.render_to_u8()
     compile_and_first = time.monotonic() - t0
     log_info(f"first frame (incl. compile): {compile_and_first * 1e3:.1f} ms")
+
+    if args.trace:
+        renderer.profile_trace(args.trace, frames=max(1, args.frames - 1))
+    if args.profile_passes and settings.renderer_type == "deferred":
+        for row in renderer.profile_passes(iterations=1).stats():
+            log_info(
+                f"pass {row['name']:<22} avg {row['avg_ms']:7.2f} ms  "
+                f"min {row['min_ms']:7.2f}  max {row['max_ms']:7.2f}"
+            )
 
     if args.frames > 1:
         t0 = time.monotonic()
