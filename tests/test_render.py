@@ -469,7 +469,7 @@ def test_profile_trace(tmp_path):
     assert any(f.is_file() for f in files), "trace produced no files"
 
 
-def test_packed_trilinear_material_frame_bit_exact():
+def test_packed_trilinear_material_frame_bit_exact(monkeypatch):
     """material_packed_trilinear=True (ONE 256-lane row gather per material
     tap, textures/atlas.py build_pyramid_tri_atlas) must reproduce the
     two-gather trilinear frame -- full deferred pipeline on the
@@ -481,12 +481,19 @@ def test_packed_trilinear_material_frame_bit_exact():
     max delta 2.5e-7)."""
     import dataclasses
 
+    from unclerenderer_tpu.render import testing as T
     from unclerenderer_tpu.render.deferred import deferred_frame
     from unclerenderer_tpu.render.testing import (
         synthetic_device_scene,
         synthetic_frame_params,
     )
 
+    # 64^2 material textures keep the two atlas builds (plain + packed)
+    # fast in CI; the lod range still exercises several mip levels
+    orig_chains = T._rich_material_chains
+    monkeypatch.setattr(
+        T, "_rich_material_chains", lambda n, tex_size: orig_chains(n, 64)
+    )
     base = RenderSettings(
         renderer_type="deferred", has_masked_models=False,
         combined_material=True, **SMALL
