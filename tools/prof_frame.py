@@ -314,7 +314,7 @@ def main():
             depth0, label="HZB build (Pallas single-launch tail)",
         )
 
-    if on("pcf") or on("ibl"):
+    if on("pcf") or on("ibl") or on("ggx") or on("post"):
         # shared fixtures: a resolved g-buffer and a shadow map
         from unclerenderer_tpu.ops import pbr
         from unclerenderer_tpu.ops.shadow import (
@@ -347,6 +347,63 @@ def main():
                    label=f"PCF superblocks ({s})")
         timed_scan(lambda sm: pack_shadow_blocks(sm), shadow,
                    label="pack_shadow_blocks")
+
+    if on("ggx"):
+        # direct lighting in isolation: view-space GGX at the g-buffer, no
+        # shadow/IBL terms (their costs have their own stages)
+        from unclerenderer_tpu.ops import pbr
+
+        view3 = params.view[:3, :3]
+
+        def ggx_only(g_albedo, g_metal, g_rough, g_normal, g_wpos):
+            normal_view = pbr.normalize(g_normal @ view3)
+            l_view = pbr.normalize(params.light_dir @ view3)
+            hom_w = jnp.concatenate(
+                [g_wpos, jnp.ones_like(g_wpos[..., :1])], axis=-1)
+            view_pos = (hom_w @ params.view)[..., :3]
+            v_view = pbr.normalize(-view_pos)
+            f0 = 0.04 + (g_albedo - 0.04) * g_metal[..., None]
+            return pbr.evaluate_pbr(
+                g_albedo, g_metal, g_rough, f0, normal_view, v_view, l_view)
+        timed_scan(ggx_only, g["albedo"], g["metallic"], g["roughness"],
+                   g["normal"], g["world_pos"], label="direct GGX lighting")
+
+    if on("sky"):
+        from unclerenderer_tpu.ops.sky import (
+            apply_atmosphere, sky_view_directions,
+        )
+
+        def sky_only(cam_pos, light_dir, light_color):
+            vd = sky_view_directions(
+                W, H, cam_pos, params.view, params.proj_unjittered)
+            return apply_atmosphere(vd, cam_pos, light_dir, light_color)
+        timed_scan(sky_only, params.camera_pos, params.light_dir,
+                   params.light_color, label="sky atmosphere (full screen)")
+
+    if on("post"):
+        # TAA -> auto exposure -> tonemap -> CAS on an hdr fixture, chained
+        # exactly like deferred_frame's tail (steps 9-12)
+        from unclerenderer_tpu.ops.post import (
+            auto_exposure_ev, cas_sharpen, temporal_aa, tonemap,
+        )
+
+        hdr0 = jax.block_until_ready(
+            jnp.abs(g["albedo"]) + g["world_pos"] * 1e-3)
+        hist0 = jax.block_until_ready(hdr0 * 0.97)
+
+        def post_chain(hdr, hist, prev_ev):
+            out = temporal_aa(hdr, hist, jnp.float32(0.9), True)
+            ev = auto_exposure_ev(
+                out, prev_ev, True, jnp.float32(0.18), jnp.float32(1e-3),
+                jnp.float32(1e3), jnp.float32(3.0), jnp.float32(1.0),
+                jnp.float32(1 / 60))
+            color = tonemap(out, jnp.float32(1.0), ev, True, True,
+                            jnp.float32(2.2))
+            color = jnp.clip(
+                cas_sharpen(color, jnp.float32(0.4)), 0.0, 1.0)
+            return color, ev
+        timed_scan(post_chain, hdr0, hist0, state.exposure_ev,
+                   label="post chain (TAA+exposure+tonemap+CAS)")
 
     if on("ibl"):
         from unclerenderer_tpu.ops import texture as tex_ops
