@@ -108,6 +108,35 @@ def main():
             scene, params.view_proj, label="vertex stage",
         )
 
+    if on("vertexlayout"):
+        # Layout hypothesis for the vertex stage's gap above its bandwidth
+        # floor: (N, 4) f32 wastes 124/128 lanes of every TPU tile.  Time the
+        # same transform three ways; if B/C win big, restructure
+        # common.vertex_stage around a transposed/SoA position layout.
+        pos = scene.position  # (N, 3)
+        n = pos.shape[0]
+        pos_t = jax.block_until_ready(pos.T)              # (3, N)
+        px, py, pz = (jax.block_until_ready(pos[:, i]) for i in range(3))
+
+        def lay_a(p, vp):  # current: concat + (N,4)@(4,4)
+            hom = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+            return hom @ vp
+        timed_scan(lay_a, pos, params.view_proj,
+                   label=f"vertex layout A: (N,4)@(4,4)  N={n}")
+
+        def lay_b(pt, vp):  # transposed: (4,4)@(4,N), N on the lane dim
+            hom = jnp.concatenate([pt, jnp.ones_like(pt[:1])], axis=0)
+            return vp.T @ hom
+        timed_scan(lay_b, pos_t, params.view_proj,
+                   label="vertex layout B: (4,4)@(4,N)")
+
+        def lay_c(x, y, z, vp):  # SoA: 16 fma over dense (N,) vectors
+            outs = [x * vp[0, j] + y * vp[1, j] + z * vp[2, j] + vp[3, j]
+                    for j in range(4)]
+            return tuple(outs)
+        timed_scan(lay_c, px, py, pz, params.view_proj,
+                   label="vertex layout C: SoA (N,) fma x16")
+
     from unclerenderer_tpu.ops.raster import (
         CULL_BACK, compact_setup, triangle_setup_expanded,
     )
