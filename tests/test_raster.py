@@ -439,3 +439,46 @@ def test_binning_split16_coef_window_bit_exact():
     np.testing.assert_array_equal(
         c_plain.view(np.uint32), c_split.view(np.uint32)
     )
+
+
+def test_setup_from_soa_matches_expanded():
+    """triangle_setup_from_soa is the SAME core math as
+    triangle_setup_expanded -- given equal component values the coefficient
+    records, valid masks, and bboxes are bit-identical (the SoA vertex stage
+    only changes the layout feeding it)."""
+    from unclerenderer_tpu.ops.raster import (
+        VertexSoA,
+        triangle_setup_expanded,
+        triangle_setup_from_soa,
+    )
+
+    rng = np.random.default_rng(11)
+    t = 97
+    pix_h = rng.normal(0, 40.0, (3 * t, 3)).astype(np.float32) + np.array(
+        [32.0, 32.0, 2.0], np.float32
+    )
+    # a few behind-camera / degenerate w rows exercise the bbox fallbacks
+    pix_h[5::17, 2] = -0.5
+    pix_h[7::31, 2] = 0.0
+    z = rng.uniform(0, 1, 3 * t).astype(np.float32)
+    mask = rng.uniform(size=t) > 0.2
+
+    a = triangle_setup_expanded(
+        jnp.asarray(pix_h), jnp.asarray(z), jnp.asarray(mask), CULL_BACK, W, H
+    )
+    p = pix_h.reshape(t, 3, 3)
+    zz = z.reshape(t, 3)
+    v = VertexSoA(
+        px=tuple(jnp.asarray(p[:, i, 0]) for i in range(3)),
+        py=tuple(jnp.asarray(p[:, i, 1]) for i in range(3)),
+        pw=tuple(jnp.asarray(p[:, i, 2]) for i in range(3)),
+        z=tuple(jnp.asarray(zz[:, i]) for i in range(3)),
+    )
+    b = triangle_setup_from_soa(v, jnp.asarray(mask), CULL_BACK, W, H)
+    np.testing.assert_array_equal(
+        np.asarray(a.coef).view(np.uint32), np.asarray(b.coef).view(np.uint32)
+    )
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.bbox), np.asarray(b.bbox))
+    # pix9 row layout matches pix_h.reshape(T, 9) exactly
+    np.testing.assert_array_equal(np.asarray(v.pix9()), pix_h.reshape(t, 9))

@@ -541,3 +541,48 @@ def test_cli_main_renders_and_profiles(reference_assets, tmp_path):
     assert rc == 0
     assert out.is_file() and out.stat().st_size > 100
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_soa_vertex_frame_matches_aos():
+    """settings.soa_vertex reruns the vertex transform as lane-dense fma
+    vectors; triangle setup and everything downstream is the same math, so
+    the frame must match the AoS path up to the clip transform's fma-vs-dot
+    rounding (identical visibility on this scene; depth to f32 noise).
+    Covers the camera, masked, and shadow SoA paths in one frame."""
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+    import dataclasses
+
+    base = RenderSettings(renderer_type="deferred", enable_ibl=False,
+                          enable_sky=False, **SMALL)
+    scene, data = synthetic_device_scene(4, with_masked=True)
+    params = synthetic_frame_params(data, 64, 64)
+
+    outs = {}
+    for soa in (False, True):
+        settings = dataclasses.replace(base, soa_vertex=soa)
+        state = FrameState.initial(64, 64)
+        outs[soa], _ = jax.jit(
+            lambda sc, p, st, s=settings: deferred_frame(sc, p, st, s)
+        )(scene, params, state)
+
+    tid_a = np.asarray(outs[False]["tri_id"])
+    tid_b = np.asarray(outs[True]["tri_id"])
+    assert (tid_a >= 0).sum() > 50
+    # last-ulp clip differences may flip pixels ON triangle edges only
+    mismatch = tid_a != tid_b
+    assert mismatch.mean() <= 0.002, f"{mismatch.sum()} tri_id pixels differ"
+    same = ~mismatch
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["depth"])[same],
+        np.asarray(outs[False]["depth"])[same],
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["color"])[same],
+        np.asarray(outs[False]["color"])[same],
+        rtol=0, atol=5e-3,
+    )

@@ -50,6 +50,13 @@ for cfg in "0 trilinear" "1 trilinear" "1 bilinear"; do
     | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -3
 done
 
+echo "== soa vertex: full-frame check ==" | tee -a /tmp/metal/log
+# the setup-stage SoA rows in the default profile are the cheap decision
+# signal; this compiles the whole frame with settings.soa_vertex=True to
+# confirm the in-frame win before flipping the default
+timeout 1200 python tools/prof_frame.py soaframe 2>&1 \
+  | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -2
+
 echo "== gather law: lanes vs bytes ==" | tee -a /tmp/metal/log
 timeout 1800 python tools/prof_gather.py 2>&1 | grep -vE "WARNING|INFO" | tee /tmp/metal/gather.txt | tail -30
 

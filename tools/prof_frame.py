@@ -108,6 +108,18 @@ def main():
             scene, params.view_proj, label="vertex stage",
         )
 
+    if want and "soaframe" in want:
+        # FULL frame with settings.soa_vertex=True -- explicit-only (a second
+        # full-frame compile is too expensive for the default sweep); run it
+        # when the setup-stage SoA rows justify the compile.
+        soa_settings = dataclasses.replace(settings, soa_vertex=True)
+
+        def full_soa(sc, p, st):
+            out, st2 = deferred_frame(sc, p, st, soa_settings)
+            return out["color"], st2.exposure_ev
+        timed_scan(full_soa, scene, params, state,
+                   label="FULL deferred frame (SoA vertex)")
+
     if on("vertexlayout"):
         # Layout hypothesis for the vertex stage's gap above its bandwidth
         # floor: (N, 4) f32 wastes 124/128 lanes of every TPU tile.  Time the
@@ -139,6 +151,7 @@ def main():
 
     from unclerenderer_tpu.ops.raster import (
         CULL_BACK, compact_setup, triangle_setup_expanded,
+        triangle_setup_from_soa,
     )
 
     def setup_fn(sc, vp):
@@ -148,6 +161,14 @@ def main():
     if on("setup"):
         timed_scan(lambda sc, vp: setup_fn(sc, vp)[0], scene, params.view_proj,
                    label="vertex + triangle setup")
+
+        # the shipped SoA alternative (settings.soa_vertex): same setup core,
+        # lane-dense inputs end to end -- the flip-decision row
+        def setup_soa(sc, vp):
+            v = common.vertex_stage_soa(sc.pos_soa, vp, W, H)
+            return triangle_setup_from_soa(v, opaque, CULL_BACK, W, H)
+        timed_scan(setup_soa, scene, params.view_proj,
+                   label="vertex + setup (SoA path)")
         cap = common.compaction_cap(settings, t_count)
         print(f"  compaction cap = {cap}", flush=True)
         if cap:
@@ -239,6 +260,13 @@ def main():
 
         timed_scan(light_setup, scene, params.light_view_proj,
                    label="shadow: vertex+setup+ortho-norm")
+
+        def light_setup_soa(sc, lvp):
+            v = common.vertex_stage_soa(sc.pos_soa, lvp, s, s)
+            st = triangle_setup_from_soa(v, opaque, CULL_FRONT, s, s)
+            return normalize_ortho_setup(st)
+        timed_scan(light_setup_soa, scene, params.light_view_proj,
+                   label="shadow: vertex+setup (SoA path)")
         setup0 = jax.block_until_ready(
             jax.jit(light_setup)(scene, params.light_view_proj))
         n_valid = int(jnp.sum(setup0.valid))

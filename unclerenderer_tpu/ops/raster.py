@@ -129,6 +129,70 @@ def triangle_setup_from_verts(
     width: int = 0,
     height: int = 0,
 ) -> RasterSetup:
+    """Setup from per-triangle (T, 3) homogeneous pixel vertices (column
+    slices feed the 1D component core)."""
+    return triangle_setup_from_components(
+        p0[:, 0], p0[:, 1], p0[:, 2],
+        p1[:, 0], p1[:, 1], p1[:, 2],
+        p2[:, 0], p2[:, 1], p2[:, 2],
+        z0, z1, z2, tri_mask, cull_mode, width, height,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VertexSoA:
+    """Per-vertex-slot clip/pixel components, each a lane-dense (T,) vector
+    (index 0..2 = triangle vertex slot).  Produced by
+    render/common.py ``vertex_stage_soa`` from ``DeviceScene.pos_soa``; the
+    whole path from position load to setup coefficients stays 1-D, avoiding
+    the (V, 3)/(V, 4) minor-dim-3 layouts that waste 124/128 vreg lanes
+    (settings.soa_vertex)."""
+
+    px: tuple  # 3 x (T,) homogeneous pixel X (pixel x * clip w)
+    py: tuple  # 3 x (T,) homogeneous pixel Y
+    pw: tuple  # 3 x (T,) clip w
+    z: tuple   # 3 x (T,) clip z
+
+    def pix9(self) -> jnp.ndarray:
+        """(T, 9) rows [x0 y0 w0 x1 y1 w1 x2 y2 w2] -- the layout
+        build_resolve_records expects (identical to pix_h.reshape(T, 9))."""
+        return jnp.stack(
+            [self.px[0], self.py[0], self.pw[0],
+             self.px[1], self.py[1], self.pw[1],
+             self.px[2], self.py[2], self.pw[2]],
+            axis=1,
+        )
+
+
+def triangle_setup_from_soa(
+    v: VertexSoA,
+    tri_mask: jnp.ndarray,
+    cull_mode: int = CULL_BACK,
+    width: int = 0,
+    height: int = 0,
+) -> RasterSetup:
+    """Setup from SoA vertex components -- bit-identical to
+    triangle_setup_from_verts given equal component values (the core math is
+    shared; tests/test_raster.py::test_setup_from_soa_matches_expanded)."""
+    return triangle_setup_from_components(
+        v.px[0], v.py[0], v.pw[0],
+        v.px[1], v.py[1], v.pw[1],
+        v.px[2], v.py[2], v.pw[2],
+        v.z[0], v.z[1], v.z[2], tri_mask, cull_mode, width, height,
+    )
+
+
+def triangle_setup_from_components(
+    x0, y0v, w0, x1, y1v, w1, x2, y2v, w2,
+    z0: jnp.ndarray,
+    z1: jnp.ndarray,
+    z2: jnp.ndarray,
+    tri_mask: jnp.ndarray,
+    cull_mode: int = CULL_BACK,
+    width: int = 0,
+    height: int = 0,
+) -> RasterSetup:
     """Core edge/depth coefficient build from per-triangle vertices.
 
     All math runs on 1D (T,) component arrays (lane-friendly; (T, 3) arrays
@@ -140,10 +204,6 @@ def triangle_setup_from_verts(
     asset: camera-facing faces carry negative determinants); edge signs are
     flipped so the rasterized interior is always e_k > 0.
     """
-    x0, y0v, w0 = p0[:, 0], p0[:, 1], p0[:, 2]
-    x1, y1v, w1 = p1[:, 0], p1[:, 1], p1[:, 2]
-    x2, y2v, w2 = p2[:, 0], p2[:, 1], p2[:, 2]
-
     # cross products per edge: e = cross(p_next, p_prev_next)
     def cross(ax, ay, aw, bx, by, bw):
         return (ay * bw - aw * by, aw * bx - ax * bw, ax * by - ay * bx)

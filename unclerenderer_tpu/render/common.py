@@ -25,9 +25,11 @@ from ..ops.raster import (
     DEPTH_MAX,
     DEPTH_MIN,
     RasterSetup,
+    VertexSoA,
     gather_rows_split16,
     rasterize,
     triangle_setup_expanded,
+    triangle_setup_from_soa,
     viewport_homogeneous,
 )
 from .params import DeviceScene, RenderSettings
@@ -44,6 +46,30 @@ def vertex_stage(scene: DeviceScene, view_proj: jnp.ndarray, width: int, height:
     clip = hom @ view_proj
     pix_h = viewport_homogeneous(clip, width, height)
     return clip, pix_h
+
+
+def vertex_stage_soa(
+    pos_soa: jnp.ndarray, view_proj: jnp.ndarray, width: int, height: int
+) -> VertexSoA:
+    """SoA vertex stage: the same world -> clip -> homogeneous-pixel math as
+    ``vertex_stage`` + ``viewport_homogeneous``, but on lane-dense (T,)
+    component vectors (``pos_soa`` is (3, 3, T) = [vertex slot][x/y/z][tri]).
+    No (V, 3)/(V, 4) intermediates, no strided column slices downstream
+    (settings.soa_vertex; BENCHLOG round-3 vertex-layout experiment).  Values
+    match the AoS path up to the clip transform's fma-vs-dot rounding."""
+    m = view_proj
+    px, py, pw, z = [], [], [], []
+    for i in range(3):
+        x, y, zc = pos_soa[i, 0], pos_soa[i, 1], pos_soa[i, 2]
+        cy = x * m[0, 1] + y * m[1, 1] + zc * m[2, 1] + m[3, 1]
+        cz = x * m[0, 2] + y * m[1, 2] + zc * m[2, 2] + m[3, 2]
+        cw = x * m[0, 3] + y * m[1, 3] + zc * m[2, 3] + m[3, 3]
+        cx = x * m[0, 0] + y * m[1, 0] + zc * m[2, 0] + m[3, 0]
+        px.append((cx * 0.5 + cw * 0.5) * width)
+        py.append((cw * 0.5 - cy * 0.5) * height)
+        pw.append(cw)
+        z.append(cz)
+    return VertexSoA(px=tuple(px), py=tuple(py), pw=tuple(pw), z=tuple(z))
 
 
 def tri_draw_masks(scene: DeviceScene, model_visible: jnp.ndarray):
@@ -208,6 +234,7 @@ def raster_opaque(
     settings: RenderSettings,
     dist=None,
     records=None,
+    vsoa: VertexSoA | None = None,
 ):
     """Visibility raster over the full frame, or over this device's row slab
     when ``dist`` is sharded (traced y_offset, global pixel coordinates --
@@ -218,12 +245,20 @@ def raster_opaque(
     compacted triangle list and ``tri_id`` holds COMPACT ids;
     ``compact_ids`` maps them back to global rows (None when off).  Under
     sharding every device computes the identical compaction (replicated
-    setup math), so compact ids agree across slabs."""
+    setup math), so compact ids agree across slabs.
+
+    ``vsoa`` (settings.soa_vertex) supplies SoA vertex components instead of
+    ``clip``/``pix_h`` (which are then unused and may be None)."""
     from ..ops.raster import compact_setup
 
-    setup = triangle_setup_expanded(
-        pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
-    )
+    if vsoa is not None:
+        setup = triangle_setup_from_soa(
+            vsoa, tri_mask, CULL_BACK, settings.width, settings.height
+        )
+    else:
+        setup = triangle_setup_expanded(
+            pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
+        )
     cap = compaction_cap(settings, setup.valid.shape[0])
     cids = None
     c_overflow = jnp.zeros((), jnp.int32)
@@ -265,12 +300,18 @@ def raster_shadow(
     dropped past the light-space compaction cap (0 when compaction is off;
     surface it in stats, raise ``shadow_compact_cap`` if it fires)."""
     size = settings.shadow_map_size
-    hom = jnp.concatenate(
-        [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
-    )
-    clip = hom @ light_view_proj
-    pix_h = viewport_homogeneous(clip, size, size)
-    setup = triangle_setup_expanded(pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size)
+    if settings.soa_vertex and scene.pos_soa is not None:
+        vs = vertex_stage_soa(scene.pos_soa, light_view_proj, size, size)
+        setup = triangle_setup_from_soa(vs, tri_mask, CULL_FRONT, size, size)
+    else:
+        hom = jnp.concatenate(
+            [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
+        )
+        clip = hom @ light_view_proj
+        pix_h = viewport_homogeneous(clip, size, size)
+        setup = triangle_setup_expanded(
+            pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size
+        )
     # light-space compaction: depth-only needs no ids, so dropping
     # never-visible rows is free correctness-wise and keeps the binning
     # gathers on a fast path (shadow_compaction_cap)
@@ -319,6 +360,7 @@ def raster_masked_combine(
     dist=None,
     attr=None,
     records=None,
+    vsoa: VertexSoA | None = None,
 ):
     """Rasterize alpha-masked geometry with an in-raster alpha test, then
     depth-combine with the opaque visibility buffer.
@@ -327,9 +369,14 @@ def raster_masked_combine(
     texture at mip 0 bilinear (the PS tests the filtered sample after the
     raster); same cutoff, cutout edges differ only under heavy minification.
     """
-    setup = triangle_setup_expanded(
-        pix_h, clip[:, 2], masked_mask, CULL_BACK, settings.width, settings.height
-    )
+    if vsoa is not None:
+        setup = triangle_setup_from_soa(
+            vsoa, masked_mask, CULL_BACK, settings.width, settings.height
+        )
+    else:
+        setup = triangle_setup_expanded(
+            pix_h, clip[:, 2], masked_mask, CULL_BACK, settings.width, settings.height
+        )
     out_h = settings.height
     y_off = 0
     if dist is not None and dist.n_dev > 1:

@@ -123,16 +123,24 @@ def deferred_frame(
         shadow9 = None
 
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
-    clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+    if settings.soa_vertex and scene.pos_soa is not None:
+        vsoa = common.vertex_stage_soa(scene.pos_soa, params.view_proj, width, height)
+        clip = pix_h = None
+        pix9 = vsoa.pix9()  # (T, 9) record rows, same layout as pix_h.reshape
+    else:
+        vsoa = None
+        clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+        pix9 = pix_h
     fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
-    records = common.build_resolve_records(scene, pix_h) if fused else None
+    records = common.build_resolve_records(scene, pix9) if fused else None
     depth, tri_id, raster_stats, attr, compact_ids = common.raster_opaque(
-        scene, clip, pix_h, opaque_mask, settings, dist, records=records
+        scene, clip, pix_h, opaque_mask, settings, dist, records=records,
+        vsoa=vsoa,
     )
     if settings.has_masked_models:
         masked_out = common.raster_masked_combine(
             scene, clip, pix_h, masked_mask, depth, tri_id, settings, dist,
-            attr=attr, records=records,
+            attr=attr, records=records, vsoa=vsoa,
         )
         depth, tri_id = masked_out[0], masked_out[1]
         attr = masked_out[2] if attr is not None else None
@@ -149,7 +157,7 @@ def deferred_frame(
     raster_stats["shadow_compact_overflow"] = shadow_overflow
 
     g = common.resolve_materials(
-        scene, pix_h, tri_id, settings, row0=dist.row0,
+        scene, pix9, tri_id, settings, row0=dist.row0,
         next_tri_row=dist.row_below(tri_id) if sharded else None,
         prev_tri_row=dist.row_above(tri_id) if sharded else None,
         row_halo=(lambda x: (dist.row_above(x), dist.row_below(x))) if sharded else None,

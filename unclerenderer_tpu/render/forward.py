@@ -38,18 +38,25 @@ def forward_frame(
     [0,1]-clamped, 'depth', 'tri_id', 'object_id'."""
     width, height = settings.width, settings.height
 
-    clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+    if settings.soa_vertex and scene.pos_soa is not None:
+        vsoa = common.vertex_stage_soa(scene.pos_soa, params.view_proj, width, height)
+        clip = pix_h = None
+        pix9 = vsoa.pix9()  # (T, 9) record rows, same layout as pix_h.reshape
+    else:
+        vsoa = None
+        clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+        pix9 = pix_h
     opaque_mask, masked_mask = common.tri_draw_masks(scene, params.model_visible)
 
     fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
-    records = common.build_resolve_records(scene, pix_h) if fused else None
+    records = common.build_resolve_records(scene, pix9) if fused else None
     depth, tri_id, raster_stats, attr, compact_ids = common.raster_opaque(
-        scene, clip, pix_h, opaque_mask, settings, records=records
+        scene, clip, pix_h, opaque_mask, settings, records=records, vsoa=vsoa
     )
     if settings.has_masked_models:
         masked_out = common.raster_masked_combine(
             scene, clip, pix_h, masked_mask, depth, tri_id, settings,
-            attr=attr, records=records,
+            attr=attr, records=records, vsoa=vsoa,
         )
         depth, tri_id = masked_out[0], masked_out[1]
         attr = masked_out[2] if attr is not None else None
@@ -69,7 +76,7 @@ def forward_frame(
         shadow9 = None
 
     g = common.resolve_materials(
-        scene, pix_h, tri_id, settings, full_override=attr,
+        scene, pix9, tri_id, settings, full_override=attr,
         compact_ids=compact_ids,
     )
 

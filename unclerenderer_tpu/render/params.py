@@ -86,6 +86,16 @@ class RenderSettings:
     # "compact_overflow" -- set the cap to 163840 (16-bit split-gather
     # range, resolve falls back automatically) if it ever fires.
     compact_cap: int = -1
+    # SoA vertex stage: run the vertex transform + triangle setup on
+    # lane-dense (T,) component vectors from DeviceScene.pos_soa instead of
+    # the (V,3)/(V,4) AoS intermediates (which waste 124/128 lanes per vreg
+    # and feed strided column slices into triangle setup).  Applies to the
+    # camera, masked, and shadow rasters; the resolve-record pix rows stack
+    # from the same components (bit-identical interpolation inputs either
+    # way up to the clip transform's fma-vs-dot rounding).  Staged
+    # experiment (BENCHLOG round-3 queue item 8): flip after the
+    # prof_frame.py vertexlayout row confirms on metal.
+    soa_vertex: bool = False
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     # fused attribute emission: the Pallas raster kernels select the
@@ -233,6 +243,11 @@ class DeviceScene:
     # two-gather material resolve records (render/packing.py)
     tri_geo: jnp.ndarray = None            # (T, 48) f32 vertex attributes
     tri_mrec: jnp.ndarray = None           # (T, 64) f32 model constants
+    # SoA positions [vertex slot][x/y/z][triangle] -- the same de-indexed
+    # vertices as ``position`` laid out lane-dense for the SoA vertex stage
+    # (settings.soa_vertex; ops/raster.py VertexSoA).  Built at scene
+    # assembly (host transpose, +9 f32/tri HBM).
+    pos_soa: jnp.ndarray = None            # (3, 3, T) f32
 
 
 @jax.tree_util.register_dataclass

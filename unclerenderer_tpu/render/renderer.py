@@ -202,6 +202,10 @@ def _build_device_scene(
 
     dev = DeviceScene(
         position=jnp.asarray(data.position),
+        # lane-dense [vertex slot][x/y/z][tri] for the SoA vertex stage
+        pos_soa=jnp.asarray(
+            np.ascontiguousarray(data.position.reshape(-1, 3, 3).transpose(1, 2, 0))
+        ),
         normal=jnp.asarray(data.normal),
         tangent=jnp.asarray(data.tangent),
         uv=jnp.asarray(data.uv),

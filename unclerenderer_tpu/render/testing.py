@@ -280,6 +280,10 @@ def synthetic_device_scene(
 def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) -> DeviceScene:
     return DeviceScene(
         position=jnp.asarray(data.position),
+        # lane-dense [vertex slot][x/y/z][tri] for the SoA vertex stage
+        pos_soa=jnp.asarray(
+            np.ascontiguousarray(data.position.reshape(-1, 3, 3).transpose(1, 2, 0))
+        ),
         normal=jnp.asarray(data.normal),
         tangent=jnp.asarray(data.tangent),
         uv=jnp.asarray(data.uv),
