@@ -247,8 +247,12 @@ class Renderer:
         config: RendererConfig | None = None,
         assets_root: str | Path | None = None,
     ):
-        from ..core.jaxcache import enable_persistent_cache
+        from ..core.jaxcache import enable_persistent_cache, pin_platform_from_env
 
+        # library users who set JAX_PLATFORMS expect it honored; without the
+        # config-level pin the pre-registered relay platform can still try to
+        # init and block forever when the relay is down (jaxcache.py)
+        pin_platform_from_env()
         enable_persistent_cache()
         scene_path = Path(scene_path)
         self.scene_path = scene_path
