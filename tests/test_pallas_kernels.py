@@ -341,11 +341,14 @@ def test_full_pallas_forward_matches_xla():
     assert mism < 0.05, f"too many differing pixels: {mism:.3%}"
 
 
-def test_sharded_pallas_slab_matches_singlechip():
+@pytest.mark.parametrize("soa", [False, True])
+def test_sharded_pallas_slab_matches_singlechip(soa):
     """The Pallas y_offset slab path UNDER shard_map (2-device CPU mesh,
     interpret mode) reproduces the single-chip Pallas frame bit-for-bit --
     closes the gap where the sharded render was only CI-tested with the XLA
-    raster backend (Mosaic cannot run on a virtual CPU mesh; interpret can)."""
+    raster backend (Mosaic cannot run on a virtual CPU mesh; interpret can).
+    Parametrized over settings.soa_vertex: the SoA setup + dist slab
+    combination has no other coverage."""
     import dataclasses
     import functools
 
@@ -370,7 +373,7 @@ def test_sharded_pallas_slab_matches_singlechip():
         tile_h=8, tile_w=64, chunk=32, shadow_chunk=32,
         raster_backend="pallas", pallas_interpret=True,
         enable_taa=False, enable_cas=False, enable_auto_exposure=False,
-        has_masked_models=False,
+        has_masked_models=False, soa_vertex=soa,
     )
     scene, data = synthetic_device_scene(4, sphere_res=(8, 6))
     params = synthetic_frame_params(data, settings.width, settings.height)
