@@ -14,11 +14,12 @@ timeout 120 python -c "import jax; print(jax.devices())" 2>&1 | tail -1 | tee -a
 echo "== bench ==" | tee -a /tmp/metal/log
 timeout 5400 python bench.py 2>&1 | tail -3 | tee /tmp/metal/bench.json
 
-echo "== pica screenshot (round-3 renderer) ==" | tee -a /tmp/metal/log
-timeout 1200 python -m unclerenderer_tpu \
+echo "== pica screenshot + per-pass profile (round-3 renderer) ==" | tee -a /tmp/metal/log
+timeout 2400 python -m unclerenderer_tpu \
   --scene /root/reference/Assets/Scenes/pica_pica.json \
   --width 1920 --height 1080 --output screenshots/pica_pica_tpu.png \
-  2>&1 | tail -2 | tee -a /tmp/metal/log
+  --profile-passes \
+  2>&1 | grep -vE "WARNING|INFO:" | tee /tmp/metal/pica_passes.txt | tail -20
 
 echo "== stage profile ==" | tee -a /tmp/metal/log
 timeout 4500 python tools/prof_frame.py 2>&1 | grep -vE "WARNING|INFO" | tee /tmp/metal/prof.txt | tail -40
