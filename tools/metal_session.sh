@@ -27,7 +27,7 @@ timeout 4500 python tools/prof_frame.py 2>&1 | grep -vE "WARNING|INFO" | tee /tm
 # tile-shape sweep on the two dominant kernels (env overrides); each row is
 # independent so a dropped relay mid-sweep keeps everything measured so far
 echo "== raster tile sweep ==" | tee -a /tmp/metal/log
-for cfg in "8 128 64" "16 128 64" "16 64 128" "32 128 64"; do
+for cfg in "8 128 64" "16 128 64" "16 64 128" "32 128 64" "32 256 64"; do
   set -- $cfg
   echo "-- tile_h=$1 tile_w=$2 chunk=$3 --" | tee -a /tmp/metal/sweep.txt
   PROF_TILE_H=$1 PROF_TILE_W=$2 PROF_CHUNK=$3 timeout 900 \
@@ -41,6 +41,10 @@ for cfg in "16 256 64" "32 256 64" "64 128 64" "32 128 128"; do
     python tools/prof_frame.py shadowparts 2>&1 \
     | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -5
 done
+
+echo "== binning sub-parts (sort vs pair gather vs coef gather) ==" | tee -a /tmp/metal/log
+timeout 1200 python tools/prof_frame.py binparts 2>&1 \
+  | grep -vE "WARNING|INFO" | tee /tmp/metal/binparts.txt | tail -10
 
 echo "== trilinear resolve: packed vs two-gather ==" | tee -a /tmp/metal/log
 for cfg in "0 trilinear" "1 trilinear" "1 bilinear"; do

@@ -267,10 +267,24 @@ def main():
             return normalize_ortho_setup(st)
         timed_scan(light_setup_soa, scene, params.light_view_proj,
                    label="shadow: vertex+setup (SoA path)")
+
+        # production path compacts the light-space setup before binning
+        # (common.raster_shadow); profile the binning/kernel stages on the
+        # SAME compacted table the frame actually rasters
+        scap = common.shadow_compaction_cap(settings, t_count)
+
+        def light_setup_compact(sc, lvp):
+            st = light_setup(sc, lvp)
+            if scap:
+                st, _ids, _ovf = compact_setup(st, scap)
+            return st
+        timed_scan(light_setup_compact, scene, params.light_view_proj,
+                   label=f"shadow: setup+compact (cap={scap})")
         setup0 = jax.block_until_ready(
-            jax.jit(light_setup)(scene, params.light_view_proj))
+            jax.jit(light_setup_compact)(scene, params.light_view_proj))
         n_valid = int(jnp.sum(setup0.valid))
-        print(f"  light-space valid tris = {n_valid} / {t_count}", flush=True)
+        print(f"  light-space valid tris = {n_valid} / {t_count} "
+              f"(compact cap = {scap})", flush=True)
 
         def bins_only(st):
             b = bin_triangles(
@@ -353,6 +367,82 @@ def main():
             return d, t
         timed_scan(full_binned, setup0,
                    label="raster: full binned (fine+mid+giant+merge)")
+
+    if want and "binparts" in want:
+        # Cumulative split of bin_triangles itself (explicit-only): expand+
+        # sort vs +pair-source alignment gather vs full (+coef gather) --
+        # attributes the binning cost between the sort, the slow pair-table
+        # gather (n_pairs rows, past the f32 cliff), and the coefficient
+        # gather (compacted T-table).  Same helpers production uses.
+        from unclerenderer_tpu.ops.binning import (
+            _align_pairs, _pair_keys, _sort_pairs, bin_triangles,
+        )
+        from unclerenderer_tpu.ops.raster import (
+            CULL_FRONT, flip_depth_key, normalize_ortho_setup,
+            viewport_homogeneous,
+        )
+
+        def cam_setup(sc, vp):
+            st, _ph = setup_fn(sc, vp)
+            cap = common.compaction_cap(settings, t_count)
+            if cap:
+                st, _ids, _ovf = compact_setup(st, cap)
+            return st
+
+        s = settings.shadow_map_size
+
+        def light_setup_c(sc, lvp):
+            hom = jnp.concatenate(
+                [sc.position, jnp.ones_like(sc.position[..., :1])], axis=-1)
+            clip = hom @ lvp
+            pix_h = viewport_homogeneous(clip, s, s)
+            st = triangle_setup_expanded(
+                pix_h, clip[:, 2], opaque, CULL_FRONT, s, s)
+            scap = common.shadow_compaction_cap(settings, t_count)
+            if scap:
+                st, _ids, _ovf = compact_setup(st, scap)
+            return flip_depth_key(normalize_ortho_setup(st))
+
+        cam0 = jax.block_until_ready(jax.jit(cam_setup)(scene, params.view_proj))
+        sh0 = jax.block_until_ready(
+            jax.jit(light_setup_c)(scene, params.light_view_proj))
+        span = settings.bin_max_span
+        s_slots = span * span
+        for name, st0, (w_, h_, th, tw, ck, budget) in [
+            ("cam", cam0, (W, H, settings.tile_h, settings.tile_w,
+                           settings.chunk, settings.bin_budget_factor)),
+            ("shadow", sh0, (s, s, settings.shadow_tile_h,
+                             settings.shadow_tile_w, settings.shadow_chunk,
+                             settings.shadow_bin_budget_factor)),
+        ]:
+            n_tiles = (-(-w_ // tw)) * (-(-h_ // th))
+            tc = st0.coef.shape[0]
+            n_blocks = max(int(budget * tc) // ck + n_tiles, 2)
+            print(f"  {name}: T={tc} pairs={tc * s_slots} n_tiles={n_tiles} "
+                  f"n_blocks={n_blocks}", flush=True)
+
+            def sort_only(st):
+                keys, big = _pair_keys(st, w_, h_, th, tw, span)
+                sk, stri = _sort_pairs(keys, n_tiles, s_slots)
+                return sk, stri, big
+            timed_scan(sort_only, st0,
+                       label=f"binparts[{name}]: expand + sort")
+
+            def sort_align(st):
+                keys, big = _pair_keys(st, w_, h_, th, tw, span)
+                sk, stri = _sort_pairs(keys, n_tiles, s_slots)
+                btid, sv, _bt, _bf, _iu, _tu, ovf = _align_pairs(
+                    sk, stri, n_tiles, ck, n_blocks)
+                return btid, sv, ovf
+            timed_scan(sort_align, st0,
+                       label=f"binparts[{name}]: + pair-source gather")
+
+            def full_bin(st):
+                b = bin_triangles(st, w_, h_, th, tw, ck, max_span=span,
+                                  budget_factor=budget)
+                return b.coef, b.valid, b.overflow
+            timed_scan(full_bin, st0,
+                       label=f"binparts[{name}]: + coef gather (full)")
 
     if on("hzb"):
         from unclerenderer_tpu.ops.hzb import build_hzb, hzb_layout

@@ -88,6 +88,92 @@ class BinnedTriangles:
     rec: jnp.ndarray | None = None
 
 
+def _pair_keys(
+    setup: RasterSetup,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    max_span: int,
+    y_offset=0,
+):
+    """Expand each triangle's pixel bbox into up to S tile keys.
+
+    Returns (keys (T*S,) i32 with ``n_tiles`` as the invalid sentinel,
+    big (T,) bool triangles spanning more than SxS tiles)."""
+    n_tx = -(-width // tile_w)
+    n_tiles = n_tx * (-(-height // tile_h))
+    s_slots = max_span * max_span
+
+    bbox = setup.bbox  # (4, T)
+    yoff = jnp.asarray(y_offset, jnp.float32)
+    by0 = jnp.clip(bbox[1] - yoff, 0.0, height - 1)
+    by1 = jnp.clip(bbox[3] - yoff, 0.0, height - 1)
+    row_in = (bbox[3] >= yoff) & (bbox[1] <= yoff + (height - 1))
+    tx0 = (bbox[0] // tile_w).astype(jnp.int32)
+    ty0 = (by0 // tile_h).astype(jnp.int32)
+    tx1 = (bbox[2] // tile_w).astype(jnp.int32)
+    ty1 = (by1 // tile_h).astype(jnp.int32)
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    small = setup.valid & row_in & (span_w <= max_span) & (span_h <= max_span)
+    big = setup.valid & row_in & ~small
+
+    # (T, S) candidate tiles
+    s = jnp.arange(s_slots, dtype=jnp.int32)
+    sy = s[None, :] // span_w[:, None]
+    sx = s[None, :] % span_w[:, None]
+    slot_tile = (ty0[:, None] + sy) * n_tx + tx0[:, None] + sx
+    slot_ok = small[:, None] & (s[None, :] < (span_w * span_h)[:, None])
+    sentinel = jnp.int32(n_tiles)
+    keys = jnp.where(slot_ok, slot_tile, sentinel).reshape(-1)
+    return keys, big
+
+
+def _align_pairs(sorted_key, sorted_tri, n_tiles: int, chunk: int, n_blocks: int):
+    """Block-align sorted (tile, tri) pairs: block slot (b, s) reads sorted
+    pair ``starts[tile(b)] + (b - blk_start[tile(b)]) * chunk + s``.
+
+    Returns (blocks_tid, slot_valid, blk_tile, blk_first, in_use, tile_used,
+    overflow) -- everything downstream of the sort except the coefficient
+    gather."""
+    starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    counts = jnp.diff(starts)
+
+    nblk = -(-counts // chunk)
+    blk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nblk).astype(jnp.int32)]
+    )
+    total_used = blk_start[-1]
+
+    blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
+    blk_tile = jnp.clip(
+        jnp.searchsorted(blk_start, blk_ids, side="right").astype(jnp.int32) - 1,
+        0,
+        n_tiles - 1,
+    )
+    in_use = blk_ids < total_used
+    blk_first = (blk_ids == blk_start[blk_tile]).astype(jnp.int32)
+
+    slot = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    pair_src = (
+        starts[blk_tile][:, None]
+        + (blk_ids - blk_start[blk_tile])[:, None] * chunk
+        + slot
+    )
+    slot_valid = in_use[:, None] & (pair_src < starts[blk_tile + 1][:, None])
+    pair_src = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
+    blocks_tid = jnp.where(slot_valid, sorted_tri[pair_src], 0)
+    overflow = jnp.maximum(
+        starts[n_tiles] - jnp.sum(slot_valid.astype(jnp.int32)), 0
+    )
+    # A tile is only usable if its first block fits the block budget;
+    # otherwise no kernel instance ever initializes its output block and
+    # merging it would read garbage (its pairs are counted in overflow).
+    tile_used = (counts > 0) & (blk_start[:-1] < n_blocks)
+    return blocks_tid, slot_valid, blk_tile, blk_first, in_use, tile_used, overflow
+
+
 def bin_triangles(
     setup: RasterSetup,
     width: int,
@@ -113,65 +199,20 @@ def bin_triangles(
     t_count = setup.coef.shape[0]
     s_slots = max_span * max_span
 
-    bbox = setup.bbox  # (4, T)
-    yoff = jnp.asarray(y_offset, jnp.float32)
-    by0 = jnp.clip(bbox[1] - yoff, 0.0, height - 1)
-    by1 = jnp.clip(bbox[3] - yoff, 0.0, height - 1)
-    row_in = (bbox[3] >= yoff) & (bbox[1] <= yoff + (height - 1))
-    tx0 = (bbox[0] // tile_w).astype(jnp.int32)
-    ty0 = (by0 // tile_h).astype(jnp.int32)
-    tx1 = (bbox[2] // tile_w).astype(jnp.int32)
-    ty1 = (by1 // tile_h).astype(jnp.int32)
-    span_w = tx1 - tx0 + 1
-    span_h = ty1 - ty0 + 1
-    small = setup.valid & row_in & (span_w <= max_span) & (span_h <= max_span)
-    big = setup.valid & row_in & ~small
-
-    # (T, S) candidate tiles
-    s = jnp.arange(s_slots, dtype=jnp.int32)
-    sy = s[None, :] // span_w[:, None]
-    sx = s[None, :] % span_w[:, None]
-    slot_tile = (ty0[:, None] + sy) * n_tx + tx0[:, None] + sx
-    slot_ok = small[:, None] & (s[None, :] < (span_w * span_h)[:, None])
-    sentinel = jnp.int32(n_tiles)
-    keys = jnp.where(slot_ok, slot_tile, sentinel).reshape(-1)
+    keys, big = _pair_keys(
+        setup, width, height, tile_h, tile_w, max_span, y_offset
+    )
     sorted_key, sorted_tri = _sort_pairs(keys, n_tiles, s_slots)
-
-    starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts = jnp.diff(starts)
 
     n_blocks = int(budget_factor * t_count) // chunk + n_tiles
     n_blocks = max(n_blocks, 2)
-    nblk = -(-counts // chunk)
-    blk_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nblk).astype(jnp.int32)]
-    )
-    total_used = blk_start[-1]
-
-    blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
-    blk_tile = jnp.clip(
-        jnp.searchsorted(blk_start, blk_ids, side="right").astype(jnp.int32) - 1,
-        0,
-        n_tiles - 1,
-    )
-    in_use = blk_ids < total_used
-    blk_first = (blk_ids == blk_start[blk_tile]).astype(jnp.int32)
-
-    slot = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    pair_src = (
-        starts[blk_tile][:, None]
-        + (blk_ids - blk_start[blk_tile])[:, None] * chunk
-        + slot
-    )
-    slot_valid = in_use[:, None] & (pair_src < starts[blk_tile + 1][:, None])
-    pair_src = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
-    blocks_tid = jnp.where(slot_valid, sorted_tri[pair_src], 0)
+    (
+        blocks_tid, slot_valid, blk_tile, blk_first, in_use, tile_used,
+        overflow,
+    ) = _align_pairs(sorted_key, sorted_tri, n_tiles, chunk, n_blocks)
     blocks_valid = slot_valid.astype(jnp.float32)
     out_tid = blocks_tid if tri_ids is None else jnp.where(
         slot_valid, tri_ids[blocks_tid], 0
-    )
-    overflow = jnp.maximum(
-        starts[n_tiles] - jnp.sum(blocks_valid).astype(jnp.int32), 0
     )
 
     # ONE packed-record gather feeds every raster coefficient; the
@@ -205,10 +246,7 @@ def bin_triangles(
         blk_tile=blk_tile,
         blk_first=blk_first,
         blk_live=in_use.astype(jnp.int32),
-        # A tile is only usable if its first block fits the block budget;
-        # otherwise no kernel instance ever initializes its output block and
-        # merging it would read garbage (its pairs are counted in overflow).
-        tile_used=(counts > 0) & (blk_start[:-1] < n_blocks),
+        tile_used=tile_used,
         big_mask=big,
         overflow=overflow.astype(jnp.int32),
         rec=rec,
