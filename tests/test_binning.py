@@ -72,6 +72,28 @@ def test_big_triangles_flagged():
         assert t not in binned_ids
 
 
+def test_align_scatter_bit_exact():
+    """Scatter-based block alignment (RenderSettings.bin_align_scatter) is
+    bit-identical to the pair-source gather path on every BinnedTriangles
+    field, including under pair-budget overflow and with tri_ids mapping."""
+    import jax
+
+    for seed, size, budget in [(0, 0.05, 3.0), (1, 0.2, 3.0), (2, 0.05, 0.02)]:
+        setup = _setup(150, seed=seed, size=size)
+        t = setup.coef.shape[0]
+        ids = jnp.asarray(np.random.default_rng(seed).permutation(t), jnp.int32)
+        a = jax.jit(lambda st, g: bin_triangles(
+            st, 256, 256, 16, 64, 32, max_span=2, budget_factor=budget,
+            tri_ids=g, align_scatter=False))(setup, ids)
+        b = jax.jit(lambda st, g: bin_triangles(
+            st, 256, 256, 16, 64, 32, max_span=2, budget_factor=budget,
+            tri_ids=g, align_scatter=True))(setup, ids)
+        for name in ("coef", "tri_id", "valid", "blk_tile", "blk_first",
+                     "blk_live", "tile_used", "big_mask", "overflow"):
+            av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            assert np.array_equal(av, bv), (name, seed, size, budget)
+
+
 def test_first_flags_and_tile_monotonicity():
     setup = _setup(200, size=0.05)
     bins = bin_triangles(setup, 256, 256, 16, 64, 32, max_span=2)

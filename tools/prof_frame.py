@@ -437,6 +437,15 @@ def main():
             timed_scan(sort_align, st0,
                        label=f"binparts[{name}]: + pair-source gather")
 
+            def sort_align_sc(st):
+                keys, big = _pair_keys(st, w_, h_, th, tw, span)
+                sk, stri = _sort_pairs(keys, n_tiles, s_slots)
+                btid, sv, _bt, _bf, _iu, _tu, ovf = _align_pairs(
+                    sk, stri, n_tiles, ck, n_blocks, use_scatter=True)
+                return btid, sv, ovf
+            timed_scan(sort_align_sc, st0,
+                       label=f"binparts[{name}]: + pair scatter (alt)")
+
             def full_bin(st):
                 b = bin_triangles(st, w_, h_, th, tw, ck, max_span=span,
                                   budget_factor=budget)

@@ -130,9 +130,28 @@ def _pair_keys(
     return keys, big
 
 
-def _align_pairs(sorted_key, sorted_tri, n_tiles: int, chunk: int, n_blocks: int):
+def _align_pairs(
+    sorted_key,
+    sorted_tri,
+    n_tiles: int,
+    chunk: int,
+    n_blocks: int,
+    use_scatter: bool = False,
+):
     """Block-align sorted (tile, tri) pairs: block slot (b, s) reads sorted
     pair ``starts[tile(b)] + (b - blk_start[tile(b)]) * chunk + s``.
+
+    use_scatter replaces that pair-source gather (n_pairs-row table -- past
+    the TPU f32 gather cliff, ~12-19 ns/request) with a unique-index scatter:
+    a sorted pair at position p lands at ``p + adjust[tile]`` where
+    ``adjust = blk_start * chunk - starts`` is constant per tile, so
+    broadcasting adjust to pairs is a (n_tiles+1)-point delta scatter + an
+    i32 cumsum (NOT a tiny-table gather, which is pathological on TPU --
+    BENCHLOG gather law), and the scatter's indices are unique by
+    construction.  Bit-identical results either way
+    (tests/test_binning.py::test_align_scatter_bit_exact); staged experiment,
+    flip ``RenderSettings.bin_align_scatter`` when the binparts profile row
+    confirms on metal.
 
     Returns (blocks_tid, slot_valid, blk_tile, blk_first, in_use, tile_used,
     overflow) -- everything downstream of the sort except the coefficient
@@ -162,8 +181,28 @@ def _align_pairs(sorted_key, sorted_tri, n_tiles: int, chunk: int, n_blocks: int
         + slot
     )
     slot_valid = in_use[:, None] & (pair_src < starts[blk_tile + 1][:, None])
-    pair_src = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
-    blocks_tid = jnp.where(slot_valid, sorted_tri[pair_src], 0)
+    if use_scatter:
+        n_pairs = sorted_tri.shape[0]
+        adjust = blk_start * chunk - starts  # (n_tiles + 1,) i32
+        delta = jnp.concatenate([adjust[:1], jnp.diff(adjust)])
+        # empty tiles stack their deltas at one position (scatter-add);
+        # starts[k] == n_pairs (no sentinel pairs) drops harmlessly
+        per_pair = jnp.zeros(n_pairs, jnp.int32).at[starts].add(
+            delta, mode="drop"
+        )
+        dst = jnp.arange(n_pairs, dtype=jnp.int32) + jnp.cumsum(per_pair)
+        # unique dst by construction; tile blocks past the budget and
+        # sentinel pairs land out of range / in dead slots -- both are
+        # masked by slot_valid below, exactly like the gather path
+        raw_tid = (
+            jnp.zeros(n_blocks * chunk, jnp.int32)
+            .at[dst].set(sorted_tri, mode="drop")
+            .reshape(n_blocks, chunk)
+        )
+    else:
+        pair_src_c = jnp.clip(pair_src, 0, sorted_tri.shape[0] - 1)
+        raw_tid = sorted_tri[pair_src_c]
+    blocks_tid = jnp.where(slot_valid, raw_tid, 0)
     overflow = jnp.maximum(
         starts[n_tiles] - jnp.sum(slot_valid.astype(jnp.int32)), 0
     )
@@ -186,6 +225,7 @@ def bin_triangles(
     tri_ids: jnp.ndarray | None = None,
     y_offset=0,
     records: jnp.ndarray | None = None,
+    align_scatter: bool = False,
 ) -> BinnedTriangles:
     """tri_ids (optional) maps local rows of a compacted setup back to
     global triangle ids for the output id buffers.
@@ -209,7 +249,10 @@ def bin_triangles(
     (
         blocks_tid, slot_valid, blk_tile, blk_first, in_use, tile_used,
         overflow,
-    ) = _align_pairs(sorted_key, sorted_tri, n_tiles, chunk, n_blocks)
+    ) = _align_pairs(
+        sorted_key, sorted_tri, n_tiles, chunk, n_blocks,
+        use_scatter=align_scatter,
+    )
     blocks_valid = slot_valid.astype(jnp.float32)
     out_tid = blocks_tid if tri_ids is None else jnp.where(
         slot_valid, tri_ids[blocks_tid], 0

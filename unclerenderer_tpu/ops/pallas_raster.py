@@ -517,7 +517,7 @@ def _run_binned_kernel(
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
         "mid_divisor", "giant_divisor", "giant_tile_h", "giant_tile_w",
         "interpret", "debug_print",
-        "want_ids", "ortho",
+        "want_ids", "ortho", "align_scatter",
     ),
 )
 def rasterize_binned(
@@ -543,6 +543,7 @@ def rasterize_binned(
     want_ids: bool = True,
     records: jnp.ndarray | None = None,
     ortho: bool = False,
+    align_scatter: bool = False,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -573,7 +574,7 @@ def rasterize_binned(
     bins = bin_triangles(
         setup, width, height, tile_h, tile_w, chunk,
         max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
-        records=records,
+        records=records, align_scatter=align_scatter,
     )
     fine_out = _run_binned_kernel(
         bins, width, height, tile_h, tile_w, chunk, y_offset, interpret,
@@ -606,6 +607,7 @@ def rasterize_binned(
         mid_setup, width, height, big_tile_h, big_tile_w, big_chunk,
         max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
         records=None if records is None else records[mid_idx],
+        align_scatter=align_scatter,
     )
     mid_out = _run_binned_kernel(
         mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,

@@ -209,6 +209,7 @@ def _dispatch_raster(
             records=records,
             interpret=settings.pallas_interpret,
             ortho=ortho,
+            align_scatter=settings.bin_align_scatter,
         )
     depth, tri_id = rasterize(
         setup, width, height,
@@ -807,6 +808,7 @@ def _rasterize_alpha_binned(
     bins = bin_triangles(
         lvl_setup, width, height, tile_h, settings.tile_w, chunk,
         max_span=4, budget_factor=4.0, tri_ids=tri_ids, y_offset=y_offset,
+        align_scatter=settings.bin_align_scatter,
     )
     key_img, id_img = eval_level(bins, tile_h, settings.tile_w, chunk)
 
@@ -824,6 +826,7 @@ def _rasterize_alpha_binned(
     bins2 = bin_triangles(
         big_setup, width, height, big_th, 128, chunk,
         max_span=8, budget_factor=2.0, tri_ids=g2, y_offset=y_offset,
+        align_scatter=settings.bin_align_scatter,
     )
     key2, id2 = eval_level(bins2, big_th, 128, chunk)
     take2 = key2 > key_img

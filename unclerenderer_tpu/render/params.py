@@ -141,6 +141,13 @@ class RenderSettings:
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
     kernel_debug_print: bool = False
     bin_max_span: int = 2
+    # Block-align binned pairs by a unique-index scatter instead of the
+    # pair-source gather (the gather's n_pairs-row table is past the TPU
+    # f32 fast-path cliff; a unique scatter costs ~a packed sort per the
+    # measured gather law).  Bit-identical output either way
+    # (ops/binning.py _align_pairs).  Staged experiment: flip when the
+    # binparts profile row confirms on metal.
+    bin_align_scatter: bool = False
     # Pair-budget factor: binning gathers scale with the static budget
     # (n_blocks x chunk rows), so over-provisioning costs real bandwidth.
     # 2.0 carries ~5x margin over measured demand on the Sponza-class tier
