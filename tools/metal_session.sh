@@ -42,6 +42,14 @@ for cfg in "16 256 64" "32 256 64" "64 128 64" "32 128 128"; do
     | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -5
 done
 
+echo "== span-1 binning (pairs = T, crossers to mid level) ==" | tee -a /tmp/metal/log
+echo "-- span=1 mid_div=4 camera --" | tee -a /tmp/metal/sweep.txt
+PROF_SPAN=1 PROF_MID_DIV=4 timeout 900 python tools/prof_frame.py rasterparts 2>&1 \
+  | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -4
+echo "-- span=1 shadow --" | tee -a /tmp/metal/sweep.txt
+PROF_SPAN=1 timeout 900 python tools/prof_frame.py shadowparts 2>&1 \
+  | grep -vE "WARNING|INFO" | tee -a /tmp/metal/sweep.txt | tail -5
+
 echo "== binning sub-parts (sort vs pair gather vs coef gather) ==" | tee -a /tmp/metal/log
 timeout 1200 python tools/prof_frame.py binparts 2>&1 \
   | grep -vE "WARNING|INFO" | tee /tmp/metal/binparts.txt | tail -10

@@ -78,6 +78,11 @@ def main():
         ("PROF_SHADOW_TILE_H", "shadow_tile_h", int),
         ("PROF_SHADOW_TILE_W", "shadow_tile_w", int),
         ("PROF_SHADOW_CHUNK", "shadow_chunk", int),
+        # span-1 binning: pairs = T (not span^2*T) -- pair table drops under
+        # the gather cliff; tile-crossers spill to the mid level (counted)
+        ("PROF_SPAN", "bin_max_span", int),
+        ("PROF_MID_DIV", "bin_mid_divisor", int),
+        ("PROF_ALIGN_SCATTER", "bin_align_scatter", lambda v: bool(int(v))),
     ]:
         if os.environ.get(env):
             overrides[field] = conv(os.environ[env])
@@ -312,12 +317,25 @@ def main():
             d, _t, _st = pr.rasterize_binned(
                 st, s, s, tile_h=th, tile_w=tw, chunk=ck,
                 depth_mode=DEPTH_MIN, want_ids=False, ortho=True,
+                max_span=settings.bin_max_span,
+                mid_divisor=settings.bin_mid_divisor,
                 budget_factor=settings.shadow_bin_budget_factor,
                 giant_tile_h=settings.shadow_giant_tile_h,
                 giant_tile_w=settings.shadow_giant_tile_w,
                 interpret=INTERPRET)
             return d
         timed_scan(full_binned, setup0, label="shadow: full binned raster")
+        _, _, sstats = jax.jit(lambda st: pr.rasterize_binned(
+            st, s, s, tile_h=th, tile_w=tw, chunk=ck,
+            depth_mode=DEPTH_MIN, want_ids=False, ortho=True,
+            max_span=settings.bin_max_span,
+            mid_divisor=settings.bin_mid_divisor,
+            budget_factor=settings.shadow_bin_budget_factor,
+            giant_tile_h=settings.shadow_giant_tile_h,
+            giant_tile_w=settings.shadow_giant_tile_w,
+            interpret=INTERPRET))(setup0)
+        print("  shadow raster drops:",
+              {k: int(v) for k, v in sstats.items()}, flush=True)
 
     if on("rasterparts"):
         # sub-stage split of the camera-view binned raster: where do the
@@ -367,6 +385,17 @@ def main():
             return d, t
         timed_scan(full_binned, setup0,
                    label="raster: full binned (fine+mid+giant+merge)")
+        _, _, cstats = jax.jit(lambda st: pr.rasterize_binned(
+            st, W, H, tile_h=th, tile_w=tw, chunk=ck,
+            budget_factor=settings.bin_budget_factor,
+            max_span=settings.bin_max_span,
+            mid_divisor=settings.bin_mid_divisor,
+            giant_divisor=settings.bin_giant_divisor,
+            giant_tile_h=min(settings.giant_tile_h, H),
+            giant_tile_w=settings.giant_tile_w,
+            interpret=INTERPRET))(setup0)
+        print("  raster drops:",
+              {k: int(v) for k, v in cstats.items()}, flush=True)
 
     if want and "binparts" in want:
         # Cumulative split of bin_triangles itself (explicit-only): expand+
