@@ -340,6 +340,31 @@ def test_subcenter_cull_exact():
         assert old_winner >= 0 and not has_center[old_winner]
 
 
+def test_compaction_cap_auto_policy():
+    """Auto camera cap must never be a window the bench orbit's measured
+    visible set (~97k after the sub-center cull at the 263k tier) can
+    overflow: 163840 (split16 window), off under the f32 cliff, off for
+    masked scenes, off when half the scene could plausibly be visible."""
+    import dataclasses
+
+    from unclerenderer_tpu.render.common import (
+        compaction_cap, shadow_compaction_cap,
+    )
+    from unclerenderer_tpu.render.params import RenderSettings
+
+    s = RenderSettings(has_masked_models=False)
+    assert compaction_cap(s, 90_000) == 0          # already under the cliff
+    assert compaction_cap(s, 263_184) == 163_840   # split16 window
+    assert compaction_cap(s, 400_000) == 0         # drops plausible -> off
+    assert compaction_cap(
+        dataclasses.replace(s, compact_cap=94_208), 263_184) == 94_208
+    assert compaction_cap(
+        dataclasses.replace(s, has_masked_models=True), 263_184) == 0
+    # shadow cap: depth-only, id-free -- stays at the split16 window
+    assert shadow_compaction_cap(s, 263_184) == 163_840
+    assert shadow_compaction_cap(s, 90_000) == 0
+
+
 def test_shadow_compaction_bit_exact_and_overflow():
     """Light-space compaction in raster_shadow must leave the shadow map
     bit-identical (depth-only: ids never surface, compaction only reorders

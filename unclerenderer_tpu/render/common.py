@@ -129,12 +129,19 @@ def compaction_cap(settings: RenderSettings, t_count: int) -> int:
     if cap == -1:
         if t_count <= 94208:
             return 0
-        # 94208 is the largest measured f32 fast-gather table (one plain
-        # f32 record gather, ~7 ms/2M); the sub-center cull keeps the
-        # Sponza-class tier's valid set under it (max 90k measured over
-        # the bench orbit).  Overflow is counted -- raise compact_cap to
-        # 163840 (16-bit split gather) if stats() ever reports drops.
-        cap = 94208
+        # Auto picks the 16-bit split-gather window (163840 rows; the
+        # resolve + binning coef gathers route through the bit-exact u16
+        # split pair in that window).  The f32 fast window (94208) measures
+        # cheaper per row, but the Sponza-class bench orbit's visible set is
+        # ~97k even after the sub-center cull -- a cap that drops real
+        # geometry is not an optimization.  Set compact_cap=94208 explicitly
+        # for scenes whose visible set is known to fit (overflow is counted
+        # in stats() either way).  Past 2x the window, half the scene could
+        # be visible and drops become plausible: auto turns compaction off
+        # (correctness over gather speed).
+        if t_count > 2 * 163840:
+            return 0
+        cap = 163840
     if cap <= 0 or cap >= t_count:
         return 0
     return cap
