@@ -111,18 +111,34 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
     def frames_chunk(scene, params_stack, state):
         def body(st, p):
             out, st = deferred_frame(scene, p, st, settings)
-            return st, out["color"].mean()
-        st, means = jax.lax.scan(body, state, params_stack)
-        return st, means
+            return st, (out["color"].mean(), out["raster_stats"])
+        st, (means, drops) = jax.lax.scan(body, state, params_stack)
+        return st, means, drops
 
     state_box = [FrameState.initial(WIDTH, HEIGHT)]
+    drop_box = [None]
 
     def render():
-        state_box[0], means = frames_chunk(scene, params_stack, state_box[0])
+        state_box[0], means, drops = frames_chunk(
+            scene, params_stack, state_box[0]
+        )
+        drop_box[0] = drops
         return {"color": means}
 
+    def drop_counters():
+        # worst frame of the last chunk, per counter -- the honesty gate:
+        # a nonzero value means the measured frames dropped real geometry
+        # (compaction caps / bin budgets), so the headline must say so
+        import numpy as np
+
+        if drop_box[0] is None:
+            return {}
+        return {
+            k: int(np.asarray(v).max()) for k, v in sorted(drop_box[0].items())
+        }
+
     n_tris = int(data.tri_model.shape[0])
-    return render, n_tris, settings
+    return render, n_tris, settings, drop_counters
 
 
 def _pallas_parity_gate():
@@ -290,7 +306,7 @@ def main() -> int:
     # headline: Sponza-class synthetic (~263k tris) -- the north-star load at
     # the reference's 4096^2 shadow resolution (Renderer.cpp:240-296); each
     # render() executes FRAMES device-chained frames (one dispatch)
-    render, n_tris, eff = _synthetic_runner(
+    render, n_tris, eff, drop_counters = _synthetic_runner(
         settings, n_objects=_SMOKE_OBJECTS, sphere_res=(32, 24), ground=True
     )
     ms_chunk, setup_s = _measure(render, frames=3)
@@ -300,6 +316,12 @@ def main() -> int:
     print(f"HEADLINE ms_per_frame={ms:.2f} (checkpoint)", file=sys.stderr)
 
     extra = {}
+    drops = drop_counters()
+    if drops:
+        # honesty gate: nonzero counters mean the measured frames dropped
+        # real geometry (compaction caps / bin budgets) -- always reported
+        extra["drop_counters"] = drops
+        extra["dropped_work"] = any(v > 0 for v in drops.values())
     # Secondary rows are best-effort: a relay death mid-row must not lose
     # the already-measured headline (the judge-facing JSON still prints,
     # carrying whatever extras completed).
@@ -307,14 +329,14 @@ def main() -> int:
     # (sampler-parity cost as a number, not a footnote)
     try:
         half_shadow = 2048 if _SMOKE_SHADOW == 4096 else max(64, _SMOKE_SHADOW // 2)
-        render2k, _, _ = _synthetic_runner(
+        render2k, _, _, _ = _synthetic_runner(
             dataclasses.replace(settings, shadow_map_size=half_shadow),
             n_objects=_SMOKE_OBJECTS, sphere_res=(32, 24), ground=True,
         )
         ms2k_chunk, _ = _measure(render2k, frames=2)
         extra["shadow2048_ms"] = round(ms2k_chunk / FRAMES, 2)
 
-        render_tri, _, _ = _synthetic_runner(
+        render_tri, _, _, _ = _synthetic_runner(
             dataclasses.replace(settings, texture_filter="trilinear"),
             n_objects=_SMOKE_OBJECTS, sphere_res=(32, 24), ground=True,
         )
