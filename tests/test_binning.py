@@ -23,11 +23,18 @@ def _setup(n=100, seed=0, w=256, h=256, size=0.05):
     return triangle_setup(pix_h, clip[:, 2], tris, jnp.ones(n, bool), CULL_NONE, w, h)
 
 
-def test_bins_cover_every_small_triangle_tile_pair():
+import pytest
+
+
+@pytest.mark.parametrize("max_span", [1, 2])
+def test_bins_cover_every_small_triangle_tile_pair(max_span):
+    """Every (tile, triangle) bbox overlap of a span-eligible triangle is
+    binned exactly once; larger-span triangles land in big_mask (span 1 =
+    the PROF_SPAN sweep configuration: pairs = T, crossers to mid level)."""
     w = h = 256
     th, tw, chunk = 16, 64, 32
     setup = _setup(100, size=0.03)
-    bins = bin_triangles(setup, w, h, th, tw, chunk, max_span=2)
+    bins = bin_triangles(setup, w, h, th, tw, chunk, max_span=max_span)
     n_tx = w // tw
 
     # reference pair set from bboxes ((4, T) rows)
