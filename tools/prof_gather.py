@@ -74,6 +74,19 @@ def main():
         ):
             probe(rows, lanes, dtype)
 
+    # the resolve record gather at the AUTO compaction cap (163840 rows,
+    # 128 f32 lanes): plain slow-path f32 vs the bit-exact u16 split pair
+    # the production path takes (render/common.py resolve_materials)
+    from unclerenderer_tpu.ops.raster import gather_rows_split16
+
+    rng = np.random.default_rng(7)
+    rec = jnp.asarray(rng.random((163840, 128), np.float32), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 163840, N_REQ, dtype=np.int64), jnp.int32)
+    timed_scan(lambda t, i: t[i].sum(axis=-1), rec, idx, iters=4,
+               label="  resolve cap=163840 x128 f32 PLAIN gather")
+    timed_scan(lambda t, i: gather_rows_split16(t, i).sum(axis=-1), rec, idx,
+               iters=4, label="  resolve cap=163840 x128 f32 SPLIT16")
+
 
 if __name__ == "__main__":
     main()
