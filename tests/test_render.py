@@ -111,6 +111,43 @@ def test_deferred_culling_removes_offscreen_models():
     assert (np.asarray(out2["tri_id"]) >= 0).sum() == 0
 
 
+def test_compact_overflow_surfaces_in_raster_stats():
+    """The bench honesty gate reads raster_stats["compact_overflow"]: with a
+    cap below the view's valid count the counter must be positive (and the
+    frame must still render), with a generous cap it must be zero."""
+    import dataclasses
+
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="deferred", enable_ibl=False, enable_sky=False,
+        has_masked_models=False, **SMALL,
+    )
+    scene, data = synthetic_device_scene(9)
+    params = synthetic_frame_params(data, 64, 64)
+    state = FrameState.initial(64, 64)
+
+    def run(settings):
+        out, _ = jax.jit(
+            lambda sc, p, st: deferred_frame(sc, p, st, settings)
+        )(scene, params, state)
+        return out
+
+    t = int(scene.tri_geo.shape[0])
+    out_ok = run(dataclasses.replace(base, compact_cap=t - 1))
+    assert int(np.asarray(out_ok["raster_stats"]["compact_overflow"])) == 0
+
+    out_tiny = run(dataclasses.replace(base, compact_cap=64))
+    ovf = int(np.asarray(out_tiny["raster_stats"]["compact_overflow"]))
+    n_valid = (np.asarray(out_ok["tri_id"]) >= 0).any()
+    assert n_valid and ovf > 0
+    assert np.isfinite(np.asarray(out_tiny["color"])).all()
+
+
 def test_state_save_load(reference_assets, tmp_path):
     s = RenderSettings(renderer_type="deferred", enable_ibl=False, **SMALL)
     r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
