@@ -48,14 +48,30 @@ def timed_scan(fn, *args, iters=8, label="", label_width=46):
         return c
 
     jl = jax.jit(loop, static_argnums=(0,))
+
+    def run(n):
+        # the relay sporadically drops a remote_compile/execute mid-read
+        # ("response body closed before all bytes were read"); one stage
+        # dying must not lose the rest of a metal window -- retry with
+        # backoff before giving up on the row
+        for attempt in range(3):
+            try:
+                return float(jl(n, *args))
+            except Exception as e:  # jax.errors.JaxRuntimeError and kin
+                if attempt == 2 or "INTERNAL" not in str(e):
+                    raise
+                print(f"  [retry {attempt + 1}] transient relay error on "
+                      f"'{label}': {str(e).splitlines()[0][:120]}", flush=True)
+                time.sleep(20 * (attempt + 1))
+
     t0 = time.monotonic()
-    float(jl(1, *args))  # compile + 1 iter
+    run(1)  # compile + 1 iter
     compile_s = time.monotonic() - t0
-    float(jl(iters, *args))  # second compile (different length) -- cheapish
+    run(iters)  # second compile (different length) -- cheapish
     best = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
-        float(jl(iters, *args))
+        run(iters)
         best = min(best, (time.monotonic() - t0) / iters * 1e3)
     print(f"{label:<{label_width}} {best:8.2f} ms/iter   "
           f"(compile {compile_s:.0f}s)", flush=True)
