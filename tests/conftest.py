@@ -8,6 +8,9 @@ import os
 # an "axon" TPU platform via sitecustomize and pins JAX_PLATFORMS=axon, so
 # the env var alone is not enough -- use the config API too.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic: never read/write the user-level built-scene cache from tests
+# (tests that exercise the cache set their own dir via monkeypatch)
+os.environ.setdefault("UNCLERENDERER_SCENE_CACHE", "")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -276,6 +276,26 @@ def test_split16_gather_bit_exact():
     )
 
 
+def test_gather_rows_parts_bit_exact():
+    """The row-split gather (N fast-path part tables, per-part clamped
+    indices) returns exactly table[idx] for any part size, incl. a table
+    not divisible by the part size and multi-dim index shapes."""
+    from unclerenderer_tpu.ops.raster import gather_rows_parts
+
+    rng = np.random.default_rng(3)
+    rec = rng.normal(size=(100, 8)).astype(np.float32)
+    rec[0, 0] = np.inf
+    rec[1, 1] = -0.0
+    rec[3, 3] = np.nan
+    idx = jnp.asarray(rng.integers(0, 100, size=(7, 11)), jnp.int32)
+    for part_rows in (100, 64, 33, 7):
+        out = np.asarray(gather_rows_parts(jnp.asarray(rec), idx, part_rows))
+        np.testing.assert_array_equal(
+            out.view(np.uint32), rec[np.asarray(idx)].view(np.uint32),
+            err_msg=f"part_rows={part_rows}",
+        )
+
+
 def test_subcenter_cull_exact():
     """The sub-center cull (triangle_setup_from_verts) may only drop
     triangles whose EXACT vertex hull contains no pixel center: over random

@@ -58,8 +58,8 @@ def timed_scan(fn, *args, iters=ITERS, label=""):
     except Exception as e:
         # a row lost to a relay drop (after timing.py's retries) must not
         # kill the remaining rows of a metal window
-        print(f"{label:<46}   FAILED ({str(e).splitlines()[0][:100]})",
-              flush=True)
+        msg = (str(e).splitlines() or [type(e).__name__])[0]
+        print(f"{label:<46}   FAILED ({msg[:100]})", flush=True)
         return float("nan")
 
 

@@ -87,6 +87,30 @@ def main():
     timed_scan(lambda t, i: gather_rows_split16(t, i).sum(axis=-1), rec, idx,
                iters=4, label="  resolve cap=163840 x128 f32 SPLIT16")
 
+    # row-split alternative: N fast-path part gathers with per-part clamped
+    # indices (ops/raster.py gather_rows_parts) -- the candidate replacement
+    # for split16 everywhere past the f32 cliff
+    from unclerenderer_tpu.ops.raster import gather_rows_parts
+
+    timed_scan(lambda t, i: gather_rows_parts(t, i).sum(axis=-1), rec, idx,
+               iters=4, label="  resolve cap=163840 x128 f32 ROW-SPLIT x2")
+    rec16 = jnp.asarray(rng.random((163840, 16), np.float32), jnp.float32)
+    timed_scan(lambda t, i: t[i].sum(axis=-1), rec16, idx, iters=4,
+               label="  coef table 163840 x16 f32 PLAIN gather")
+    timed_scan(lambda t, i: gather_rows_parts(t, i).sum(axis=-1), rec16, idx,
+               iters=4, label="  coef table 163840 x16 f32 ROW-SPLIT x2")
+    # the 4096^2 PCF superblock table shape: 131072 rows x 256 u16 lanes
+    # (hi/lo split pair) vs row-split f32 256-lane parts
+    pcf = jnp.asarray(rng.random((131072, 256), np.float32), jnp.float32)
+    idx_p = jnp.asarray(
+        rng.integers(0, 131072, N_REQ, dtype=np.int64), jnp.int32)
+    timed_scan(lambda t, i: gather_rows_split16(t, i).sum(axis=-1), pcf,
+               idx_p, iters=4, label="  pcf 131072 x256 f32 SPLIT16")
+    timed_scan(lambda t, i: gather_rows_parts(t, i).sum(axis=-1), pcf, idx_p,
+               iters=4, label="  pcf 131072 x256 f32 ROW-SPLIT x2")
+    timed_scan(lambda t, i: t[i].sum(axis=-1), pcf, idx_p, iters=4,
+               label="  pcf 131072 x256 f32 PLAIN gather")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,180 @@
+"""On-disk cache of the BUILT device scene (VERDICT r3 next-step #5).
+
+The reference cold-starts in seconds because its scene build is a straight
+file->GPU upload (``Application.cpp:148-330``); here the expensive part is
+host-side assembly -- glTF decode, tangent generation, texture decode, the
+combined-material fuse and the pyramid atlas packs (~14 s for pica on this
+box).  This module persists the finished product -- ``SceneData`` plus every
+``DeviceScene`` host array -- keyed by the scene description and validated
+against the (size, mtime) of every asset file the build consumed, so a warm
+start is one .npz read + device upload instead of the whole asset pipeline.
+
+Layout per entry (under ``~/.cache/unclerenderer_scenes`` or
+``$UNCLERENDERER_SCENE_CACHE``; empty env var disables the cache):
+
+* ``<key>.npz``    -- the DeviceScene arrays (bfloat16 stored as uint16 views)
+* ``<key>.meta.json`` -- scalar results + the consumed-file freshness list
+* ``<key>.scene.pkl`` -- pickled SceneData (own cache dir, own writes only)
+
+The key hashes the scene JSON bytes, the model files' (path, size, mtime),
+the atlas-layout settings and a format version; the meta freshness list is
+re-stat'ed on every load so touching any texture invalidates the entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .logging import log_info, log_warning
+
+FORMAT_VERSION = 1
+_MAX_ENTRIES = 6  # evict oldest beyond this (atlases are hundreds of MB)
+
+
+def cache_dir() -> Path | None:
+    env = os.environ.get("UNCLERENDERER_SCENE_CACHE")
+    if env == "":
+        return None  # explicitly disabled
+    return Path(env) if env else Path.home() / ".cache" / "unclerenderer_scenes"
+
+
+def _stat_sig(path: str) -> tuple:
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
+def scene_key(
+    scene_path: Path, model_files: list[str], settings_sig: tuple
+) -> str:
+    """Hash of everything known BEFORE the build runs: the scene JSON bytes,
+    the model geometry files' stats, and the atlas-layout settings."""
+    h = hashlib.sha256()
+    h.update(f"v{FORMAT_VERSION}|{settings_sig}".encode())
+    try:
+        h.update(Path(scene_path).read_bytes())
+    except OSError:
+        h.update(str(scene_path).encode())
+    for f in sorted(set(model_files)):
+        try:
+            h.update(f"{f}|{_stat_sig(f)}".encode())
+        except OSError:
+            h.update(f"{f}|missing".encode())
+    return h.hexdigest()[:32]
+
+
+def model_files_of(scene_path: Path) -> list[str]:
+    """Geometry freshness set: each model file named by the scene JSON plus
+    any .bin buffers next to it (glTF external buffers live alongside)."""
+    from ..scene.scene_json import load_scene_json
+
+    files: list[str] = []
+    try:
+        models, _light, _cam = load_scene_json(scene_path)
+    except Exception:  # noqa: BLE001 -- key degrades to json-bytes only
+        return files
+    root = Path(scene_path).parent.parent
+    for m in models or []:
+        p = Path(m.mesh_path)
+        if not p.is_absolute():
+            p = root / p
+        if p.is_file():
+            files.append(str(p))
+            files.extend(str(b) for b in sorted(p.parent.glob("*.bin")))
+    return files
+
+
+def load(key: str):
+    """Return (scene_data, host_arrays, meta) or None on miss/stale."""
+    d = cache_dir()
+    if d is None:
+        return None
+    npz, meta_p, pkl = d / f"{key}.npz", d / f"{key}.meta.json", d / f"{key}.scene.pkl"
+    if not (npz.is_file() and meta_p.is_file() and pkl.is_file()):
+        return None
+    try:
+        meta = json.loads(meta_p.read_text())
+        if meta.get("format") != FORMAT_VERSION:
+            return None
+        for f, sig in meta["files"]:
+            if _stat_sig(f) != tuple(sig):
+                return None  # an asset changed since the build
+        t0 = time.monotonic()
+        with np.load(npz) as z:
+            arrays = {}
+            for name in z.files:
+                a = z[name]
+                if meta["dtypes"].get(name) == "bfloat16":
+                    import ml_dtypes
+
+                    a = a.view(ml_dtypes.bfloat16)
+                arrays[name] = a
+        scene_data = pickle.loads(pkl.read_bytes())
+        # freshen for LRU eviction
+        os.utime(npz)
+        log_info(
+            f"scene cache HIT {key[:12]} "
+            f"({npz.stat().st_size / 1e6:.0f} MB in {time.monotonic() - t0:.1f}s)"
+        )
+        return scene_data, arrays, meta
+    except Exception as e:  # noqa: BLE001 -- any corruption = miss
+        log_warning(f"scene cache entry {key[:12]} unreadable ({e!r}); rebuilding")
+        return None
+
+
+def store(
+    key: str, scene_data, device_scene, meta_extra: dict, files: list[str]
+) -> None:
+    """Persist a finished build.  ``device_scene`` is the DeviceScene whose
+    arrays are pulled back to host numpy (one-time cost on the cold path)."""
+    d = cache_dir()
+    if d is None:
+        return
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        t0 = time.monotonic()
+        arrays, dtypes = {}, {}
+        for f in dataclasses.fields(device_scene):
+            v = getattr(device_scene, f.name)
+            if v is None:
+                continue
+            a = np.asarray(v)
+            if a.dtype.name == "bfloat16":
+                dtypes[f.name] = "bfloat16"
+                a = a.view(np.uint16)
+            arrays[f.name] = a
+        meta = {
+            "format": FORMAT_VERSION,
+            "dtypes": dtypes,
+            "files": [[f, list(_stat_sig(f))] for f in sorted(set(files))],
+            **meta_extra,
+        }
+        tmp = d / f"{key}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+        tmp.replace(d / f"{key}.npz")
+        (d / f"{key}.scene.pkl").write_bytes(pickle.dumps(scene_data))
+        (d / f"{key}.meta.json").write_text(json.dumps(meta))
+        log_info(
+            f"scene cache STORE {key[:12]} "
+            f"({(d / f'{key}.npz').stat().st_size / 1e6:.0f} MB in "
+            f"{time.monotonic() - t0:.1f}s)"
+        )
+        _evict(d)
+    except Exception as e:  # noqa: BLE001 -- caching must never break a build
+        log_warning(f"scene cache store failed ({e!r})")
+
+
+def _evict(d: Path) -> None:
+    entries = sorted(d.glob("*.npz"), key=lambda p: p.stat().st_mtime)
+    for npz in entries[:-_MAX_ENTRIES]:
+        stem = npz.name[: -len(".npz")]
+        for suffix in (".npz", ".meta.json", ".scene.pkl"):
+            (d / f"{stem}{suffix}").unlink(missing_ok=True)

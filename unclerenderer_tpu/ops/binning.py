@@ -265,17 +265,11 @@ def bin_triangles(
     # a (chunk, 16) block layout degrades the block DMA to 128 strided
     # 64 B reads and is ~15x slower end to end (measured).
     #
-    # f32 row gathers fall off the TPU fast path past ~96k table rows while
-    # 16-bit tables stay fast to ~192k (BENCHLOG gather law): in that window
-    # the bit-exact split-16 gather (two u16 half-table gathers + rebuild)
-    # is the cheaper path.  Past ~192k both halves are slow, so plain f32
-    # (one slow gather beats two).
-    if 94208 < t_count <= 163840:
-        from .raster import gather_rows_split16
-
-        coef = gather_rows_split16(setup.coef, blocks_tid)
-    else:
-        coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
+    # Plain f32 gather at every table size: the round-4 on-metal prober
+    # measured plain 128-lane f32 gathers fast to >=262k rows and the u16
+    # split-pair a 2.3x LOSS on the current toolchain (BENCHLOG round-4
+    # gather law) -- the round-3 (94208, 163840] split16 window is gone.
+    coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
     coef = coef.transpose(0, 2, 1)  # (n_blocks, 16, chunk)
 
     # optional per-pair resolve records for fused attribute emission;

@@ -32,9 +32,14 @@ def hzb_layout(width: int, height: int):
 
 
 def _reduce_level(cur: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
-    """One min-downsample level with the HLSL's clamped-edge/crop semantics
-    (written as 4 strided slices + elementwise min so the same code lowers
-    in both XLA and Mosaic -- identical values to reshape(h,2,w,2).min)."""
+    """One min-downsample level with the HLSL's clamped-edge/crop semantics.
+
+    Written as pad/crop + reshape(h, 2, w, 2) + min-reduce: strided slices
+    (``cur[0::2, 0::2]``) lower to general gathers, which round-4 metal
+    measured pathologically slow in XLA (24.5 ms for the whole chain, ~800x
+    its bandwidth floor) and which Mosaic refuses outright; the reshape form
+    is a layout-friendly reduction both compilers handle.  Identical values
+    (same 2x2 min tree, no NaNs in depth)."""
     ch, cw = cur.shape
     th, tw = h * 2, w * 2
     if ch < th:
@@ -45,10 +50,33 @@ def _reduce_level(cur: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
         cur = jnp.concatenate([cur, cur[:, -1:]], axis=1)
     elif cw > tw:
         cur = cur[:, :tw]
-    return jnp.minimum(
-        jnp.minimum(cur[0::2, 0::2], cur[1::2, 0::2]),
-        jnp.minimum(cur[0::2, 1::2], cur[1::2, 1::2]),
-    )
+    return cur.reshape(h, 2, w, 2).min(axis=(1, 3))
+
+
+def _extract_matrices(src: int, dst: int, offset: int, dtype=jnp.float32):
+    """(src, dst) one-hot extraction matrix E with E[j, i] = 1 iff
+    j == clamp(2*i + offset, 0, src-1) -- column i of ``X @ E`` selects
+    source column 2i+offset with the HLSL chain's clamp-at-edge/crop
+    semantics folded in (clamping reproduces the duplicate-last pad; columns
+    past 2*dst are never selected, reproducing the crop)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (src, dst), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (src, dst), 1)
+    want = jnp.clip(2 * cols + offset, 0, src - 1)
+    return (rows == want).astype(dtype)
+
+
+def _reduce_level_mxu(cur: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
+    """_reduce_level for Mosaic: 2x2 min via four one-hot MXU extractions
+    (rows then columns) -- no gathers, no lane-dim reshapes, bit-identical
+    to _reduce_level for finite depths (0*x = 0 and one-hot sums add exact
+    zeros; depth buffers carry no NaN/inf)."""
+    ch, cw = cur.shape
+    r_even = _extract_matrices(ch, h, 0).T @ cur   # (h, cw)
+    r_odd = _extract_matrices(ch, h, 1).T @ cur
+    rmin = jnp.minimum(r_even, r_odd)
+    c_even = rmin @ _extract_matrices(cw, w, 0)    # (h, w)
+    c_odd = rmin @ _extract_matrices(cw, w, 1)
+    return jnp.minimum(c_even, c_odd)
 
 
 @named_pass("BuildHZB")
@@ -87,7 +115,7 @@ def _hzb_tail_pallas(top: jnp.ndarray, tail_layout, interpret: bool):
     def kernel(in_ref, *out_refs):
         cur = in_ref[...]
         for (_off, w, h), ref in zip(tail_layout, out_refs):
-            cur = _reduce_level(cur, w, h)
+            cur = _reduce_level_mxu(cur, w, h)
             ref[...] = cur
 
     out_shape = [

@@ -340,6 +340,41 @@ def gather_rows_split16(rec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return ((h << 16) | l).view(jnp.float32)
 
 
+# largest row count measured on the fast gather path for f32 <=128-lane
+# tables (BENCHLOG gather law: ~3.5-4 ns/row under ~96k rows, 12-19 ns/row
+# beyond); row-split gathers slice tables into parts of at most this
+FAST_ROWS_F32 = 94208
+
+
+def gather_rows_parts(rec: jnp.ndarray, idx: jnp.ndarray,
+                      part_rows: int = FAST_ROWS_F32) -> jnp.ndarray:
+    """Bit-exact f32 row gather for tables past the ~96k-row f32 cliff:
+    slice the TABLE into <=``part_rows``-row parts (each on the fast path)
+    and gather every part with its own clamped index vector, then select by
+    range.  N parts cost ~N fast gathers (~3.5 ns/row each) -- cheaper than
+    one slow-path gather (12-19 ns) for N=2, and measured ~2x cheaper than
+    the u16 split-pair (``gather_rows_split16``) whose two 16-bit tables
+    each pay their own request stream.
+
+    The clamped index vectors differ per part, so XLA cannot fuse the part
+    gathers into one over-wide slow gather (the round-2 law's fusion trap).
+    """
+    rows = rec.shape[0]
+    n_parts = -(-rows // part_rows)
+    if n_parts <= 1:
+        return rec[idx]
+    out = None
+    for p in range(n_parts):
+        lo_r = p * part_rows
+        part = jax.lax.slice_in_dim(rec, lo_r, min(lo_r + part_rows, rows))
+        local = jnp.clip(idx - lo_r, 0, part.shape[0] - 1)
+        got = part[local]
+        out = got if out is None else jnp.where(
+            (idx >= lo_r)[..., None], got, out
+        )
+    return out
+
+
 def compact_setup(setup: RasterSetup, cap: int):
     """Frame-visible triangle compaction -- the TPU analog of the
     reference's GPU culling writing per-draw InstanceCounts into the

@@ -229,17 +229,15 @@ def shadow_factor_packed(
 def shadow_block_shape(size: int) -> tuple:
     """Block dims (bh, bw) keeping the packed table on a fast-gather path.
 
-    <= 2048^2 maps: square blocks, (bh+2)*(bw+2) <= 128 lanes, rows under
-    the ~96k f32 cliff.  4096^2 (the reference's shadow resolution,
-    ``Renderer.cpp:240-296``): 8x8 blocks would make 262k rows -- deep past
-    the f32 cliff -- so blocks widen to 8x16 (131k rows, 180-lane window
-    padded to 256) and ``shadow_factor_blocks`` switches to the bit-exact
-    16-bit split gather, fast to ~192k rows (BENCHLOG gather law)."""
+    Square 8x8 blocks at every map size: (8+2)*(8+2) = 100 lanes pads to
+    128 -- the lane budget the round-4 on-metal prober confirmed is the
+    real fast-path limit (>128 lanes is 1.4-2x slower at every table size,
+    while plain f32 128-lane rows stay fast to >=262k rows, so the 4096^2
+    map's 262144-row table rides ONE plain gather).  Round 3's 8x16
+    widening + u16 split-pair (256-lane rows) targeted a stale ~96k-row
+    cliff and measured a 2x loss (BENCHLOG round-4 gather law)."""
     b = max(4, min(8, size // 256))
-    bw = b
-    while (size // b) * (size // bw) > 96_000 and (b + 2) * (2 * bw + 2) <= 256:
-        bw *= 2
-    return b, bw
+    return b, b
 
 
 def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
@@ -334,14 +332,10 @@ def shadow_factor_blocks(
     )
     row = (yi0 // bh) * nbx + (xi0 // bw)
     base = (yi0 % bh) * (bw + 2) + (xi0 % bw)
-    if nby * nbx > 96_000:
-        # 4096^2: 131k rows -- past the f32 fast-gather cliff but under the
-        # ~192k 16-bit one; split the table into hi/lo u16 halves (bit-exact)
-        from .raster import gather_rows_split16
-
-        rows = gather_rows_split16(blocks_flat, row.reshape(-1))
-    else:
-        rows = blocks_flat[row.reshape(-1)]         # fast: <= 96k-row table
+    # ONE plain f32 row gather at every map size: 128-lane f32 tables
+    # measured fast to >=262k rows on the current toolchain (round-4
+    # gather law); the u16 split-pair measured 2.3x slower
+    rows = blocks_flat[row.reshape(-1)]
     deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
     nb = _select9(rows, base.reshape(-1), deltas, interpret=interpret)
     nb = nb.reshape(compare.shape + (9,))

@@ -918,13 +918,14 @@ def resolve_materials(
         # compact id space (raster_opaque compaction): the record table
         # shrinks to the frame-visible cap, keeping the per-pixel gather on
         # the TPU fast path (f32 under ~96k rows; 16-bit split under ~192k)
-        cap = compact_ids.shape[0]
         rec = build_resolve_records(scene, pix_h, ids=compact_ids)
         safe_id = jnp.maximum(tri_id, 0)
-        if cap > 94208:
-            full = gather_rows_split16(rec, safe_id)
-        else:
-            full = rec[safe_id]
+        # plain f32 gather at any compaction cap: the round-4 on-metal
+        # prober measured plain 128-lane f32 fast to >=262k rows (10.4 ms
+        # /2M at 163840) and SPLIT16 a 2.3x LOSS (23.5 ms) on the current
+        # toolchain -- the round-2/3 "~96k f32 cliff" law is stale
+        # (BENCHLOG round-4 gather law)
+        full = rec[safe_id]
     else:
         # ONE (T, 128) per-pixel record gather (build_resolve_records);
         # fast for record tables under the ~96k-row gather cliff -- larger

@@ -45,9 +45,18 @@ from ..textures.image import COMBINED_C, combined_chain as _combined_chain  # no
 
 def _build_device_scene(
     data: SceneData, assets_root: Path, allow_combined: bool = True,
-    packed_trilinear: bool = False,
+    packed_trilinear: bool = False, substitutions_out: list | None = None,
+    files_out: list | None = None,
 ) -> tuple[DeviceScene, float, bool]:
-    """Assemble all device arrays: geometry, material tables, atlases."""
+    """Assemble all device arrays: geometry, material tables, atlases.
+
+    ``substitutions_out``: optional list that receives the paths of textures
+    that fell back to the default grid (machine-readable record of the
+    reference's default-texture fallback, ``TextureLoader.cpp:497-744``).
+    ``files_out``: optional list that receives every asset file this build
+    consumed (textures, env cube, BRDF LUT) -- the freshness set for the
+    on-disk built-scene cache (core/scenecache.py).
+    """
     cache = TextureCache()
     chains = [generate_mips(solid_color_texture([1.0, 1.0, 1.0, 1.0], 1))]  # 0 = white
     path_to_id: dict[str, int] = {}
@@ -72,6 +81,12 @@ def _build_device_scene(
     for (path, srgb), mips in zip(requests, decoded):
         path_to_id[f"{path}|{srgb}"] = len(chains)
         chains.append(mips)
+    if substitutions_out is not None:
+        substitutions_out.extend(sorted(cache.substitutions))
+    if files_out is not None:
+        files_out.extend(
+            p for (p, _s) in requests if p and Path(p).is_file()
+        )
 
     for mi, slots in enumerate(data.texture_paths):
         for si, path in enumerate(slots):
@@ -98,6 +113,8 @@ def _build_device_scene(
     env_path = assets_root / "Textures" / "output_pmrem.dds"
     env_mip_count = 1.0
     env_dds = load_dds(env_path) if env_path.is_file() else None
+    if files_out is not None and env_path.is_file():
+        files_out.append(str(env_path))
     if env_dds is not None and env_dds.is_cube:
         env_mip_count = float(env_dds.mip_count)
         face_chains = []
@@ -117,6 +134,8 @@ def _build_device_scene(
 
     lut_path = assets_root / "Textures" / "PreintegratedGF.dds"
     lut_dds = load_dds(lut_path) if lut_path.is_file() else None
+    if files_out is not None and lut_path.is_file():
+        files_out.append(str(lut_path))
     if lut_dds is not None:
         brdf_img = lut_dds.mips[0][0].astype(np.float32)
     else:
@@ -280,7 +299,21 @@ class Renderer:
         self.assets_root = Path(assets_root)
 
         t0 = time.monotonic()
-        self.scene_data = build_scene(scene_path, self.assets_root)
+        # Warm-start path: the finished build (SceneData + DeviceScene host
+        # arrays) persists on disk keyed by scene + asset freshness
+        # (core/scenecache.py) -- a hit skips the whole asset pipeline.
+        from ..core import scenecache
+
+        self._scene_cache_key = scenecache.scene_key(
+            scene_path, scenecache.model_files_of(scene_path),
+            (settings.enable_combined_material,
+             settings.material_packed_trilinear, str(self.assets_root)),
+        )
+        self._cached_build = scenecache.load(self._scene_cache_key)
+        if self._cached_build is not None:
+            self.scene_data = self._cached_build[0]
+        else:
+            self.scene_data = build_scene(scene_path, self.assets_root)
         if self.scene_data is None:
             # Scene fallback ladder (the reference falls back to a default
             # scene on load failure, DeferredRenderer.cpp:259-293): a
@@ -294,6 +327,7 @@ class Renderer:
             from .testing import synthetic_scene_data
 
             self.scene_data = synthetic_scene_data(4)
+            self._scene_cache_key = None  # never cache the fallback scene
         # skip the masked raster pass when no model needs it (static setting);
         # when present, size the binned masked pass's compaction to the exact
         # (static) masked triangle count
@@ -349,10 +383,34 @@ class Renderer:
         except (OSError, ValueError):
             self.background = np.array([0.1, 0.1, 0.15], np.float32)
 
-        self.device_scene, self.env_mip_count, combined = _build_device_scene(
-            self.scene_data, self.assets_root, settings.enable_combined_material,
-            packed_trilinear=settings.material_packed_trilinear,
-        )
+        self.texture_substitutions: list[str] = []
+        if self._cached_build is not None:
+            _sd, arrays, meta = self._cached_build
+            self.device_scene = DeviceScene(
+                **{k: jnp.asarray(v) for k, v in arrays.items()}
+            )
+            self.env_mip_count = meta["env_mip_count"]
+            combined = bool(meta["combined"])
+            self.texture_substitutions = list(meta.get("substitutions", []))
+        else:
+            consumed: list[str] = []
+            self.device_scene, self.env_mip_count, combined = _build_device_scene(
+                self.scene_data, self.assets_root, settings.enable_combined_material,
+                packed_trilinear=settings.material_packed_trilinear,
+                substitutions_out=self.texture_substitutions,
+                files_out=consumed,
+            )
+            if self._scene_cache_key is not None:
+                scenecache.store(
+                    self._scene_cache_key, self.scene_data, self.device_scene,
+                    {
+                        "env_mip_count": self.env_mip_count,
+                        "combined": combined,
+                        "substitutions": self.texture_substitutions,
+                    },
+                    consumed,
+                )
+        self._cached_build = None
         # packed-trilinear rows only exist for the combined atlas
         packed = settings.material_packed_trilinear and combined
         if (settings.combined_material, settings.material_packed_trilinear) != (
@@ -646,9 +704,11 @@ class Renderer:
                 or "material_packed_trilinear" in changes):
             # atlas layout is scene-level state: rebuild the device scene
             # (and resync the derived flags, exactly like __init__)
+            self.texture_substitutions = []
             self.device_scene, self.env_mip_count, combined = _build_device_scene(
                 self.scene_data, self.assets_root, new.enable_combined_material,
                 packed_trilinear=new.material_packed_trilinear,
+                substitutions_out=self.texture_substitutions,
             )
             packed = new.material_packed_trilinear and combined
             new = dataclasses.replace(
@@ -835,11 +895,13 @@ class Renderer:
             data = build_scene(scene_path, self.assets_root)
             if data is None:
                 raise ValueError(f"failed to load scene {scene_path}")
+            subs: list[str] = []
             dev, mips, combined = _build_device_scene(
                 data, self.assets_root, self.settings.enable_combined_material,
                 packed_trilinear=self.settings.material_packed_trilinear,
+                substitutions_out=subs,
             )
-            return scene_path, data, dev, mips, combined
+            return scene_path, data, dev, mips, combined, subs
 
         if not background:
             self._apply_reload(build())
@@ -849,7 +911,8 @@ class Renderer:
         return future
 
     def _apply_reload(self, built) -> None:
-        scene_path, data, dev, mips, combined = built
+        scene_path, data, dev, mips, combined, subs = built
+        self.texture_substitutions = subs
         self.scene_data = data
         self.device_scene = dev
         self.env_mip_count = mips

@@ -181,6 +181,11 @@ class TextureCache:
     def __init__(self) -> None:
         self._cache: dict[str, list[np.ndarray]] = {}
         self._lock = threading.Lock()
+        # Paths that fell back to the default grid (the reference's
+        # default-texture fallback, TextureLoader.cpp:497-744).  Recorded so
+        # benchmarks can report machine-readable asset substitutions instead
+        # of only a log line.
+        self.substitutions: list[str] = []
 
     def _key(self, path: str, srgb: bool) -> str:
         return f"{path}|srgb" if srgb else str(path)
@@ -194,6 +199,9 @@ class TextureCache:
         if mips is None:
             if path:
                 log_warning(f"texture load failed, using default grid: {path}")
+                with self._lock:
+                    if str(path) not in self.substitutions:
+                        self.substitutions.append(str(path))
             grid = default_grid_texture()
             if srgb:
                 grid = np.concatenate(
