@@ -233,9 +233,13 @@ def run_viewer(renderer, save_path="screenshot.png", target_fps=30.0) -> int:
                 elif k == "t":
                     show_timing = not show_timing
                     if show_timing and renderer.settings.renderer_type == "deferred":
-                        # one stage-split profile fills the table; the rolling
-                        # Frame row keeps updating live below
-                        timing_rows = renderer.profile_passes(iterations=1).stats()
+                        # REAL in-frame attribution from one device trace of
+                        # the fused production frame (rows sum to ~the frame);
+                        # falls back to the isolated stage-split profile on
+                        # CPU backends where the profiler has no per-op rows
+                        timing_rows = renderer.profile_trace_passes(frames=2).stats()
+                        if not timing_rows:
+                            timing_rows = renderer.profile_passes(iterations=1).stats()
                 elif k == "c":
                     oid, name = renderer.pick(
                         renderer.settings.width // 2, renderer.settings.height // 2
