@@ -367,13 +367,15 @@ def main() -> int:
         extra["shadow2048_ms"] = _per_frame(st2k)["median"]
         extra["shadow2048_runs"] = _per_frame(st2k)
 
-        render_tri, _, _, _ = _synthetic_runner(
-            dataclasses.replace(settings, texture_filter="trilinear"),
+        # the HEADLINE is the parity trilinear default (round 4); bilinear
+        # rides along as the speed-reference row (rounds 1-3 headline filter)
+        render_bi, _, _, _ = _synthetic_runner(
+            dataclasses.replace(settings, texture_filter="bilinear"),
             n_objects=_SMOKE_OBJECTS, sphere_res=(32, 24), ground=True,
         )
-        st_tri, _ = _measure(render_tri, frames=2)
-        extra["trilinear_ms"] = _per_frame(st_tri)["median"]
-        extra["trilinear_runs"] = _per_frame(st_tri)
+        st_bi, _ = _measure(render_bi, frames=2)
+        extra["bilinear_ms"] = _per_frame(st_bi)["median"]
+        extra["bilinear_runs"] = _per_frame(st_bi)
     except Exception as e:  # noqa: BLE001
         print(f"secondary synthetic rows failed: {e!r}", file=sys.stderr)
         extra["secondary_rows_error"] = str(e)[:200]

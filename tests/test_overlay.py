@@ -168,7 +168,8 @@ def test_viewer_settings_panel_scripted(tmp_path, monkeypatch):
     frames = V.run_viewer(r, target_fps=1000.0)
     assert frames == 3
     assert not r.settings.enable_tonemap          # '5' flipped tonemap
-    assert r.settings.texture_filter == "trilinear"  # '9' cycled the filter
+    # '9' cycled the filter one step past the trilinear default
+    assert r.settings.texture_filter == "anisotropic"
     assert r.selected_object_id == 0              # 'v' cleared the pick
 
 

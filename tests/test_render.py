@@ -295,8 +295,13 @@ def test_combined_material_atlas_equivalence(reference_assets):
     no resampling occurs (single-map scene)."""
     imgs = {}
     for mode in (True, False):
+        # pinned to the plain quad atlas: packed-trilinear (the round-4
+        # default) only exists for the combined layout, and its equivalence
+        # has its own bit-exact gate (test_packed_trilinear_material_frame_
+        # bit_exact)
         s = RenderSettings(
-            renderer_type="deferred", enable_combined_material=mode, **SMALL
+            renderer_type="deferred", enable_combined_material=mode,
+            material_packed_trilinear=False, **SMALL
         )
         r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
         assert r.settings.combined_material is mode

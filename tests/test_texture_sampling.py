@@ -384,3 +384,82 @@ def test_pyramid_tri_matches_two_gather(wrap, c, shape, levels):
         jnp.asarray(tri).reshape(-1, 16 * c), tri.shape[1], rect, uv, lvl, mode
     )
     np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+
+
+def test_cube_extend_borders_are_cross_face():
+    """_cube_extend: the 1-texel border of each extended face holds texels
+    from OTHER faces (labeled-cube check), and the interior is untouched."""
+    from unclerenderer_tpu.textures.atlas import _cube_extend
+
+    s = 8
+    faces = [np.full((s, s, 1), float(f), np.float32) for f in range(6)]
+    exts = _cube_extend(faces)
+    for f in range(6):
+        np.testing.assert_array_equal(exts[f][1:-1, 1:-1, 0], faces[f][..., 0])
+        border = np.concatenate([
+            exts[f][0, :, 0], exts[f][-1, :, 0],
+            exts[f][1:-1, 0, 0], exts[f][1:-1, -1, 0],
+        ])
+        assert (border != f).all(), f"face {f} border references itself"
+        assert set(np.unique(border)) <= set(range(6))
+
+
+def test_cube_seamless_continuity_and_interior_exactness():
+    """cube=True atlas + sampler: (a) directions sweeping across a face
+    edge produce a CONTINUOUS signal (the old clamped build steps at the
+    edge); (b) interior samples are bit-identical to the clamped build
+    (the seamless machinery only changes edge texels)."""
+    from unclerenderer_tpu.textures.atlas import build_pyramid_tri_atlas
+
+    rng = np.random.default_rng(41)
+    s = 16
+
+    # faces = smooth function of direction so cross-edge continuity is
+    # meaningful: bake f(dir) = 0.5 + 0.5*dir at each texel center direction
+    from unclerenderer_tpu.textures.atlas import _cube_face_dir
+
+    faces = []
+    for f in range(6):
+        ys, xs = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        uc = (xs + 0.5) / s * 2 - 1
+        vc = (ys + 0.5) / s * 2 - 1
+        d = _cube_face_dir(f, uc.astype(np.float64), vc.astype(np.float64))
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        img = (0.5 + 0.5 * d).astype(np.float32)
+        faces.append(np.concatenate([img, np.ones_like(img[..., :1])], -1))
+    chains = [generate_mips(f) for f in faces]
+
+    tri_seam, r_seam = build_pyramid_tri_atlas(chains, cube=True)
+    tri_old, r_old = build_pyramid_tri_atlas(chains)
+    assert tri_seam.shape[-1] == 128 and tri_old.shape[-1] == 64
+    np.testing.assert_array_equal(r_seam, r_old)
+
+    def sample(tri, r, dirs, lod=0.0):
+        m = dirs.shape[0]
+        return np.asarray(tex.sample_cube_pyramid_tri(
+            jnp.asarray(tri).reshape(-1, tri.shape[-1]), tri.shape[1],
+            jnp.asarray(r, jnp.float32), jnp.asarray(dirs),
+            jnp.full((m,), lod, jnp.float32),
+        ))
+
+    # (a) sweep across the +X/+Z edge (x = z plane), through the edge at t=0
+    t = np.linspace(-0.25, 0.25, 201, dtype=np.float32)
+    dirs = np.stack([1.0 + t, np.full_like(t, 0.3), 1.0 - t], -1)
+    for lod in (0.0, 1.0, 1.7):
+        out = sample(tri_seam, r_seam, dirs, lod)[..., :3]
+        jumps = np.abs(np.diff(out, axis=0)).max()
+        out_old = sample(tri_old, r_old, dirs, lod)[..., :3]
+        jumps_old = np.abs(np.diff(out_old, axis=0)).max()
+        # texel step along the sweep is ~2/201 of a face; continuous
+        # filtering keeps adjacent-sample jumps at the texel-quantization
+        # scale, while the clamped build steps across the seam
+        assert jumps <= jumps_old + 1e-6, (lod, jumps, jumps_old)
+        assert jumps < 0.06, (lod, jumps)
+
+    # (b) interior: face-center region samples identical in both builds
+    t2 = np.linspace(-0.3, 0.3, 64, dtype=np.float32)
+    interior = np.stack([np.ones_like(t2), t2, t2 * 0.5], -1)
+    for lod in (0.0, 1.3):
+        a = sample(tri_seam, r_seam, interior, lod)
+        b = sample(tri_old, r_old, interior, lod)
+        np.testing.assert_array_equal(a, b)

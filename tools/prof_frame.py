@@ -114,6 +114,33 @@ def main():
             return out["color"], st2.exposure_ev
         timed_scan(full, scene, params, state, label="FULL deferred frame (4096 shadow)")
 
+    if want and "traceattr" in want:
+        # REAL in-frame attribution (explicit-only): one device trace of the
+        # fused production frame, bucketed by named_pass scope + resolve
+        # sub-scopes -- rows sum to ~the frame, no isolation artifacts.
+        import tempfile
+
+        from unclerenderer_tpu.core.traceparse import (
+            PASS_NAMES_FINE, parse_pass_times,
+        )
+
+        full_jit = jax.jit(
+            lambda sc, p, st: deferred_frame(sc, p, st, settings)
+        )
+        out, st2 = full_jit(scene, params, state)
+        jax.block_until_ready(out["color"])
+        n = 4
+        d = tempfile.mkdtemp(prefix="uncle_traceattr_")
+        with jax.profiler.trace(d):
+            st_i = state
+            for _ in range(n):
+                out, st_i = full_jit(scene, params, st_i)
+            jax.block_until_ready(out["color"])
+        per = parse_pass_times(d, pass_names=PASS_NAMES_FINE, n_frames=n)
+        print(f"-- in-frame attribution ({n} traced frames, device op time) --")
+        for k, v in sorted(per.items(), key=lambda kv: -kv[1]):
+            print(f"  {k:<20}{v:9.3f} ms", flush=True)
+
     if on("vertex"):
         timed_scan(
             lambda sc, vp: common.vertex_stage(sc, vp, W, H),

@@ -35,7 +35,7 @@ import numpy as np
 
 from .logging import log_info, log_warning
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: seamless-cube env rows (128 lanes)
 _MAX_ENTRIES = 6  # evict oldest beyond this (atlases are hundreds of MB)
 
 

@@ -41,6 +41,16 @@ PASS_NAMES = (
     "CAS",
 )
 
+#: nested sub-scopes (render/common.py resolve internals, render/deferred.py
+#: frame sections, ops/pallas_raster.py raster internals); listed BEFORE the
+#: parents so the first-match attribution picks the finer bucket
+SUB_SCOPES = (
+    "RecGather", "InterpAttr", "MaterialTap", "NormalMap",
+    "FineBinning", "RasterKernel", "Compaction",
+    "VertexSetup", "ShadowPack", "DirectLighting",
+)
+PASS_NAMES_FINE = SUB_SCOPES + PASS_NAMES
+
 
 def find_trace_file(trace_dir) -> Path | None:
     """Newest ``*.trace.json.gz`` under ``trace_dir`` (profiler layout:

@@ -571,15 +571,17 @@ def rasterize_binned(
         setup = flip_depth_key(setup)
 
     want_attrs = records is not None
-    bins = bin_triangles(
-        setup, width, height, tile_h, tile_w, chunk,
-        max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
-        records=records, align_scatter=align_scatter,
-    )
-    fine_out = _run_binned_kernel(
-        bins, width, height, tile_h, tile_w, chunk, y_offset, interpret,
-        debug_print, want_ids, ortho=ortho,
-    )
+    with jax.named_scope("FineBinning"):
+        bins = bin_triangles(
+            setup, width, height, tile_h, tile_w, chunk,
+            max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
+            records=records, align_scatter=align_scatter,
+        )
+    with jax.named_scope("RasterKernel"):
+        fine_out = _run_binned_kernel(
+            bins, width, height, tile_h, tile_w, chunk, y_offset, interpret,
+            debug_print, want_ids, ortho=ortho,
+        )
     key_img, id_img = fine_out[0], fine_out[1]
     attr_img = fine_out[2] if want_attrs else None
 

@@ -174,13 +174,22 @@ def triangle_setup_from_soa(
 ) -> RasterSetup:
     """Setup from SoA vertex components -- bit-identical to
     triangle_setup_from_verts given equal component values (the core math is
-    shared; tests/test_raster.py::test_setup_from_soa_matches_expanded)."""
-    return triangle_setup_from_components(
+    shared; tests/test_raster.py::test_setup_from_soa_matches_expanded).
+
+    The result passes through ``optimization_barrier``: the SoA fma chains
+    are fusion-bait, and XLA contracts them differently per consumer
+    context -- without the barrier, the compacted and uncompacted rasters
+    see coefficient values a few ulp apart (observed: 1267 shadow texels
+    off by <=2.4e-5 with compaction on vs off).  The barrier pins ONE set
+    of setup values for every consumer; cost is one (T,)-component
+    materialization (~17 MB at 263k tris, well under 0.1 ms of HBM)."""
+    setup = triangle_setup_from_components(
         v.px[0], v.py[0], v.pw[0],
         v.px[1], v.py[1], v.pw[1],
         v.px[2], v.py[2], v.pw[2],
         v.z[0], v.z[1], v.z[2], tri_mask, cull_mode, width, height,
     )
+    return jax.lax.optimization_barrier(setup)
 
 
 def triangle_setup_from_components(

@@ -472,39 +472,71 @@ def sample_cube_pyramid_tri(
     l0 = jnp.floor(lod).astype(jnp.int32)
     frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
 
-    # --- tap a: mip l0 (CLAMP addressing, identical to
-    # sample_pyramid_bilinear's ADDRESS_CLAMP path) ---
+    seamless = env_tri_flat.shape[-1] >= 128  # cube=True rows carry borders
+
+    # --- tap a: mip l0.  SEAMLESS addressing: the base index runs the full
+    # [-1, w-1] bilinear range (uv in [0,1] exactly for cube directions);
+    # the +1 side blends into the cross-face texels baked into the quad
+    # channels, the -1 side selects the baked border lanes (L/T/corner/
+    # L2/T2, textures/atlas.py build_pyramid_tri_atlas cube=True) -- the
+    # D3D12 seamless-cube behavior with the SAME single gather.  Legacy
+    # 64-lane atlases keep the old CLAMP path. ---
     x, y, w, h = _pyramid_rect(rect, l0)
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
-    tx = jnp.clip(uv[..., 0] * wf - 0.5, 0.0, wf - 1.0)
-    ty = jnp.clip(uv[..., 1] * hf - 0.5, 0.0, hf - 1.0)
+    if seamless:
+        tx = uv[..., 0] * wf - 0.5
+        ty = uv[..., 1] * hf - 0.5
+    else:
+        tx = jnp.clip(uv[..., 0] * wf - 0.5, 0.0, wf - 1.0)
+        ty = jnp.clip(uv[..., 1] * hf - 0.5, 0.0, hf - 1.0)
     fx0 = jnp.floor(tx)
     fy0 = jnp.floor(ty)
     fx = (tx - fx0)[..., None]
     fy = (ty - fy0)[..., None]
-    ix = _wrap_index(fx0.astype(jnp.int32), w, ADDRESS_CLAMP)
-    iy = _wrap_index(fy0.astype(jnp.int32), h, ADDRESS_CLAMP)
+    ix_raw = fx0.astype(jnp.int32)
+    iy_raw = fy0.astype(jnp.int32)
+    ix = _wrap_index(ix_raw, w, ADDRESS_CLAMP)
+    iy = _wrap_index(iy_raw, h, ADDRESS_CLAMP)
     row = jnp.take(
         env_tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
     ).astype(jnp.float32)
     quad = row[..., 0:16]
-    top = quad[..., 0:4] * (1.0 - fx) + quad[..., 4:8] * fx
-    bot = quad[..., 8:12] * (1.0 - fx) + quad[..., 12:16] * fx
-    a = top * (1.0 - fy) + bot * fy
+    q00, q10 = quad[..., 0:4], quad[..., 4:8]
+    q01, q11 = quad[..., 8:12], quad[..., 12:16]
+    if seamless:
+        m_ix = (ix_raw < 0)[..., None]
+        m_iy = (iy_raw < 0)[..., None]
+        bl_, bt_, bc_ = row[..., 52:56], row[..., 56:60], row[..., 60:64]
+        bl2, bt2 = row[..., 64:68], row[..., 68:72]
+        tl = jnp.where(m_ix & m_iy, bc_, jnp.where(m_ix, bl_, jnp.where(m_iy, bt_, q00)))
+        tr = jnp.where(m_ix & m_iy, bt_, jnp.where(m_ix, q00, jnp.where(m_iy, bt2, q10)))
+        bl = jnp.where(m_ix & m_iy, bl_, jnp.where(m_ix, bl2, jnp.where(m_iy, q00, q01)))
+        br = jnp.where(m_ix & m_iy, q00, jnp.where(m_ix, q01, jnp.where(m_iy, q10, q11)))
+    else:
+        tl, tr, bl, br = q00, q10, q01, q11
+    a = (tl * (1.0 - fx) + tr * fx) * (1.0 - fy) + (bl * (1.0 - fx) + br * fx) * fy
 
-    # --- tap b: mip l0+1, reconstructed from the packed parent 3x3 ---
+    # --- tap b: mip l0+1, reconstructed from the packed parent 3x3 (whose
+    # border cells are cross-face under cube=True, so it is seamless for
+    # free) ---
     _, _, w2, h2 = _pyramid_rect(rect, l0 + 1)
     w2f = w2.astype(jnp.float32)
     h2f = h2.astype(jnp.float32)
-    tx2 = jnp.clip(uv[..., 0] * w2f - 0.5, 0.0, w2f - 1.0)
-    ty2 = jnp.clip(uv[..., 1] * h2f - 0.5, 0.0, h2f - 1.0)
+    if seamless:
+        tx2 = uv[..., 0] * w2f - 0.5
+        ty2 = uv[..., 1] * h2f - 0.5
+    else:
+        tx2 = jnp.clip(uv[..., 0] * w2f - 0.5, 0.0, w2f - 1.0)
+        ty2 = jnp.clip(uv[..., 1] * h2f - 0.5, 0.0, h2f - 1.0)
     fx20 = jnp.floor(tx2)
     fy20 = jnp.floor(ty2)
     fx2 = (tx2 - fx20)[..., None]
     fy2 = (ty2 - fy20)[..., None]
-    ix2 = _wrap_index(fx20.astype(jnp.int32), w2, ADDRESS_CLAMP)
-    iy2 = _wrap_index(fy20.astype(jnp.int32), h2, ADDRESS_CLAMP)
+    ix2 = fx20.astype(jnp.int32) if seamless else _wrap_index(
+        fx20.astype(jnp.int32), w2, ADDRESS_CLAMP)
+    iy2 = fy20.astype(jnp.int32) if seamless else _wrap_index(
+        fy20.astype(jnp.int32), h2, ADDRESS_CLAMP)
     # 3x3 window column/row of the base corner: parent p = i>>1, base in
     # {p-1, p} -> col = i2 - (p - 1) in {0, 1} (1 when clamped at the edge)
     cox = (ix2 - (ix >> 1) + 1)[..., None]

@@ -104,6 +104,37 @@ def _sample_trilinear_any(quad_flat, atlas_width, rect0, uv, lod):
     return tex.sample_pyramid_trilinear(quad_flat, atlas_width, rect0, uv, lod)
 
 
+def _alpha_lod(u, v, au, bu, av, bv, a1, b1, denom, tw_, th_):
+    """Analytic per-(pixel, candidate) LOD for the in-raster alpha test.
+
+    The masked raster's uv is the rational linear form u = U/D with
+    U = au*qx + bu*qy + cu and D = a1*qx + b1*qy + c1, so the screen
+    derivatives are exact: du/dx = (au - u*a1)/D (no neighbor diffs, no
+    helper lanes).  Same footprint rule as ops/texture.py uv_screen_lod
+    (max axis length in texels, squared).  Closes ARCHITECTURE deviation
+    #2: the reference clips on the FILTERED base-color alpha
+    (``DeferredBasePass.hlsl`` bit4 clip on the anisotropic sample), so
+    cutout edges under minification need a real mip, not mip 0."""
+    inv_d = 1.0 / denom
+    dudx = (au - u * a1) * inv_d
+    dudy = (bu - u * b1) * inv_d
+    dvdx = (av - v * a1) * inv_d
+    dvdy = (bv - v * b1) * inv_d
+    lx = (dudx * tw_) ** 2 + (dvdx * th_) ** 2
+    ly = (dudy * tw_) ** 2 + (dvdy * th_) ** 2
+    return 0.5 * jnp.log2(jnp.maximum(jnp.maximum(lx, ly), 1e-12))
+
+
+def _alpha_tap(quad_flat, atlas_width, rect0, uv, lod, settings):
+    """Alpha-test texture tap at the analytic LOD, honoring the material
+    filter mode: nearest-mip bilinear under "bilinear", trilinear otherwise
+    (one gather on the packed atlas, so the filtered test is ~free)."""
+    if settings.texture_filter == "bilinear":
+        level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)
+        return _sample_level_any(quad_flat, atlas_width, rect0, uv, level)
+    return _sample_trilinear_any(quad_flat, atlas_width, rect0, uv, lod)
+
+
 def _use_pallas(settings: RenderSettings) -> bool:
     if settings.raster_backend == "pallas":
         return True
@@ -271,9 +302,10 @@ def raster_opaque(
     cids = None
     c_overflow = jnp.zeros((), jnp.int32)
     if cap:
-        setup, cids, c_overflow = compact_setup(setup, cap)
-        if records is not None:
-            records = records[cids]
+        with jax.named_scope("Compaction"):
+            setup, cids, c_overflow = compact_setup(setup, cap)
+            if records is not None:
+                records = records[cids]
     out_h = settings.height
     y_off = 0
     if dist is not None and dist.n_dev > 1:
@@ -328,7 +360,8 @@ def raster_shadow(
     cap = shadow_compaction_cap(settings, setup.valid.shape[0])
     overflow = jnp.zeros((), jnp.int32)
     if cap:
-        setup, _ids, overflow = compact_setup(setup, cap)
+        with jax.named_scope("Compaction"):
+            setup, _ids, overflow = compact_setup(setup, cap)
     # directional light = orthographic projection (w == 1): fold the constant
     # depth denominator into the setup once so the depth-only kernels skip
     # the per-pixel nw evaluation and divide (ops/raster.py)
@@ -563,12 +596,16 @@ def _rasterize_alpha(
         ca = form(c_nca[:, 0], c_nca[:, 1], c_nca[:, 2]) / denom
 
         uv = jnp.stack([u, v], axis=-1)
-        texel = _sample_level_any(
-            quad_flat,
-            atlas_width,
+        lod = _alpha_lod(
+            u, v, c_nu[None, None, :, 0], c_nu[None, None, :, 1],
+            c_nv[None, None, :, 0], c_nv[None, None, :, 1],
+            c_n1[None, None, :, 0], c_n1[None, None, :, 1],
+            denom, rect0[None, None, :, 2], rect0[None, None, :, 3],
+        )
+        texel = _alpha_tap(
+            quad_flat, atlas_width,
             jnp.broadcast_to(rect0[None, None, :, :], u.shape + (4,)),
-            uv,
-            jnp.zeros(u.shape, jnp.int32),
+            uv, lod, settings,
         )
         tex_a = jnp.where(has[None, None, :], texel[..., 3], 1.0)
         alpha = a_scale[None, None, :] * ca * tex_a
@@ -763,9 +800,15 @@ def _rasterize_alpha_binned(
             v = lin(3) / denom
             ca = lin(6) / denom
             rect0 = jnp.broadcast_to(ar[:, None, :, 12:16], u.shape + (4,))
-            texel = _sample_level_any(
+            lod = _alpha_lod(
+                u, v, ar[:, None, :, 0], ar[:, None, :, 1],
+                ar[:, None, :, 3], ar[:, None, :, 4],
+                ar[:, None, :, 9], ar[:, None, :, 10],
+                denom, ar[:, None, :, 14], ar[:, None, :, 15],
+            )
+            texel = _alpha_tap(
                 quad_flat, atlas_width, rect0,
-                jnp.stack([u, v], axis=-1), jnp.zeros(u.shape, jnp.int32),
+                jnp.stack([u, v], axis=-1), lod, settings,
             )
             tex_a = jnp.where(ar[:, None, :, 16] > 0.5, texel[..., 3], 1.0)
             alpha = ar[:, None, :, 17] * ca * tex_a
@@ -918,21 +961,23 @@ def resolve_materials(
         # compact id space (raster_opaque compaction): the record table
         # shrinks to the frame-visible cap, keeping the per-pixel gather on
         # the TPU fast path (f32 under ~96k rows; 16-bit split under ~192k)
-        rec = build_resolve_records(scene, pix_h, ids=compact_ids)
-        safe_id = jnp.maximum(tri_id, 0)
-        # plain f32 gather at any compaction cap: the round-4 on-metal
-        # prober measured plain 128-lane f32 fast to >=262k rows (10.4 ms
-        # /2M at 163840) and SPLIT16 a 2.3x LOSS (23.5 ms) on the current
-        # toolchain -- the round-2/3 "~96k f32 cliff" law is stale
-        # (BENCHLOG round-4 gather law)
-        full = rec[safe_id]
+        with jax.named_scope("RecGather"):
+            rec = build_resolve_records(scene, pix_h, ids=compact_ids)
+            safe_id = jnp.maximum(tri_id, 0)
+            # plain f32 gather at any compaction cap: the round-4 on-metal
+            # prober measured plain 128-lane f32 fast to >=262k rows (10.4 ms
+            # /2M at 163840) and SPLIT16 a 2.3x LOSS (23.5 ms) on the current
+            # toolchain -- the round-2/3 "~96k f32 cliff" law is stale
+            # (BENCHLOG round-4 gather law)
+            full = rec[safe_id]
     else:
         # ONE (T, 128) per-pixel record gather (build_resolve_records);
         # fast for record tables under the ~96k-row gather cliff -- larger
         # scenes use the fused path (use_fused_resolve)
-        rec = build_resolve_records(scene, pix_h)
-        safe_id = jnp.maximum(tri_id, 0)
-        full = rec[safe_id]       # (H, W, 128)
+        with jax.named_scope("RecGather"):
+            rec = build_resolve_records(scene, pix_h)
+            safe_id = jnp.maximum(tri_id, 0)
+            full = rec[safe_id]   # (H, W, 128)
     av = full[..., 0:57]
     mrec = full[..., 57:121]
     valid = tri_id >= 0
@@ -952,27 +997,27 @@ def resolve_materials(
         cz = pa[..., 0] * pb[..., 1] - pa[..., 1] * pb[..., 0]
         return cx * qx + cy * qy + cz
 
-    e0 = edge(p1, p2)
-    e1 = edge(p2, p0)
-    e2 = edge(p0, p1)
-    ssum = e0 + e1 + e2
-    ssum = jnp.where(ssum != 0.0, ssum, 1.0)
-    bary = jnp.stack([e0 / ssum, e1 / ssum, e2 / ssum], axis=-1)
-    view_w = (
-        bary[..., 0] * p0[..., 2] + bary[..., 1] * p1[..., 2] + bary[..., 2] * p2[..., 2]
-    )
-
     def interp(offset, n):
         out = 0.0
         for k in range(3):
             out = out + bary[..., k : k + 1] * av[..., 9 + k * 16 + offset : 9 + k * 16 + offset + n]
         return out
 
-    world_pos = interp(0, 3)
-    v_normal = interp(3, 3)
-    tangent4 = interp(6, 4)
-    uv = interp(10, 2)
-    v_color = interp(12, 4)
+    with jax.named_scope("InterpAttr"):
+        e0 = edge(p1, p2)
+        e1 = edge(p2, p0)
+        e2 = edge(p0, p1)
+        ssum = e0 + e1 + e2
+        ssum = jnp.where(ssum != 0.0, ssum, 1.0)
+        bary = jnp.stack([e0 / ssum, e1 / ssum, e2 / ssum], axis=-1)
+        view_w = (
+            bary[..., 0] * p0[..., 2] + bary[..., 1] * p1[..., 2] + bary[..., 2] * p2[..., 2]
+        )
+        world_pos = interp(0, 3)
+        v_normal = interp(3, 3)
+        tangent4 = interp(6, 4)
+        uv = interp(10, 2)
+        v_color = interp(12, 4)
 
     M = lambda c, n=1: mrec[..., c : c + n] if n > 1 else mrec[..., c]
     model_id = mrec[..., PK.M_ID].astype(jnp.int32)
@@ -997,6 +1042,12 @@ def resolve_materials(
     atlas_width = scene.quad_img.shape[1]
 
     def sample_slot(slot):
+        # trace-attribution sub-scope: the texture tap (transform + LOD +
+        # atlas gather) is resolve's other big term next to RecGather
+        with jax.named_scope("MaterialTap"):
+            return _sample_slot(slot)
+
+    def _sample_slot(slot):
         suv = tex.apply_texture_transform(
             uv, uv_os[..., slot * 4 : slot * 4 + 4], uv_rot[..., slot * 2 : slot * 2 + 2]
         )
@@ -1067,17 +1118,19 @@ def resolve_materials(
             )
         nm_rg = sample_slot(SLOT_NORMAL)[..., :2] if settings.slot_enabled[SLOT_NORMAL] else None
 
-    if nm_rg is not None:
-        # Deferred path: RG -> reconstruct Z (DeferredBasePass.hlsl:88-90); the
-        # BC5 normal maps only carry RG anyway, so this serves both paths.
-        rg = nm_rg * 2.0 - 1.0
-        tangent_normal = jnp.concatenate([rg, pbr.reconstruct_normal_z(rg)[..., None]], axis=-1)
-        mapped = pbr.apply_normal_map(v_normal, tangent4, tangent_normal)
-        shading_normal = jnp.where(
-            has[..., SLOT_NORMAL : SLOT_NORMAL + 1], mapped, pbr.normalize(v_normal)
-        )
-    else:
-        shading_normal = pbr.normalize(v_normal)
+    with jax.named_scope("NormalMap"):
+        if nm_rg is not None:
+            # Deferred path: RG -> reconstruct Z (DeferredBasePass.hlsl:88-90);
+            # the BC5 normal maps only carry RG anyway, so this serves both
+            # paths.
+            rg = nm_rg * 2.0 - 1.0
+            tangent_normal = jnp.concatenate([rg, pbr.reconstruct_normal_z(rg)[..., None]], axis=-1)
+            mapped = pbr.apply_normal_map(v_normal, tangent4, tangent_normal)
+            shading_normal = jnp.where(
+                has[..., SLOT_NORMAL : SLOT_NORMAL + 1], mapped, pbr.normalize(v_normal)
+            )
+        else:
+            shading_normal = pbr.normalize(v_normal)
 
     return {
         "valid": valid,

@@ -115,22 +115,24 @@ def deferred_frame(
         # Superblock layout on TPU (fast-gather table + Pallas lane select);
         # per-texel rows on the XLA/CPU path (ops/shadow.py measurements).
         shadow_blocks = common._use_pallas(settings)
-        if shadow_blocks:
-            shadow9 = pack_shadow_blocks(shadow_map)
-        else:
-            shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
+        with jax.named_scope("ShadowPack"):
+            if shadow_blocks:
+                shadow9 = pack_shadow_blocks(shadow_map)
+            else:
+                shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:
         shadow9 = None
 
     # --- 3/4/5. visibility raster (jittered VP when TAA active)
-    if settings.soa_vertex and scene.pos_soa is not None:
-        vsoa = common.vertex_stage_soa(scene.pos_soa, params.view_proj, width, height)
-        clip = pix_h = None
-        pix9 = vsoa.pix9()  # (T, 9) record rows, same layout as pix_h.reshape
-    else:
-        vsoa = None
-        clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
-        pix9 = pix_h
+    with jax.named_scope("VertexSetup"):
+        if settings.soa_vertex and scene.pos_soa is not None:
+            vsoa = common.vertex_stage_soa(scene.pos_soa, params.view_proj, width, height)
+            clip = pix_h = None
+            pix9 = vsoa.pix9()  # (T, 9) record rows, same layout as pix_h.reshape
+        else:
+            vsoa = None
+            clip, pix_h = common.vertex_stage(scene, params.view_proj, width, height)
+            pix9 = pix_h
     fused = common.use_fused_resolve(settings, scene.tri_geo.shape[0])
     records = common.build_resolve_records(scene, pix9) if fused else None
     depth, tri_id, raster_stats, attr, compact_ids = common.raster_opaque(
@@ -203,14 +205,15 @@ def deferred_frame(
     else:
         shadow = jnp.ones_like(g["metallic"])
 
-    direct = (
-        pbr.evaluate_pbr(
-            g["albedo"], g["metallic"], g["roughness"], f0, normal_view, v_view, l_view
+    with jax.named_scope("DirectLighting"):
+        direct = (
+            pbr.evaluate_pbr(
+                g["albedo"], g["metallic"], g["roughness"], f0, normal_view, v_view, l_view
+            )
+            * params.light_intensity
+            * params.light_color
+            * shadow[..., None]
         )
-        * params.light_intensity
-        * params.light_color
-        * shadow[..., None]
-    )
 
     if settings.enable_ibl:
         env_flat = scene.env_quad.reshape(-1, scene.env_quad.shape[-1])

@@ -52,12 +52,14 @@ class RenderSettings:
     # which material slots (base, mr, normal, emissive) exist anywhere in the
     # scene; absent slots skip their texture taps entirely (static)
     slot_enabled: tuple = (True, True, True, True)
-    # "bilinear" (nearest mip -- halves the dominant texture-gather cost),
-    # "trilinear", or "anisotropic" (max_anisotropy trilinear taps along the
-    # major-axis footprint -- the D3D12_FILTER_ANISOTROPIC analog the
-    # reference samplers use; costs N taps).  bilinear is the speed
-    # default (see ARCHITECTURE.md deviations).
-    texture_filter: str = "bilinear"
+    # "bilinear" (nearest mip), "trilinear", or "anisotropic"
+    # (max_anisotropy trilinear taps along the major-axis footprint -- the
+    # D3D12_FILTER_ANISOTROPIC analog the reference samplers use; costs N
+    # taps).  Round-4 metal: trilinear on the packed atlas costs LESS than
+    # round 3's bilinear did (resolve 64.0 vs 86.5 ms at the 263k tier), so
+    # the parity-minimum trilinear is the default (closes ARCHITECTURE
+    # deviation #1; reference samplers: ForwardRenderer.cpp:956-1014).
+    texture_filter: str = "trilinear"
     max_anisotropy: int = 4
     # user knob: allow fusing material maps into the combined atlas
     enable_combined_material: bool = True
@@ -66,10 +68,10 @@ class RenderSettings:
     # build_pyramid_tri_atlas), so a trilinear tap is ONE 256-lane bf16
     # (512 B) row gather instead of two quad gathers -- the same packing
     # that made IBL's env taps single-gather.  Requires combined_material
-    # (the Renderer forces it off otherwise); 4x atlas HBM.  Whether a
-    # 512 B row rides the gather fast path is measured by
-    # tools/prof_gather.py -- flip the default when the prober says yes.
-    material_packed_trilinear: bool = False
+    # (the Renderer forces it off otherwise); 4x atlas HBM.  Round-4 metal
+    # decision row: packed resolve 64.0 ms trilinear / 57.1 bilinear vs
+    # 78.3 unpacked trilinear at the 263k tier -- default ON.
+    material_packed_trilinear: bool = True
     # True when the scene atlas fuses all material maps into one 16-channel
     # texture per material (render/renderer.py COMBINED_C): the resolve does
     # ONE quad gather instead of one per slot.  Set by the Renderer at scene
@@ -92,10 +94,10 @@ class RenderSettings:
     # and feed strided column slices into triangle setup).  Applies to the
     # camera, masked, and shadow rasters; the resolve-record pix rows stack
     # from the same components (bit-identical interpolation inputs either
-    # way up to the clip transform's fma-vs-dot rounding).  Staged
-    # experiment (BENCHLOG round-3 queue item 8): flip after the
-    # prof_frame.py vertexlayout row confirms on metal.
-    soa_vertex: bool = False
+    # way up to the clip transform's fma-vs-dot rounding).  Round-4 metal
+    # decision rows: setup 5.00 -> 3.44 ms (camera), 6.22 -> 4.02 (shadow),
+    # FULL frame 302.8 -> 246.7 -- default ON.
+    soa_vertex: bool = True
     # raster tuning
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     # fused attribute emission: the Pallas raster kernels select the
@@ -145,8 +147,8 @@ class RenderSettings:
     # pair-source gather (the gather's n_pairs-row table is past the TPU
     # f32 fast-path cliff; a unique scatter costs ~a packed sort per the
     # measured gather law).  Bit-identical output either way
-    # (ops/binning.py _align_pairs).  Staged experiment: flip when the
-    # binparts profile row confirms on metal.
+    # (ops/binning.py _align_pairs).  Round-4 metal decision row: scatter
+    # 3.49 ms vs gather 3.38 (camera, binparts) -- a wash; stays OFF.
     bin_align_scatter: bool = False
     # Pair-budget factor: binning gathers scale with the static budget
     # (n_blocks x chunk rows), so over-provisioning costs real bandwidth.

@@ -122,12 +122,17 @@ def _build_device_scene(
             face_chains.append([lvl.astype(np.float32) for lvl in env_dds.mips[face]])
         # packed-trilinear atlas: one 64-lane row gather serves both
         # trilinear taps (bf16 64-wide gathers cost the same as 16-wide)
-        env_img, env_rect0 = build_pyramid_tri_atlas(face_chains, dtype=_BF16)
+        # cube=True: SEAMLESS cross-face filtering baked into the packed
+        # rows (ARCHITECTURE deviation #4 closed; the D3D12 hardware
+        # behavior at DeferredLighting.hlsl:76-91's IBL taps)
+        env_img, env_rect0 = build_pyramid_tri_atlas(
+            face_chains, dtype=_BF16, cube=True
+        )
         env_tail = np.stack([chain[-1][..., :4] for chain in face_chains])
     else:
         if env_dds is None:
             log_warning(f"environment cube not found at {env_path}; IBL will be flat")
-        env_img = np.full((8, 128, 64), 0.1, np.float32)
+        env_img = np.full((8, 128, 128), 0.1, np.float32)
         env_rect0 = np.zeros((6, 4), np.int32)
         env_rect0[:, 2:] = 1
         env_tail = np.full((6, 1, 1, 4), 0.1, np.float32)

@@ -306,7 +306,7 @@ def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) 
         bounds_max=jnp.asarray(data.bounds_max_arr),
         quad_img=jnp.asarray(quad_img, jnp.bfloat16),
         brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
-        env_quad=jnp.full((8, 128, 64), 0.1, jnp.bfloat16),
+        env_quad=jnp.full((8, 128, 128), 0.1, jnp.bfloat16),
         env_rect0=jnp.zeros((6, 4), jnp.float32).at[:, 2:].set(1.0),
         env_tail=jnp.full((6, 1, 1, 4), 0.1, jnp.float32),
         tri_geo=jnp.asarray(tri_geo),

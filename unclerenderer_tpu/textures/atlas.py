@@ -130,8 +130,87 @@ def build_atlas(texture_mips: list[list[np.ndarray]], pad: int = 0) -> TextureAt
     return atlas
 
 
+# ---------------------------------------------------------------------------
+# Seamless cube-face borders (ARCHITECTURE deviation #4): D3D12 hardware
+# filters across cube face edges (the IBL taps, DeferredLighting.hlsl:76-91).
+# The packed quad/tri layouts store every texel's whole filter footprint per
+# row, so cross-face texels can be BAKED at build time -- sampling keeps its
+# single gather.  Borders resolve through the direction roundtrip: a border
+# texel's center direction (u/v extrapolated past the face) re-addressed by
+# the standard dominant-axis rule lands on the neighbor face's texel,
+# orientation handled automatically.  Conventions mirror
+# ops/texture.py cube_direction_to_face_uv exactly (D3D 18.9 face fetch).
+# ---------------------------------------------------------------------------
+
+
+def _cube_face_dir(f: int, uc: np.ndarray, vc: np.ndarray) -> np.ndarray:
+    """Face-local centered coords (uc, vc in [-1, 1], extrapolation ok) ->
+    direction, the exact inverse of cube_direction_to_face_uv's per-face
+    (u, v) selection.  Face order +X,-X,+Y,-Y,+Z,-Z."""
+    one = np.ones_like(uc)
+    if f == 0:
+        return np.stack([one, -vc, -uc], -1)
+    if f == 1:
+        return np.stack([-one, -vc, uc], -1)
+    if f == 2:
+        return np.stack([uc, one, vc], -1)
+    if f == 3:
+        return np.stack([uc, -one, -vc], -1)
+    if f == 4:
+        return np.stack([uc, -vc, one], -1)
+    return np.stack([-uc, -vc, -one], -1)
+
+
+def _cube_dir_to_texel(d: np.ndarray, s: int):
+    """Directions (..., 3) -> (face, iy, ix) nearest texel on an s-sized
+    face -- the numpy mirror of ops/texture.py cube_direction_to_face_uv."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = np.where(
+        is_x, np.where(x >= 0, 0, 1),
+        np.where(is_y, np.where(y >= 0, 2, 3), np.where(z >= 0, 4, 5)),
+    ).astype(np.int32)
+    ma = np.maximum(np.where(is_x, ax, np.where(is_y, ay, az)), 1e-20)
+    u = np.where(is_x, np.where(x >= 0, -z, z),
+                 np.where(is_y, x, np.where(z >= 0, x, -x)))
+    v = np.where(is_x, -y, np.where(is_y, np.where(y >= 0, z, -z), -y))
+    uu = (u / ma + 1.0) * 0.5
+    vv = (v / ma + 1.0) * 0.5
+    ix = np.clip(np.floor(uu * s).astype(np.int64), 0, s - 1)
+    iy = np.clip(np.floor(vv * s).astype(np.int64), 0, s - 1)
+    return face, iy, ix
+
+
+def _cube_extend(faces: list[np.ndarray]) -> list[np.ndarray]:
+    """6 (s, s, c) face images -> 6 (s+2, s+2, c) images whose 1-texel
+    border holds the adjacent faces' texels (corners take the nearest texel
+    of whichever face the corner direction's dominant axis picks)."""
+    s, c = faces[0].shape[0], faces[0].shape[-1]
+    stack = np.stack(faces)  # (6, s, s, c)
+    exts = []
+    border_y, border_x = np.meshgrid(
+        np.arange(-1, s + 1), np.arange(-1, s + 1), indexing="ij"
+    )
+    on_border = (
+        (border_y == -1) | (border_y == s) | (border_x == -1) | (border_x == s)
+    )
+    by = border_y[on_border].astype(np.float64)
+    bx = border_x[on_border].astype(np.float64)
+    uc = (bx + 0.5) / s * 2.0 - 1.0
+    vc = (by + 0.5) / s * 2.0 - 1.0
+    for f in range(6):
+        ext = np.zeros((s + 2, s + 2, c), faces[f].dtype)
+        ext[1:-1, 1:-1] = faces[f]
+        nf, niy, nix = _cube_dir_to_texel(_cube_face_dir(f, uc, vc), s)
+        ext[border_y[on_border] + 1, border_x[on_border] + 1] = stack[nf, niy, nix]
+        exts.append(ext)
+    return exts
+
+
 def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
-                             dtype=np.float32):
+                             dtype=np.float32, ext_of=None):
     """Quad atlas with an *arithmetic* mip layout: each texture's mips sit in
     one row, mip L at x-offset 2*(w0 - (w0 >> L)) from the texture origin.
     A sampler can compute any mip rectangle from just (x0, y0, w0, h0) --
@@ -144,6 +223,10 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
     with an assert for now.
 
     wrap may be a bool or a per-texture list of bools (WRAP vs CLAMP quads).
+
+    ext_of: optional callable (t, lv) -> (h+2, w+2, C) border-extended level
+    image; when given, the quad's +x/+y/+xy channels come from it instead of
+    the wrap/clamp shifts (cube faces bake cross-face borders this way).
 
     Works for any channel count C (all chains must agree): single textures
     are C=4, the combined material atlas is C=11 (render/renderer.py).
@@ -218,6 +301,13 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
         for lv, img in enumerate(chain):
             xl, _, w, h = mip_rects[t][lv]
             dst = data[y0 : y0 + h, xl : xl + w]
+            if ext_of is not None:
+                ext = ext_of(t, lv)
+                dst[..., 0:c] = ext[1:-1, 1:-1]
+                dst[..., c : 2 * c] = ext[1:-1, 2:]
+                dst[..., 2 * c : 3 * c] = ext[2:, 1:-1]
+                dst[..., 3 * c :] = ext[2:, 2:]
+                continue
             ex = 0 if wraps[t] else w - 1  # wrap -> col 0, clamp -> last col
             ey = 0 if wraps[t] else h - 1
             dst[..., 0:c] = img
@@ -241,7 +331,7 @@ def build_pyramid_quad_atlas(texture_mips: list[list[np.ndarray]], wrap=True,
 
 
 def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
-                            dtype=np.float32, wrap=False):
+                            dtype=np.float32, wrap=False, cube=False):
     """Packed-trilinear pyramid atlas (env cubes AND, optionally, the
     combined material atlas).
 
@@ -271,6 +361,20 @@ def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
     build_pyramid_quad_atlas (False = CLAMP -- cube faces; True = WRAP --
     tiling material textures).
 
+    cube=True (requires exactly 6 equal square chains): SEAMLESS cube-edge
+    filtering (ARCHITECTURE deviation #4, the D3D12 hardware behavior at
+    ``DeferredLighting.hlsl:76-91``'s IBL taps).  Quad +neighbors and the
+    parent 3x3 windows bake CROSS-FACE texels (_cube_extend), and five
+    extra border texels pack after the 13C payload --
+      lanes 13C+0C: L  = (x-1, y)      lanes 13C+1C: T  = (x, y-1)
+      lanes 13C+2C: Cr = (x-1, y-1)    lanes 13C+3C: L2 = (x-1, y+1)
+      lanes 13C+4C: T2 = (x+1, y-1)
+    -- exactly the texels a bilinear footprint with base index -1 needs, so
+    the sampler (ops/texture.py sample_cube_pyramid_tri) covers the minus
+    edges by lane select with the SAME single gather.  Rows widen to 32C
+    (env C=4 -> 128 bf16 lanes, still inside the 128-lane fast-gather
+    budget).
+
     Chains may be rectangular (pow2, tall tails supported) and may stop
     short of 1x1: the last level packs its own padded 3x3 as its "parent",
     which is harmless because the sampler's lod is clamped to
@@ -286,10 +390,24 @@ def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
     c = texture_mips[0][0].shape[-1]
     assert (c & (c - 1)) == 0, f"tri atlas channel count must be pow2, got {c}"
     wraps = [wrap] * len(texture_mips) if isinstance(wrap, bool) else list(wrap)
+
+    exts = None
+    ext_of = None
+    if cube:
+        assert len(texture_mips) == 6 and not any(wraps), "cube = 6 CLAMP faces"
+        levels_n = len(texture_mips[0])
+        assert all(len(ch) == levels_n for ch in texture_mips)
+        exts = [
+            _cube_extend([ch[lv].astype(np.float32) for ch in texture_mips])
+            for lv in range(levels_n)
+        ]
+        ext_of = lambda t, lv: exts[lv][t]  # noqa: E731
+
     quad, rect0 = build_pyramid_quad_atlas(texture_mips, wrap=wrap,
-                                           dtype=np.float32)
+                                           dtype=np.float32, ext_of=ext_of)
     height, width = quad.shape[:2]
-    data = np.zeros((height, width, 16 * c), np.float32)
+    row_c = (32 if cube else 16) * c
+    data = np.zeros((height, width, row_c), np.float32)
     data[..., : 4 * c] = quad
     del quad
     for t, chain in enumerate(texture_mips):
@@ -303,7 +421,13 @@ def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
             # _pyramid_rect (incl. the tall-texture tail shift)
             xl = x0 + 2 * (w0 - max(w0 >> lv, 1)) + max(lv - lw0, 0)
             nxt = chain[min(lv + 1, levels - 1)].astype(np.float32)
-            pad = np.pad(nxt, ((1, 1), (1, 1), (0, 0)), mode=pad_mode)
+            if cube and lv + 1 < levels:
+                pad = exts[lv + 1][t]  # cross-face parent window
+            elif cube:
+                pad = exts[lv][t] if nxt.shape[0] == h else np.pad(
+                    nxt, ((1, 1), (1, 1), (0, 0)), mode="edge")
+            else:
+                pad = np.pad(nxt, ((1, 1), (1, 1), (0, 0)), mode=pad_mode)
             # parent center of texel i is i>>1; when the parent level is a
             # saturated self-reference (last level / saturated axis) the
             # window content is uniform along that axis, so the sampler's
@@ -315,6 +439,17 @@ def build_pyramid_tri_atlas(texture_mips: list[list[np.ndarray]],
                 for i in range(3):
                     lo = 4 * c + (j * 3 + i) * c
                     data[y0:y0 + h, xl:xl + w, lo:lo + c] = rows[:, px + i]
+            if cube:
+                # minus-edge border texels for the sampler's ix/iy == -1
+                # bilinear bases: L, T, corner, L2, T2 (see docstring)
+                ext = exts[lv][t]
+                for k, (oy, ox) in enumerate(
+                    ((1, 0), (0, 1), (0, 0), (2, 0), (0, 2))
+                ):
+                    lo = 13 * c + k * c
+                    data[y0:y0 + h, xl:xl + w, lo:lo + c] = ext[
+                        oy : oy + h, ox : ox + w
+                    ]
     if np.dtype(dtype) != np.float32:
         data = data.astype(dtype)
     log_info(
