@@ -8,9 +8,28 @@ import os
 # an "axon" TPU platform via sitecustomize and pins JAX_PLATFORMS=axon, so
 # the env var alone is not enough -- use the config API too.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# hermetic: never read/write the user-level built-scene cache from tests
-# (tests that exercise the cache set their own dir via monkeypatch)
-os.environ.setdefault("UNCLERENDERER_SCENE_CACHE", "")
+# hermetic but deduplicated: tests never touch the user-level built-scene
+# cache; instead they share a FRESH per-run cache dir so the expensive
+# asset pipelines (pica: ~90 s of 1-core decode+fuse+pack) run once per
+# suite instead of once per test.  Cache roundtrips are bit-exact
+# (tests/test_scenecache.py::test_roundtrip_bit_exact); tests that
+# exercise the cache machinery itself still set their own dir via
+# monkeypatch.
+_scene_cache_to_clean = None
+if "UNCLERENDERER_SCENE_CACHE" not in os.environ:
+    import tempfile as _tempfile
+
+    _scene_cache_to_clean = _tempfile.mkdtemp(prefix="uncle_test_scenecache_")
+    os.environ["UNCLERENDERER_SCENE_CACHE"] = _scene_cache_to_clean
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # entries are multi-GB (pica ~3.5 GB); never leak them across runs --
+    # a fresh dir per run also guarantees no stale-entry false greens
+    if _scene_cache_to_clean:
+        import shutil
+
+        shutil.rmtree(_scene_cache_to_clean, ignore_errors=True)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -278,66 +278,48 @@ def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(flat, ((0, 0), (0, cpad - c)))
 
 
-def _pcf_fused_kernel(rows_ref, base_ref, cmp_ref, xi_ref, yi_ref, out_ref,
-                      *, deltas, pix, lanes_n, size):
-    """Per-block fused PCF fetch: 3x3 dynamic lane select + comparison in
-    VMEM, writing ONE i32 bitmask per pixel (bit k = tap k passed) instead
-    of the (N, 16) f32 window the old lane-select kernel materialized.
-    Comparisons are EXACT (booleans), so the canonical _pcf_blend outside
-    stays bit-identical while the kernel output shrinks 16x."""
+def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
+    """Extract 9 dynamic lanes per row: out[p, k] = rows[p, base[p]+deltas[k]].
+    rows_ref (1, P, L) f32; base_ref (1, 1, P) i32; out (1, P, 16) f32.
+
+    A "fused" variant that also did the 9 comparisons in VMEM and emitted
+    one i32 bitmask per pixel (16x smaller output) was measured 1.76x
+    SLOWER on metal (59.9 vs 34.1 ms at 4096^2/1080p -- BENCHLOG round-4
+    batch 3), so the kernel stays a pure lane select and the compare +
+    blend run in XLA where they fuse into the lighting consumer."""
     rows = rows_ref[0]                              # (P, L)
-    base = base_ref[0, 0, :][:, None]               # (P, 1)
+    base = base_ref[0, 0, :][:, None]               # (P, 1) -> lanes broadcast
     lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, lanes_n), 1)
-    compare = cmp_ref[0, 0, :]
-    xi = xi_ref[0, 0, :]
-    yi = yi_ref[0, 0, :]
-    xi0 = jnp.clip(xi, 0, size - 1)
-    yi0 = jnp.clip(yi, 0, size - 1)
-    bits = jnp.zeros((pix,), jnp.int32)
     for k, d in enumerate(deltas):
         sel = lanes == (base + d)
-        dk = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)  # (P,)
-        dy, dx = k // 3, k % 3
-        true_x = xi + dx
-        true_y = yi + dy
-        in_map = (true_x >= 0) & (true_x < size) & (true_y >= 0) & (true_y < size)
-        ok = (compare <= dk) | ~in_map | ((xi0 + dx) != true_x) | ((yi0 + dy) != true_y)
-        bits = bits | (ok.astype(jnp.int32) << k)
-    out_ref[0, 0, :] = bits
+        out_ref[0, :, k] = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
 
 
-def _pcf_fused_bits(rows, base, compare, xi, yi, deltas, size,
-                    interpret=False):
-    """(N, L) gathered superblock rows + per-pixel receiver scalars ->
-    (N,) i32 pass bitmask (bit k = 3x3 tap k passes), one Pallas launch."""
+def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
+    """(N, L) f32 rows (L = 128 or 256) + (N,) i32 base -> (N, 9) f32 via
+    Pallas."""
     from jax.experimental import pallas as pl
 
     n, lanes_n = rows.shape
     pix = 1024
     n_pad = -(-n // pix) * pix
-
-    def prep(x, dtype):
-        return jnp.pad(x.astype(dtype), (0, n_pad - n)).reshape(-1, 1, pix)
-
     rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0))).reshape(-1, pix, lanes_n)
+    base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
     grid = n_pad // pix
-    spec_s = pl.BlockSpec((1, 1, pix), lambda g: (g, 0, 0))
     out = pl.pallas_call(
-        lambda r, b, c, xir, yir, o: _pcf_fused_kernel(
-            r, b, c, xir, yir, o, deltas=deltas, pix=pix,
-            lanes_n=lanes_n, size=size,
+        lambda r, b, o: _select9_kernel(
+            r, b, o, deltas=deltas, pix=pix, lanes_n=lanes_n
         ),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((1, pix, lanes_n), lambda g: (g, 0, 0))]
-        + [spec_s] * 4,
-        out_specs=spec_s,
-        out_shape=jax.ShapeDtypeStruct((grid, 1, pix), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, pix, lanes_n), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, pix), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, pix, 16), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, pix, 16), jnp.float32),
         interpret=interpret,
-    )(
-        rows_p, prep(base, jnp.int32), prep(compare, jnp.float32),
-        prep(xi, jnp.int32), prep(yi, jnp.int32),
-    )
-    return out.reshape(n_pad)[:n]
+    )(rows_p, base_p)
+    return out.reshape(n_pad, 16)[:n, :9]
 
 
 @named_pass("ShadowPCF")
@@ -352,10 +334,9 @@ def shadow_factor_blocks(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """shadow_factor via the superblock table (pack_shadow_blocks): one
-    fast-path row gather + ONE fused Pallas pass (3x3 lane select,
-    comparison, 4-tap blend) per pixel.  Compares unquantized f32 depths --
-    bit-comparable to the unpacked ``shadow_factor`` reference (the f16
-    packed path quantizes)."""
+    fast-path row gather + Pallas 3x3 lane select per pixel.  Compares
+    unquantized f32 depths -- bit-comparable to the unpacked
+    ``shadow_factor`` reference (the f16 packed path quantizes)."""
     bh, bw = shadow_block_shape(size)
     nby, nbx = size // bh, size // bw
     uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
@@ -368,9 +349,8 @@ def shadow_factor_blocks(
     # gather law); the u16 split-pair measured 2.3x slower
     rows = blocks_flat[row.reshape(-1)]
     deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
-    bits = _pcf_fused_bits(
-        rows, base.reshape(-1), compare.reshape(-1), xi.reshape(-1),
-        yi.reshape(-1), deltas, size, interpret=interpret,
-    ).reshape(compare.shape)
-    passed = [((bits >> k) & 1).astype(jnp.float32) for k in range(9)]
-    return _pcf_blend(passed, fx, fy, uv, shadow_strength, pcf)
+    nb = _select9(rows, base.reshape(-1), deltas, interpret=interpret)
+    nb = nb.reshape(compare.shape + (9,))
+    nb9 = [nb[..., k] for k in range(9)]
+    return _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
+                     shadow_strength, pcf)
