@@ -264,17 +264,46 @@ def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
     cpad = 128 if c <= 128 else 256
     assert c <= 256, (bh, bw)
     inf = jnp.float32(jnp.inf)
-    padded = jnp.pad(shadow_map, ((0, 2), (0, 2)), constant_values=inf)
-    # overlapping blocks via strided slices (no gather): channel (dy, dx) of
-    # block (by, bx) is padded[by*bh + dy, bx*bw + dx]
     nby, nbx = s // bh, s // bw
-    chans = [
-        jax.lax.slice(padded, (dy, dx), (dy + (nby - 1) * bh + 1, dx + (nbx - 1) * bw + 1), (bh, bw))
-        for dy in range(bh + 2)
-        for dx in range(bw + 2)
-    ]
-    blocks = jnp.stack(chans, axis=-1)  # (nby, nbx, (bh+2)*(bw+2))
-    flat = blocks.reshape(nby * nbx, c)
+    # Overlapping windows from FOUR block-shifted copies of the core table.
+    # The earlier 100-strided-slice channel stack compiled into dozens of
+    # (1, nby*nbx) remat copies padded 128x (12.8 GB of HLO temp at 4096^2:
+    # OOMed pica outright; same XLA pathology as the round-4 HZB rewrite).
+    # The +2 apron rows/cols of a window are the FIRST rows/cols of the
+    # next block, so shifting the transposed core along a BLOCK axis (+inf
+    # fill at the map edge -- border = lit) supplies every apron channel.
+    # On-metal sweep of formulations (BENCHLOG round-4 batch 3): this
+    # per-lane stack = 6.3 ms; concat-then-blocked-transpose = 24.8 ms
+    # (the (nby, bh+2, nbx, bw+2) transpose is the killer); chunked lane
+    # concat = 13.6 ms; grouped non-affine layout = 7.6 ms.
+    core = (
+        shadow_map.reshape(nby, bh, nbx, bw)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby, nbx, bh * bw)
+    )
+    right = jnp.concatenate(
+        [core[:, 1:], jnp.full((nby, 1, bh * bw), inf, shadow_map.dtype)], axis=1
+    )
+    down = jnp.concatenate(
+        [core[1:], jnp.full((1, nbx, bh * bw), inf, shadow_map.dtype)], axis=0
+    )
+    diag = jnp.concatenate(
+        [down[:, 1:], jnp.full((nby, 1, bh * bw), inf, shadow_map.dtype)], axis=1
+    )
+    # channel (dy, dx) of block (by, bx) = map[by*bh+dy, bx*bw+dx]
+    chans = []
+    for dy in range(bh + 2):
+        for dx in range(bw + 2):
+            if dy < bh and dx < bw:
+                src, ch = core, dy * bw + dx
+            elif dy < bh:
+                src, ch = right, dy * bw + (dx - bw)
+            elif dx < bw:
+                src, ch = down, (dy - bh) * bw + dx
+            else:
+                src, ch = diag, (dy - bh) * bw + (dx - bw)
+            chans.append(src[..., ch])
+    flat = jnp.stack(chans, axis=-1).reshape(nby * nbx, c)
     return jnp.pad(flat, ((0, 0), (0, cpad - c)))
 
 
