@@ -13,8 +13,23 @@ import pytest
 
 from make_goldens import CASES, GOLDENS, render_case
 
+# The heavy cases dominate single-process CI wall time (pica 117 s, the two
+# Compare scenes ~23 s each of 500 s total); they run in the full lane
+# (`pytest -m "slow or not slow"`).  The fast default lane keeps box/duck
+# goldens plus test_render.py::test_compare_scenes_render for the Compare
+# scenes' structural coverage.
+_SLOW = {
+    "pica_pica_deferred",
+    "duck_deferred",
+    "compare_basecolor_forward",
+    "compare_normal_forward",
+}
+_PARAMS = [
+    pytest.param(*c, marks=pytest.mark.slow) if c[0] in _SLOW else c for c in CASES
+]
 
-@pytest.mark.parametrize("name,scene,rt,overrides", CASES, ids=[c[0] for c in CASES])
+
+@pytest.mark.parametrize("name,scene,rt,overrides", _PARAMS, ids=[c[0] for c in CASES])
 def test_golden(name, scene, rt, overrides, reference_assets):
     path = GOLDENS / f"{name}.png"
     if not path.is_file():

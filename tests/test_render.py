@@ -253,8 +253,11 @@ def test_compare_scenes_render(reference_assets):
     assert bool(np.asarray(r2.device_scene.has_map)[:, 2].any())
 
 
+@pytest.mark.slow
 def test_pica_pica_small_render(reference_assets):
-    """Milestone 4 scene end-to-end at tiny resolution."""
+    """Milestone 4 scene end-to-end at tiny resolution (61 s of CI time:
+    the pica asset build dominates; full lane only -- the pica golden
+    covers the same scene end-to-end there too)."""
     s = RenderSettings(renderer_type="deferred", enable_ibl=False, **SMALL)
     r = Renderer(reference_assets / "Scenes" / "pica_pica.json", settings=s)
     out = r.render_frame()
@@ -346,6 +349,7 @@ def test_graph_dump(reference_assets, tmp_path, monkeypatch):
     assert dump.is_file() and dump.stat().st_size > 1000
 
 
+@pytest.mark.slow
 def test_masked_binned_matches_bruteforce():
     """The binned masked-alpha raster (production) must reproduce the
     exhaustive reference path exactly -- same alpha-tested coverage, depth,

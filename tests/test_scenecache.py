@@ -43,7 +43,7 @@ def test_roundtrip_bit_exact(reference_assets, cache_env):
 
     scene = _duck(reference_assets)
     r1 = Renderer(scene)
-    assert list(cache_env.glob("*.npz")), "store did not write an entry"
+    assert list(cache_env.glob("*.arrays")), "store did not write an entry"
     r2 = Renderer(scene)
     _assert_same_device_scene(r1.device_scene, r2.device_scene)
     assert r1.settings == r2.settings
@@ -89,11 +89,13 @@ def test_eviction_bounds_entries(cache_env, monkeypatch):
     cache_env.mkdir(parents=True, exist_ok=True)
     monkeypatch.setattr(scenecache, "_MAX_ENTRIES", 2)
     for i in range(4):
-        for suffix in (".npz", ".meta.json", ".scene.pkl"):
+        (cache_env / f"k{i}.arrays").mkdir()
+        (cache_env / f"k{i}.arrays" / "a.npy").write_bytes(b"x")
+        for suffix in (".meta.json", ".scene.pkl"):
             (cache_env / f"k{i}{suffix}").write_bytes(b"x")
         t = time.time() - 100 + i
-        os.utime(cache_env / f"k{i}.npz", (t, t))
+        os.utime(cache_env / f"k{i}.meta.json", (t, t))
     scenecache._evict(cache_env)
-    kept = sorted(p.name for p in cache_env.glob("*.npz"))
-    assert kept == ["k2.npz", "k3.npz"]
+    kept = sorted(p.name for p in cache_env.glob("*.arrays"))
+    assert kept == ["k2.arrays", "k3.arrays"]
     assert not (cache_env / "k0.meta.json").exists()

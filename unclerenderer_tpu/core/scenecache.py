@@ -12,7 +12,12 @@ start is one .npz read + device upload instead of the whole asset pipeline.
 Layout per entry (under ``~/.cache/unclerenderer_scenes`` or
 ``$UNCLERENDERER_SCENE_CACHE``; empty env var disables the cache):
 
-* ``<key>.npz``    -- the DeviceScene arrays (bfloat16 stored as uint16 views)
+* ``<key>.arrays/<name>.npy`` -- one raw .npy per DeviceScene array
+  (bfloat16 stored as uint16 views).  Raw .npy + ``mmap_mode="r"`` makes a
+  hit O(metadata): the bytes stream straight from page cache/disk during
+  the device upload instead of through npz's zip+CRC layer (measured 3.5
+  GB in 28 s as one .npz vs ~0 s mapped -- the upload pays the read
+  either way).
 * ``<key>.meta.json`` -- scalar results + the consumed-file freshness list
 * ``<key>.scene.pkl`` -- pickled SceneData (own cache dir, own writes only)
 
@@ -35,7 +40,7 @@ import numpy as np
 
 from .logging import log_info, log_warning
 
-FORMAT_VERSION = 2  # v2: seamless-cube env rows (128 lanes)
+FORMAT_VERSION = 3  # v3: raw per-array .npy dir (was one .npz)
 _MAX_ENTRIES = 6  # evict oldest beyond this (atlases are hundreds of MB)
 
 
@@ -96,8 +101,8 @@ def load(key: str):
     d = cache_dir()
     if d is None:
         return None
-    npz, meta_p, pkl = d / f"{key}.npz", d / f"{key}.meta.json", d / f"{key}.scene.pkl"
-    if not (npz.is_file() and meta_p.is_file() and pkl.is_file()):
+    adir, meta_p, pkl = d / f"{key}.arrays", d / f"{key}.meta.json", d / f"{key}.scene.pkl"
+    if not (adir.is_dir() and meta_p.is_file() and pkl.is_file()):
         return None
     try:
         meta = json.loads(meta_p.read_text())
@@ -107,21 +112,23 @@ def load(key: str):
             if _stat_sig(f) != tuple(sig):
                 return None  # an asset changed since the build
         t0 = time.monotonic()
-        with np.load(npz) as z:
-            arrays = {}
-            for name in z.files:
-                a = z[name]
-                if meta["dtypes"].get(name) == "bfloat16":
-                    import ml_dtypes
+        arrays = {}
+        total = 0
+        for name in meta["names"]:
+            p = adir / f"{name}.npy"
+            total += p.stat().st_size
+            a = np.load(p, mmap_mode="r")
+            if meta["dtypes"].get(name) == "bfloat16":
+                import ml_dtypes
 
-                    a = a.view(ml_dtypes.bfloat16)
-                arrays[name] = a
+                a = a.view(ml_dtypes.bfloat16)
+            arrays[name] = a
         scene_data = pickle.loads(pkl.read_bytes())
         # freshen for LRU eviction
-        os.utime(npz)
+        os.utime(meta_p)
         log_info(
             f"scene cache HIT {key[:12]} "
-            f"({npz.stat().st_size / 1e6:.0f} MB in {time.monotonic() - t0:.1f}s)"
+            f"({total / 1e6:.0f} MB mapped in {time.monotonic() - t0:.2f}s)"
         )
         return scene_data, arrays, meta
     except Exception as e:  # noqa: BLE001 -- any corruption = miss
@@ -152,20 +159,28 @@ def store(
             arrays[f.name] = a
         meta = {
             "format": FORMAT_VERSION,
+            "names": sorted(arrays),
             "dtypes": dtypes,
             "files": [[f, list(_stat_sig(f))] for f in sorted(set(files))],
             **meta_extra,
         }
+        import shutil
+
         tmp = d / f"{key}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, **arrays)
-        tmp.replace(d / f"{key}.npz")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir()
+        total = 0
+        for name, a in arrays.items():
+            np.save(tmp / f"{name}.npy", a)
+            total += (tmp / f"{name}.npy").stat().st_size
+        adir = d / f"{key}.arrays"
+        shutil.rmtree(adir, ignore_errors=True)
+        tmp.replace(adir)
         (d / f"{key}.scene.pkl").write_bytes(pickle.dumps(scene_data))
         (d / f"{key}.meta.json").write_text(json.dumps(meta))
         log_info(
             f"scene cache STORE {key[:12]} "
-            f"({(d / f'{key}.npz').stat().st_size / 1e6:.0f} MB in "
-            f"{time.monotonic() - t0:.1f}s)"
+            f"({total / 1e6:.0f} MB in {time.monotonic() - t0:.1f}s)"
         )
         _evict(d)
     except Exception as e:  # noqa: BLE001 -- caching must never break a build
@@ -173,8 +188,11 @@ def store(
 
 
 def _evict(d: Path) -> None:
-    entries = sorted(d.glob("*.npz"), key=lambda p: p.stat().st_mtime)
-    for npz in entries[:-_MAX_ENTRIES]:
-        stem = npz.name[: -len(".npz")]
-        for suffix in (".npz", ".meta.json", ".scene.pkl"):
+    import shutil
+
+    entries = sorted(d.glob("*.meta.json"), key=lambda p: p.stat().st_mtime)
+    for meta_p in entries[:-_MAX_ENTRIES]:
+        stem = meta_p.name[: -len(".meta.json")]
+        shutil.rmtree(d / f"{stem}.arrays", ignore_errors=True)
+        for suffix in (".npz", ".meta.json", ".scene.pkl"):  # .npz: pre-v3
             (d / f"{stem}{suffix}").unlink(missing_ok=True)
