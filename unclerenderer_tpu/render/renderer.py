@@ -46,7 +46,7 @@ from ..textures.image import COMBINED_C, combined_chain as _combined_chain  # no
 def _build_device_scene(
     data: SceneData, assets_root: Path, allow_combined: bool = True,
     packed_trilinear: bool = False, substitutions_out: list | None = None,
-    files_out: list | None = None,
+    files_out: list | None = None, host_out: dict | None = None,
 ) -> tuple[DeviceScene, float, bool]:
     """Assemble all device arrays: geometry, material tables, atlases.
 
@@ -224,40 +224,52 @@ def _build_device_scene(
     tri_geo = pack_tri_geo(data)
     tri_mrec = pack_tri_mrec(data, model_rec)
 
-    dev = DeviceScene(
-        position=jnp.asarray(data.position),
+    import ml_dtypes
+
+    # Host-side dict first, device upload second: the scene cache persists
+    # THESE arrays (host_out), so a cold store never pulls gigabytes back
+    # from the device (measured 315 s for pica's 3.5 GB through the relay
+    # vs seconds from host memory).  bf16 casts happen host-side (numpy
+    # ml_dtypes and XLA both round-to-nearest-even, so the device values
+    # are bit-identical to the former jnp.asarray(x, jnp.bfloat16) route;
+    # gated by tests/test_scenecache.py::test_roundtrip_bit_exact).
+    host = dict(
+        position=data.position,
         # lane-dense [vertex slot][x/y/z][tri] for the SoA vertex stage
-        pos_soa=jnp.asarray(
-            np.ascontiguousarray(data.position.reshape(-1, 3, 3).transpose(1, 2, 0))
+        pos_soa=np.ascontiguousarray(
+            data.position.reshape(-1, 3, 3).transpose(1, 2, 0)
         ),
-        normal=jnp.asarray(data.normal),
-        tangent=jnp.asarray(data.tangent),
-        uv=jnp.asarray(data.uv),
-        color=jnp.asarray(data.color),
-        tris=jnp.asarray(data.tri_indices.astype(np.int32)),
-        tri_model=jnp.asarray(data.tri_model.astype(np.int32)),
-        base_color_factor=jnp.asarray(data.base_color_factor),
-        base_color_alpha=jnp.asarray(data.base_color_alpha),
-        metallic_factor=jnp.asarray(data.metallic_factor),
-        roughness_factor=jnp.asarray(data.roughness_factor),
-        emissive_factor=jnp.asarray(data.emissive_factor),
-        alpha_mode=jnp.asarray(data.alpha_mode.astype(np.int32)),
-        alpha_cutoff=jnp.asarray(data.alpha_cutoff),
-        uv_transform=jnp.asarray(data.uv_transform),
-        uv_rotation=jnp.asarray(data.uv_rotation),
-        tex_ids=jnp.asarray(tex_ids),
-        has_map=jnp.asarray(has_map),
-        object_ids=jnp.asarray(data.object_ids),
-        bounds_min=jnp.asarray(data.bounds_min_arr),
-        bounds_max=jnp.asarray(data.bounds_max_arr),
-        quad_img=jnp.asarray(quad_img, jnp.bfloat16),
-        brdf_lut=jnp.asarray(brdf_img[..., :2]),
-        env_quad=jnp.asarray(env_img, jnp.bfloat16),
-        env_rect0=jnp.asarray(env_rect0.astype(np.float32)),
-        env_tail=jnp.asarray(env_tail),
-        tri_geo=jnp.asarray(tri_geo),
-        tri_mrec=jnp.asarray(tri_mrec),
+        normal=data.normal,
+        tangent=data.tangent,
+        uv=data.uv,
+        color=data.color,
+        tris=data.tri_indices.astype(np.int32),
+        tri_model=data.tri_model.astype(np.int32),
+        base_color_factor=data.base_color_factor,
+        base_color_alpha=data.base_color_alpha,
+        metallic_factor=data.metallic_factor,
+        roughness_factor=data.roughness_factor,
+        emissive_factor=data.emissive_factor,
+        alpha_mode=data.alpha_mode.astype(np.int32),
+        alpha_cutoff=data.alpha_cutoff,
+        uv_transform=data.uv_transform,
+        uv_rotation=data.uv_rotation,
+        tex_ids=tex_ids,
+        has_map=has_map,
+        object_ids=data.object_ids,
+        bounds_min=data.bounds_min_arr,
+        bounds_max=data.bounds_max_arr,
+        quad_img=np.asarray(quad_img).astype(ml_dtypes.bfloat16),
+        brdf_lut=np.asarray(brdf_img)[..., :2],
+        env_quad=np.asarray(env_img).astype(ml_dtypes.bfloat16),
+        env_rect0=np.asarray(env_rect0).astype(np.float32),
+        env_tail=np.asarray(env_tail),
+        tri_geo=tri_geo,
+        tri_mrec=tri_mrec,
     )
+    if host_out is not None:
+        host_out.update(host)
+    dev = DeviceScene(**{k: jnp.asarray(v) for k, v in host.items()})
     return dev, env_mip_count, combined
 
 
@@ -399,15 +411,17 @@ class Renderer:
             self.texture_substitutions = list(meta.get("substitutions", []))
         else:
             consumed: list[str] = []
+            host_arrays: dict = {}
             self.device_scene, self.env_mip_count, combined = _build_device_scene(
                 self.scene_data, self.assets_root, settings.enable_combined_material,
                 packed_trilinear=settings.material_packed_trilinear,
                 substitutions_out=self.texture_substitutions,
                 files_out=consumed,
+                host_out=host_arrays,
             )
             if self._scene_cache_key is not None:
                 scenecache.store(
-                    self._scene_cache_key, self.scene_data, self.device_scene,
+                    self._scene_cache_key, self.scene_data, host_arrays,
                     {
                         "env_mip_count": self.env_mip_count,
                         "combined": combined,
