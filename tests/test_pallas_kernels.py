@@ -199,6 +199,56 @@ def test_shadow_blocks_matches_reference(size):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_superblock_u16_matches_quantized_oracle():
+    """The u16 PCF table (round-5 staged experiment) must equal an oracle
+    that performs the SAME ceil-quantized comparisons on directly-sliced
+    planes -- i.e. the only divergence vs the f32 path is the documented
+    quantization of the compare itself, not the fetch machinery.  Also
+    bound the drift vs the f32 superblock path on the final factor."""
+    from unclerenderer_tpu.ops.shadow import (
+        _pcf_tail,
+        _shadow_project,
+        pack_shadow_blocks,
+        pack_shadow_blocks_u16,
+        shadow_factor_blocks,
+    )
+
+    size = 256
+    rng = np.random.default_rng(9)
+    shadow_map = jnp.asarray(rng.uniform(0.3, 1.0, (size, size)).astype(np.float32))
+    world = jnp.asarray(rng.uniform(-8.0, 8.0, (48, 64, 3)).astype(np.float32))
+    lvp = jnp.asarray(
+        np.array(
+            [[0.15, 0.0, 0.0, 0.0],
+             [0.0, -0.15, 0.02, 0.0],
+             [0.01, 0.02, 0.08, 0.0],
+             [0.0, 0.0, 0.55, 1.0]], np.float32)
+    )
+    q = jnp.clip(jnp.ceil(shadow_map * 65535.0), 0.0, 65535.0)
+    padded_q = jnp.pad(q, ((0, 2), (0, 2)), constant_values=65535.0)
+    uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
+        world, lvp, size, jnp.float32(2e-3)
+    )
+    cq = jnp.clip(jnp.ceil(compare * 65535.0), 0.0, 65536.0)
+    nb9 = [padded_q[yi0 + dy, xi0 + dx] for dy in range(3) for dx in range(3)]
+    want = _pcf_tail(nb9, cq, fx, fy, uv, xi, yi, xi0, yi0, size,
+                     jnp.float32(0.9), "deferred")
+    got = shadow_factor_blocks(
+        pack_shadow_blocks_u16(shadow_map), size, world, lvp,
+        jnp.float32(0.9), jnp.float32(2e-3), pcf="deferred", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # vs the f32 table: only boundary slivers may flip a tap; with 12k
+    # receivers over a smooth random map the factor drift stays tiny
+    got_f32 = shadow_factor_blocks(
+        pack_shadow_blocks(shadow_map), size, world, lvp,
+        jnp.float32(0.9), jnp.float32(2e-3), pcf="deferred", interpret=True,
+    )
+    diff = np.abs(np.asarray(got) - np.asarray(got_f32))
+    assert (diff > 0).mean() < 0.01, f"u16 flipped {100 * (diff > 0).mean():.2f}% of pixels"
+
+
 def test_depth_only_matches_full():
     """want_ids=False (shadow path) must produce the exact same depth as
     the full raster at both depth modes."""

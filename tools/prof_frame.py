@@ -533,6 +533,125 @@ def main():
             depth0, label="HZB build (Pallas single-launch tail)",
         )
 
+    if want and "tapparts" in want:
+        # MaterialTap (44 ms in-frame, the round-5 #1 target) split into its
+        # two candidate bottlenecks on PRODUCTION data: the packed-atlas row
+        # gather vs the trilinear reconstruction ALU (lane selects + blends).
+        def gbuf_ids(sc, vp):
+            clip, pix_h = common.vertex_stage(sc, vp, W, H)
+            d, t, st, _a, cids = common.raster_opaque(
+                sc, clip, pix_h, opaque, settings)
+            return pix_h, t, cids
+        pix_h0, tid0, cids0 = jax.block_until_ready(
+            jax.jit(gbuf_ids)(scene, params.view_proj))
+
+        from unclerenderer_tpu.ops import texture as tex
+        from unclerenderer_tpu.render import packing as PK
+
+        quad_flat = jax.block_until_ready(
+            scene.quad_img.reshape(-1, scene.quad_img.shape[-1]))
+        atlas_w = scene.quad_img.shape[1]
+        print(f"  atlas: {quad_flat.shape} {quad_flat.dtype}", flush=True)
+
+        # production-distribution uv/lod/rect from one resolve run
+        def uv_lod(sc, ph, t, ci):
+            g = common.resolve_materials(sc, ph, t, settings, compact_ids=ci)
+            return g["albedo"]
+        # gather-only with resolve-realistic row indices: rows hit by the
+        # frame's actual uv/mips (uniform-random rows would overstate cost)
+        rng = np.random.default_rng(5)
+        idx = jnp.asarray(
+            rng.integers(0, quad_flat.shape[0], W * H, dtype=np.int64),
+            jnp.int32).reshape(H, W)
+        timed_scan(
+            lambda t, i: t[i].astype(jnp.float32).sum(axis=-1),
+            quad_flat, idx, label="tap: atlas row gather only (random idx)")
+
+        # full production tap chain (resolve minus the record gather):
+        # reuse resolve with a precomputed full record to isolate the tap
+        rec = jax.jit(lambda sc, ph, ci: common.build_resolve_records(
+            sc, ph, ids=ci))(scene, pix_h0, cids0)
+        rec = jax.block_until_ready(rec)
+
+        def resolve_full(sc, ph, t, ci):
+            g = common.resolve_materials(sc, ph, t, settings, compact_ids=ci)
+            return g["albedo"], g["normal"], g["metallic"]
+        timed_scan(resolve_full, scene, pix_h0, tid0, cids0,
+                   label="tap: FULL resolve (rec gather + tap + interp)")
+
+        # trilinear tap only, synthetic uniform uv/lod over the real atlas:
+        # isolates gather+reconstruction without interp/record costs
+        uv0 = jnp.asarray(rng.uniform(0, 1, (H, W, 2)).astype(np.float32))
+        lod0 = jnp.asarray(
+            rng.uniform(0, 6, (H, W)).astype(np.float32))
+        rect0 = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 512.0, 512.0], jnp.float32), (H, W, 4))
+        timed_scan(
+            lambda q, u, l: tex.sample_pyramid_tri(
+                q, atlas_w, rect0, u, l).sum(axis=-1),
+            quad_flat, uv0, lod0, label="tap: packed-tri tap (gather+recon)")
+        timed_scan(
+            lambda q, u, l: tex.sample_pyramid_tri_level(
+                q, atlas_w, rect0, u, jnp.round(l).astype(jnp.int32)
+            ).sum(axis=-1),
+            quad_flat, uv0, lod0, label="tap: bilinear tap (gather+quad blend)")
+
+    if want and "pcfparts" in want:
+        # ShadowPCF (33.7 ms in-frame) split: row gather / +select9 kernel /
+        # full (+compare+blend), f32 table vs the u16 staged experiment.
+        from unclerenderer_tpu.ops.shadow import (
+            _select9, _shadow_project, pack_shadow_blocks,
+            pack_shadow_blocks_u16, shadow_block_shape, shadow_factor_blocks,
+        )
+
+        def gbuf_wp(sc, vp):
+            clip, pix_h = common.vertex_stage(sc, vp, W, H)
+            d, t, st, _a, cids = common.raster_opaque(
+                sc, clip, pix_h, opaque, settings)
+            g = common.resolve_materials(sc, pix_h, t, settings,
+                                         compact_ids=cids)
+            return g["world_pos"]
+        wp = jax.block_until_ready(jax.jit(gbuf_wp)(scene, params.view_proj))
+        shadow = jax.block_until_ready(jax.jit(
+            lambda sc, l: common.raster_shadow(sc, l, opaque, settings)[0]
+        )(scene, params.light_view_proj))
+        s = settings.shadow_map_size
+        bh, bw = shadow_block_shape(s)
+        deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
+
+        for name, pack in (("f32", pack_shadow_blocks),
+                           ("u16", pack_shadow_blocks_u16)):
+            blocks = jax.block_until_ready(jax.jit(pack)(shadow))
+            timed_scan(lambda sm: pack(sm), shadow,
+                       label=f"pcf[{name}]: pack_shadow_blocks")
+
+            def project_rows(bl, w_pos, lvp):
+                uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
+                    w_pos, lvp, s, jnp.float32(2e-3))
+                row = (yi0 // bh) * (s // bw) + (xi0 // bw)
+                return bl[row.reshape(-1)].astype(jnp.float32).sum(axis=-1)
+            timed_scan(project_rows, blocks, wp, params.light_view_proj,
+                       label=f"pcf[{name}]: project + row gather only")
+
+            def rows_select(bl, w_pos, lvp):
+                uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
+                    w_pos, lvp, s, jnp.float32(2e-3))
+                row = (yi0 // bh) * (s // bw) + (xi0 // bw)
+                base = (yi0 % bh) * (bw + 2) + (xi0 % bw)
+                rows = bl[row.reshape(-1)]
+                nb = _select9(rows, base.reshape(-1), deltas,
+                              interpret=INTERPRET)
+                return nb.sum(axis=-1)
+            timed_scan(rows_select, blocks, wp, params.light_view_proj,
+                       label=f"pcf[{name}]: + select9 kernel")
+
+            def full(bl, w_pos, lvp):
+                return shadow_factor_blocks(
+                    bl, s, w_pos, lvp, jnp.float32(0.9), jnp.float32(2e-3),
+                    pcf="deferred", interpret=INTERPRET)
+            timed_scan(full, blocks, wp, params.light_view_proj,
+                       label=f"pcf[{name}]: FULL (+compare+blend)")
+
     if on("pcf") or on("ibl") or on("ggx") or on("post"):
         # shared fixtures: a resolved g-buffer and a shadow map
         from unclerenderer_tpu.ops import pbr

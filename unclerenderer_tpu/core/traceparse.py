@@ -46,7 +46,7 @@ PASS_NAMES = (
 #: parents so the first-match attribution picks the finer bucket
 SUB_SCOPES = (
     "RecGather", "InterpAttr", "MaterialTap", "NormalMap",
-    "FineBinning", "RasterKernel", "Compaction",
+    "FineBinning", "RasterKernel", "MidLevel", "GiantLevel", "Compaction",
     "VertexSetup", "ShadowPack", "DirectLighting",
 )
 PASS_NAMES_FINE = SUB_SCOPES + PASS_NAMES

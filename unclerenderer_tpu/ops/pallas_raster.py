@@ -600,22 +600,23 @@ def rasterize_binned(
     # Medium triangles: second binning level with coarse tiles, over a
     # COMPACTED list (the full-T grid would spend more time skipping empty
     # chunks than rasterizing).
-    cap_mid = min(t_count, max(big_chunk, -(-(t_count // mid_divisor) // big_chunk) * big_chunk))
-    mid_idx, mid_valid = compact(bins.big_mask, cap_mid)
-    mid_setup = RasterSetup(
-        coef=setup.coef[mid_idx], valid=mid_valid, bbox=setup.bbox[:, mid_idx]
-    )
-    mid_bins = bin_triangles(
-        mid_setup, width, height, big_tile_h, big_tile_w, big_chunk,
-        max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
-        records=None if records is None else records[mid_idx],
-        align_scatter=align_scatter,
-    )
-    mid_out = _run_binned_kernel(
-        mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,
-        interpret, want_ids=want_ids, ortho=ortho,
-    )
-    mid_key, mid_id = mid_out[0], mid_out[1]
+    with jax.named_scope("MidLevel"):
+        cap_mid = min(t_count, max(big_chunk, -(-(t_count // mid_divisor) // big_chunk) * big_chunk))
+        mid_idx, mid_valid = compact(bins.big_mask, cap_mid)
+        mid_setup = RasterSetup(
+            coef=setup.coef[mid_idx], valid=mid_valid, bbox=setup.bbox[:, mid_idx]
+        )
+        mid_bins = bin_triangles(
+            mid_setup, width, height, big_tile_h, big_tile_w, big_chunk,
+            max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
+            records=None if records is None else records[mid_idx],
+            align_scatter=align_scatter,
+        )
+        mid_out = _run_binned_kernel(
+            mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,
+            interpret, want_ids=want_ids, ortho=ortho,
+        )
+        mid_key, mid_id = mid_out[0], mid_out[1]
     if want_ids:
         take_mid = mid_key > key_img
         tie_mid = (mid_key == key_img) & (mid_key >= 0.0)
@@ -634,26 +635,27 @@ def rasterize_binned(
 
     # Remaining giant triangles (walls/floors): brute-force over a small
     # compacted list; ids remap through the compaction index afterwards.
-    giant_global = (
-        jnp.zeros(t_count, bool).at[mid_idx].set(mid_bins.big_mask) | mid_overflow
-    )
-    cap_g = min(t_count, max(big_chunk, -(-(t_count // giant_divisor) // big_chunk) * big_chunk))
-    g_idx, g_valid = compact(giant_global, cap_g)
-    giant_truncated = (
-        jnp.sum(giant_global).astype(jnp.int32) - jnp.sum(g_valid).astype(jnp.int32)
-    )
-    giant_setup = RasterSetup(
-        coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
-    )
-    big_out = rasterize_pallas(
-        giant_setup, width, height,
-        tile_h=giant_tile_h or big_tile_h, tile_w=giant_tile_w or big_tile_w,
-        chunk=big_chunk,
-        y_offset=y_offset, interpret=interpret, want_ids=want_ids,
-        records=None if records is None else records[g_idx],
-        ortho=ortho,
-    )
-    big_depth, big_id_local = big_out[0], big_out[1]
+    with jax.named_scope("GiantLevel"):
+        giant_global = (
+            jnp.zeros(t_count, bool).at[mid_idx].set(mid_bins.big_mask) | mid_overflow
+        )
+        cap_g = min(t_count, max(big_chunk, -(-(t_count // giant_divisor) // big_chunk) * big_chunk))
+        g_idx, g_valid = compact(giant_global, cap_g)
+        giant_truncated = (
+            jnp.sum(giant_global).astype(jnp.int32) - jnp.sum(g_valid).astype(jnp.int32)
+        )
+        giant_setup = RasterSetup(
+            coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
+        )
+        big_out = rasterize_pallas(
+            giant_setup, width, height,
+            tile_h=giant_tile_h or big_tile_h, tile_w=giant_tile_w or big_tile_w,
+            chunk=big_chunk,
+            y_offset=y_offset, interpret=interpret, want_ids=want_ids,
+            records=None if records is None else records[g_idx],
+            ortho=ortho,
+        )
+        big_depth, big_id_local = big_out[0], big_out[1]
     if want_ids:
         big_id = jnp.where(
             big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1

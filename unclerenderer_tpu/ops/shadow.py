@@ -258,13 +258,6 @@ def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
     quantization and no +5e-4 lift: comparisons are bit-identical to the
     unpacked ``shadow_factor`` reference.  The wider table stays on the
     fast gather path (width does not move gather cost; rows do)."""
-    s = shadow_map.shape[0]
-    bh, bw = shadow_block_shape(s)
-    c = (bh + 2) * (bw + 2)
-    cpad = 128 if c <= 128 else 256
-    assert c <= 256, (bh, bw)
-    inf = jnp.float32(jnp.inf)
-    nby, nbx = s // bh, s // bw
     # Overlapping windows from FOUR block-shifted copies of the core table.
     # The earlier 100-strided-slice channel stack compiled into dozens of
     # (1, nby*nbx) remat copies padded 128x (12.8 GB of HLO temp at 4096^2:
@@ -276,21 +269,52 @@ def pack_shadow_blocks(shadow_map: jnp.ndarray) -> jnp.ndarray:
     # per-lane stack = 6.3 ms; concat-then-blocked-transpose = 24.8 ms
     # (the (nby, bh+2, nbx, bw+2) transpose is the killer); chunked lane
     # concat = 13.6 ms; grouped non-affine layout = 7.6 ms.
+    # channel (dy, dx) of block (by, bx) = map[by*bh+dy, bx*bw+dx]
+    return _pack_blocks_core(shadow_map, jnp.float32(jnp.inf))
+
+
+def pack_shadow_blocks_u16(shadow_map: jnp.ndarray) -> jnp.ndarray:
+    """Superblock table with ceil-quantized u16 depths: halves the gather
+    bytes per row (the round-5 gather-law rows decide whether the PCF gather
+    rides the bf16-speed path at 262144 rows like the round-4 law suggests).
+
+    Quantization: ``q = ceil(clip(d, 0, 1) * 65535)``, border = 65535
+    (= always lit, the +inf analog).  Ceil is monotone, so a true pass
+    ``compare <= depth`` NEVER flips to shadowed when both sides quantize
+    (``ceil(c*K) <= ceil(d*K)``); the only divergence vs the f32 table is a
+    sliver of extra light when ``depth < compare <= depth + 1/65535`` --
+    bounded by 1.5e-5 of depth range against the 2e-3 default comparison
+    bias.  Kept OPT-IN (RenderSettings.shadow_table_u16) because the f32
+    table is the bit-exact reference surface."""
+    q = jnp.clip(
+        jnp.ceil(shadow_map.astype(jnp.float32) * 65535.0), 0.0, 65535.0
+    ).astype(jnp.uint16)
+    return _pack_blocks_core(q, jnp.uint16(65535))
+
+
+def _pack_blocks_core(sm: jnp.ndarray, border):
+    """Shared superblock packing over any element dtype (see
+    pack_shadow_blocks for the layout + the measured formulation notes)."""
+    s = sm.shape[0]
+    bh, bw = shadow_block_shape(s)
+    c = (bh + 2) * (bw + 2)
+    cpad = 128 if c <= 128 else 256
+    assert c <= 256, (bh, bw)
+    nby, nbx = s // bh, s // bw
     core = (
-        shadow_map.reshape(nby, bh, nbx, bw)
+        sm.reshape(nby, bh, nbx, bw)
         .transpose(0, 2, 1, 3)
         .reshape(nby, nbx, bh * bw)
     )
     right = jnp.concatenate(
-        [core[:, 1:], jnp.full((nby, 1, bh * bw), inf, shadow_map.dtype)], axis=1
+        [core[:, 1:], jnp.full((nby, 1, bh * bw), border, sm.dtype)], axis=1
     )
     down = jnp.concatenate(
-        [core[1:], jnp.full((1, nbx, bh * bw), inf, shadow_map.dtype)], axis=0
+        [core[1:], jnp.full((1, nbx, bh * bw), border, sm.dtype)], axis=0
     )
     diag = jnp.concatenate(
-        [down[:, 1:], jnp.full((nby, 1, bh * bw), inf, shadow_map.dtype)], axis=1
+        [down[:, 1:], jnp.full((nby, 1, bh * bw), border, sm.dtype)], axis=1
     )
-    # channel (dy, dx) of block (by, bx) = map[by*bh+dy, bx*bw+dx]
     chans = []
     for dy in range(bh + 2):
         for dx in range(bw + 2):
@@ -317,6 +341,10 @@ def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
     batch 3), so the kernel stays a pure lane select and the compare +
     blend run in XLA where they fuse into the lighting consumer."""
     rows = rows_ref[0]                              # (P, L)
+    if rows.dtype != jnp.float32:
+        # u16 quantized table (pack_shadow_blocks_u16): integer depths
+        # <= 65535 convert to f32 exactly
+        rows = rows.astype(jnp.float32)
     base = base_ref[0, 0, :][:, None]               # (P, 1) -> lanes broadcast
     lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, lanes_n), 1)
     for k, d in enumerate(deltas):
@@ -363,9 +391,11 @@ def shadow_factor_blocks(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """shadow_factor via the superblock table (pack_shadow_blocks): one
-    fast-path row gather + Pallas 3x3 lane select per pixel.  Compares
-    unquantized f32 depths -- bit-comparable to the unpacked
-    ``shadow_factor`` reference (the f16 packed path quantizes)."""
+    fast-path row gather + Pallas 3x3 lane select per pixel.  On an f32
+    table the compares are unquantized -- bit-comparable to the unpacked
+    ``shadow_factor`` reference.  On a u16 table (pack_shadow_blocks_u16)
+    the compare value quantizes into the same ceil domain, so the
+    comparison stays conservative (see pack_shadow_blocks_u16)."""
     bh, bw = shadow_block_shape(size)
     nby, nbx = size // bh, size // bw
     uv, compare, fx, fy, xi, yi, xi0, yi0 = _shadow_project(
@@ -373,13 +403,17 @@ def shadow_factor_blocks(
     )
     row = (yi0 // bh) * nbx + (xi0 // bw)
     base = (yi0 % bh) * (bw + 2) + (xi0 % bw)
-    # ONE plain f32 row gather at every map size: 128-lane f32 tables
-    # measured fast to >=262k rows on the current toolchain (round-4
-    # gather law); the u16 split-pair measured 2.3x slower
+    # ONE plain row gather at every map size: 128-lane f32 tables measured
+    # fast to >=262k rows on the current toolchain (round-4 gather law);
+    # the u16 table halves the row bytes on the same plain gather
     rows = blocks_flat[row.reshape(-1)]
     deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
     nb = _select9(rows, base.reshape(-1), deltas, interpret=interpret)
     nb = nb.reshape(compare.shape + (9,))
     nb9 = [nb[..., k] for k in range(9)]
+    if blocks_flat.dtype == jnp.uint16:
+        # integer-domain compare: ceil into [0, 65536] (65536 > any stored
+        # value keeps beyond-far receivers shadowed, matching f32 behavior)
+        compare = jnp.clip(jnp.ceil(compare * 65535.0), 0.0, 65536.0)
     return _pcf_tail(nb9, compare, fx, fy, uv, xi, yi, xi0, yi0, size,
                      shadow_strength, pcf)

@@ -290,14 +290,15 @@ def raster_opaque(
     ``clip``/``pix_h`` (which are then unused and may be None)."""
     from ..ops.raster import compact_setup
 
-    if vsoa is not None:
-        setup = triangle_setup_from_soa(
-            vsoa, tri_mask, CULL_BACK, settings.width, settings.height
-        )
-    else:
-        setup = triangle_setup_expanded(
-            pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
-        )
+    with jax.named_scope("VertexSetup"):
+        if vsoa is not None:
+            setup = triangle_setup_from_soa(
+                vsoa, tri_mask, CULL_BACK, settings.width, settings.height
+            )
+        else:
+            setup = triangle_setup_expanded(
+                pix_h, clip[:, 2], tri_mask, CULL_BACK, settings.width, settings.height
+            )
     cap = compaction_cap(settings, setup.valid.shape[0])
     cids = None
     c_overflow = jnp.zeros((), jnp.int32)
@@ -340,18 +341,19 @@ def raster_shadow(
     dropped past the light-space compaction cap (0 when compaction is off;
     surface it in stats, raise ``shadow_compact_cap`` if it fires)."""
     size = settings.shadow_map_size
-    if settings.soa_vertex and scene.pos_soa is not None:
-        vs = vertex_stage_soa(scene.pos_soa, light_view_proj, size, size)
-        setup = triangle_setup_from_soa(vs, tri_mask, CULL_FRONT, size, size)
-    else:
-        hom = jnp.concatenate(
-            [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
-        )
-        clip = hom @ light_view_proj
-        pix_h = viewport_homogeneous(clip, size, size)
-        setup = triangle_setup_expanded(
-            pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size
-        )
+    with jax.named_scope("VertexSetup"):
+        if settings.soa_vertex and scene.pos_soa is not None:
+            vs = vertex_stage_soa(scene.pos_soa, light_view_proj, size, size)
+            setup = triangle_setup_from_soa(vs, tri_mask, CULL_FRONT, size, size)
+        else:
+            hom = jnp.concatenate(
+                [scene.position, jnp.ones_like(scene.position[..., :1])], axis=-1
+            )
+            clip = hom @ light_view_proj
+            pix_h = viewport_homogeneous(clip, size, size)
+            setup = triangle_setup_expanded(
+                pix_h, clip[:, 2], tri_mask, CULL_FRONT, size, size
+            )
     # light-space compaction: depth-only needs no ids, so dropping
     # never-visible rows is free correctness-wise and keeps the binning
     # gathers on a fast path (shadow_compaction_cap)

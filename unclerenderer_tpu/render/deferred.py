@@ -44,6 +44,7 @@ from ..ops.post import (
 from ..ops.shadow import (
     pack_shadow9,
     pack_shadow_blocks,
+    pack_shadow_blocks_u16,
     shadow_factor_blocks,
     shadow_factor_packed,
 )
@@ -117,7 +118,9 @@ def deferred_frame(
         shadow_blocks = common._use_pallas(settings)
         with jax.named_scope("ShadowPack"):
             if shadow_blocks:
-                shadow9 = pack_shadow_blocks(shadow_map)
+                pack_fn = (pack_shadow_blocks_u16 if settings.shadow_table_u16
+                           else pack_shadow_blocks)
+                shadow9 = pack_fn(shadow_map)
             else:
                 shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:

@@ -20,6 +20,7 @@ from ..ops import texture as tex
 from ..ops.shadow import (
     pack_shadow9,
     pack_shadow_blocks,
+    pack_shadow_blocks_u16,
     shadow_factor_blocks,
     shadow_factor_packed,
 )
@@ -69,7 +70,9 @@ def forward_frame(
             )
         shadow_blocks = common._use_pallas(settings)
         if shadow_blocks:
-            shadow9 = pack_shadow_blocks(shadow_map)
+            pack_fn = (pack_shadow_blocks_u16 if settings.shadow_table_u16
+                       else pack_shadow_blocks)
+            shadow9 = pack_fn(shadow_map)
         else:
             shadow9 = pack_shadow9(shadow_map).reshape(-1, 12)
     else:

@@ -141,6 +141,11 @@ class RenderSettings:
     shadow_compact_cap: int = -1
     # pl.debug_print per bin block in the Pallas raster kernels (the
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
+    # u16 ceil-quantized PCF superblock table: halves the per-pixel gather
+    # bytes; comparisons stay conservative within 1/65535 of depth (well
+    # under the 2e-3 bias -- ops/shadow.py pack_shadow_blocks_u16).  Staged
+    # round-5 experiment; the f32 table remains the bit-exact surface.
+    shadow_table_u16: bool = False
     kernel_debug_print: bool = False
     bin_max_span: int = 2
     # Block-align binned pairs by a unique-index scatter instead of the
