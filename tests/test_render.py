@@ -298,13 +298,15 @@ def test_combined_material_atlas_equivalence(reference_assets):
     no resampling occurs (single-map scene)."""
     imgs = {}
     for mode in (True, False):
-        # pinned to the plain quad atlas: packed-trilinear (the round-4
-        # default) only exists for the combined layout, and its equivalence
-        # has its own bit-exact gate (test_packed_trilinear_material_frame_
-        # bit_exact)
+        # pinned to the plain f32-class quad atlas: packed-trilinear (the
+        # round-4 default) only exists for the combined layout and has its
+        # own bit-exact gate (test_packed_trilinear_material_frame_bit_
+        # exact); u8 storage (the round-5 default) quantizes and has its
+        # own gate (test_material_atlas_u8_frame)
         s = RenderSettings(
             renderer_type="deferred", enable_combined_material=mode,
-            material_packed_trilinear=False, **SMALL
+            material_packed_trilinear=False, material_atlas_u8=False,
+            **SMALL
         )
         r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
         assert r.settings.combined_material is mode
@@ -632,3 +634,89 @@ def test_soa_vertex_frame_matches_aos():
         np.asarray(outs[False]["color"])[same],
         rtol=0, atol=5e-3,
     )
+
+
+@pytest.mark.parametrize("full", [
+    pytest.param(False, id="default"),
+    pytest.param(True, id="all-modes", marks=pytest.mark.slow),
+])
+def test_material_atlas_u8_frame(monkeypatch, full):
+    """material_atlas_u8=True end to end on the full deferred pipeline:
+    (1) WIRING -- the u8 frame must match a frame rendered from the same
+    scene whose atlas is replaced by the device-decoded f32 bytes (decode
+    commutes with the gather; standard 1e-5 frame tolerance for XLA fusion
+    reassociation); (2) QUALITY -- vs the unquantized f32 atlas the drift
+    is bounded by the 8-bit storage quantization the reference itself has
+    (sRGB/linear bytes).  The fast lane runs the production config (packed
+    + trilinear); the slow lane sweeps bilinear/anisotropic and the
+    unpacked quad atlas."""
+    import dataclasses
+
+    from unclerenderer_tpu.ops.texture import _decode_combined_u8
+    from unclerenderer_tpu.render import testing as T
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    # 64^2 textures keep the atlas builds fast; clip to [0, 1] (the u8
+    # encode's domain -- real LDR material maps are in range by
+    # construction, only the synthetic HDR emissive glow exceeds it)
+    orig_chains = T._rich_material_chains
+    monkeypatch.setattr(
+        T, "_rich_material_chains",
+        lambda n, tex_size: [
+            [np.clip(lv, 0.0, 1.0) for lv in ch] for ch in orig_chains(n, 64)
+        ],
+    )
+    base = RenderSettings(
+        renderer_type="deferred", has_masked_models=False,
+        combined_material=True, **SMALL
+    )
+    params = None
+    combos = (
+        ((True, ("bilinear", "anisotropic")), (False, ("trilinear",)))
+        if full else ((True, ("trilinear",)),)
+    )
+    for packed, filters in combos:
+        scene_u8, data = synthetic_device_scene(
+            6, sphere_res=(10, 8), ground=True, rich_materials=True,
+            packed_trilinear=packed, atlas_u8=True,
+        )
+        scene_f32, _ = synthetic_device_scene(
+            6, sphere_res=(10, 8), ground=True, rich_materials=True,
+            packed_trilinear=packed,
+        )
+        if params is None:
+            params = synthetic_frame_params(data, 64, 64)
+        assert scene_u8.quad_img.dtype == jnp.uint8
+        scene_dec = dataclasses.replace(
+            scene_u8,
+            quad_img=_decode_combined_u8(
+                scene_u8.quad_img, scene_u8.quad_img.shape[-1] // (16 if packed else 4)
+            ),
+        )
+        for filt in filters:
+            s = dataclasses.replace(
+                base, texture_filter=filt, material_packed_trilinear=packed,
+                material_atlas_u8=True,
+            )
+            state = FrameState.initial(64, 64)
+            fn = jax.jit(lambda sc, p, st, s=s: deferred_frame(sc, p, st, s))
+            out_u8, _ = fn(scene_u8, params, state)
+            out_dec, _ = fn(scene_dec, params, state)
+            np.testing.assert_allclose(
+                np.asarray(out_u8["color"]), np.asarray(out_dec["color"]),
+                atol=1e-5, err_msg=f"{packed}/{filt}",
+            )
+            s_f32 = dataclasses.replace(s, material_atlas_u8=False)
+            out_f32, _ = jax.jit(
+                lambda sc, p, st, s=s_f32: deferred_frame(sc, p, st, s)
+            )(scene_f32, params, state)
+            diff = np.abs(
+                np.asarray(out_u8["color"]) - np.asarray(out_f32["color"])
+            )
+            assert diff.max() < 0.06 and diff.mean() < 3e-3, (
+                f"{packed}/{filt}: max {diff.max():.4f} mean {diff.mean():.5f}"
+            )

@@ -463,3 +463,63 @@ def test_cube_seamless_continuity_and_interior_exactness():
         a = sample(tri_seam, r_seam, interior, lod)
         b = sample(tri_old, r_old, interior, lod)
         np.testing.assert_array_equal(a, b)
+
+
+def test_u8_atlas_bit_exact_vs_decoded_f32():
+    """The u8 combined-material atlas (round-5 staged experiment,
+    RenderSettings.material_atlas_u8) must sample BIT-EXACTLY like an f32
+    atlas holding the device-decoded bytes: the decode is elementwise, so
+    decode(gather(x)) == gather(decode(x)) and every filter blend sees
+    identical inputs.  Covers the packed-tri row gather, its bilinear
+    tri_level slice, and the unpacked quad gather; plus byte round-trip
+    exactness of the gamma-2.0 encode (encode(decode(b)) == b)."""
+    from unclerenderer_tpu.ops.texture import _decode_combined_u8
+    from unclerenderer_tpu.textures.atlas import build_pyramid_tri_atlas
+    from unclerenderer_tpu.textures.image import COMBINED_C, encode_combined_u8
+
+    rng = np.random.default_rng(27)
+    c = COMBINED_C
+
+    # byte round-trip: random bytes -> decoded linear f32 -> encode must
+    # restore the exact bytes on every channel class (gamma-2.0 color
+    # channels, linear rest)
+    b = rng.integers(0, 256, (32, 32, c), dtype=np.int64).astype(np.uint8)
+    lin = b.astype(np.float32) / 255.0
+    for sl in (slice(0, 3), slice(8, 11)):
+        lin[..., sl] = lin[..., sl] ** 2
+    np.testing.assert_array_equal(encode_combined_u8(lin), b)
+
+    full = generate_mips(rng.random((64, 64, 4), np.float32))
+    chains_f32 = [
+        [np.tile(m, (1, 1, c // 4)) for m in full],
+        [np.tile(m * 0.5, (1, 1, c // 4)) for m in full],
+    ]
+    chains_u8 = [[encode_combined_u8(lv) for lv in ch] for ch in chains_f32]
+    tri_u8, rt = build_pyramid_tri_atlas(chains_u8, wrap=True, dtype=np.uint8)
+    assert tri_u8.dtype == np.uint8 and tri_u8.shape[-1] == 16 * c
+
+    flat_u8 = jnp.asarray(tri_u8).reshape(-1, 16 * c)
+    flat_f32 = _decode_combined_u8(flat_u8, c)  # one whole-table decode
+
+    n = 512
+    uv = jnp.asarray(rng.uniform(-2.0, 3.0, (n, 2)).astype(np.float32))
+    lods = jnp.asarray(rng.uniform(0.0, 6.0, n).astype(np.float32))
+    which = rng.integers(0, 2, n)
+    rect = jnp.asarray(np.stack([rt[i] for i in which]).astype(np.float32))
+
+    got = tex.sample_pyramid_tri(flat_u8, tri_u8.shape[1], rect, uv, lods)
+    ref = tex.sample_pyramid_tri(flat_f32, tri_u8.shape[1], rect, uv, lods)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    lvl = jnp.asarray(rng.integers(0, 7, n, dtype=np.int64), jnp.int32)
+    got_b = tex.sample_pyramid_tri_level(flat_u8, tri_u8.shape[1], rect, uv, lvl)
+    ref_b = tex.sample_pyramid_tri_level(flat_f32, tri_u8.shape[1], rect, uv, lvl)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+
+    quad_u8, rq = build_pyramid_quad_atlas(chains_u8, wrap=True, dtype=np.uint8)
+    qflat_u8 = jnp.asarray(quad_u8).reshape(-1, 4 * c)
+    qflat_f32 = _decode_combined_u8(qflat_u8, c)
+    rect_q = jnp.asarray(np.stack([rq[i] for i in which]).astype(np.float32))
+    got_q = tex.sample_pyramid_bilinear(qflat_u8, quad_u8.shape[1], rect_q, uv, lvl)
+    ref_q = tex.sample_pyramid_bilinear(qflat_f32, quad_u8.shape[1], rect_q, uv, lvl)
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(ref_q))

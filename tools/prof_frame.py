@@ -47,6 +47,7 @@ BACKEND = os.environ.get("PROF_BACKEND", "pallas")
 INTERPRET = bool(int(os.environ.get("PROF_INTERPRET", "0")))
 # packed-trilinear material atlas (single 256-lane tap per material sample)
 PACKED_TRI = bool(int(os.environ.get("PROF_PACKED_TRI", "0")))
+ATLAS_U8 = bool(int(os.environ.get("PROF_ATLAS_U8", "0")))
 
 
 from tools.timing import timed_scan as _timed_scan
@@ -72,7 +73,7 @@ def main():
 
     scene, data = synthetic_device_scene(
         N_OBJECTS, sphere_res=(32, 24), ground=True, rich_materials=True,
-        packed_trilinear=PACKED_TRI,
+        packed_trilinear=PACKED_TRI, atlas_u8=ATLAS_U8,
     )
     t_count = int(scene.tri_geo.shape[0])
     print("triangles:", t_count, flush=True)
@@ -100,6 +101,7 @@ def main():
         raster_backend=BACKEND, has_masked_models=False,
         combined_material=True, pallas_interpret=INTERPRET,
         material_packed_trilinear=PACKED_TRI,
+        material_atlas_u8=ATLAS_U8,
         texture_filter=os.environ.get("PROF_FILTER", "bilinear"),
         **overrides,
     )

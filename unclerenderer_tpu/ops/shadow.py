@@ -341,10 +341,6 @@ def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
     batch 3), so the kernel stays a pure lane select and the compare +
     blend run in XLA where they fuse into the lighting consumer."""
     rows = rows_ref[0]                              # (P, L)
-    if rows.dtype != jnp.float32:
-        # u16 quantized table (pack_shadow_blocks_u16): integer depths
-        # <= 65535 convert to f32 exactly
-        rows = rows.astype(jnp.float32)
     base = base_ref[0, 0, :][:, None]               # (P, 1) -> lanes broadcast
     lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, lanes_n), 1)
     for k, d in enumerate(deltas):
@@ -354,9 +350,17 @@ def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
 
 def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
     """(N, L) f32 rows (L = 128 or 256) + (N,) i32 base -> (N, 9) f32 via
-    Pallas."""
+    Pallas.  u16 rows cast to f32 in XLA, where the cast fuses into the
+    gather producer (integer depths <= 65535 convert exactly); feeding the
+    u16 bits into the kernel itself was measured a LOSS on metal -- both a
+    bitcast-i32-pair unpack and a concat-to-128-lane variant held the
+    select at ~36 ms vs f32's ~6 (the 64-lane i32 input block defeats
+    Mosaic's native layout), while the XLA-side cast costs ~1 ms of
+    bandwidth and keeps the kernel on the measured-fast f32 path."""
     from jax.experimental import pallas as pl
 
+    if rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
     n, lanes_n = rows.shape
     pix = 1024
     n_pad = -(-n // pix) * pix

@@ -13,10 +13,43 @@ software analog of the GPU's 2x2 quad derivatives).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 ADDRESS_WRAP = 0
 ADDRESS_CLAMP = 1
+
+
+def _decode_combined_u8(rows: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Decode gathered u8 combined-material lanes to linear f32 BEFORE any
+    filtering -- the D3D12 sRGB-typed-texture sampling order (per-texel
+    decode, linear-space filter blend).
+
+    The u8 atlas (round-5, textures/image.py encode_combined_u8) stores the
+    color channels (base rgb 0:3, emissive 8:11 of each 16-channel block)
+    on a GAMMA-2.0 byte curve and everything else as linear bytes -- the
+    same 8-bit storage class as the reference's RGBA8/BC maps
+    (``TextureLoader.cpp`` sRGB view promotion), on a dyadic curve whose
+    decode is ONE multiply.  True sRGB bytes were measured on metal: the
+    piecewise pow chain costs ~24 ms per 2M-pixel tap (transcendentals on
+    every gathered lane), erasing the entire 25 ms gather saving; gamma-2.0
+    is finer than sRGB8 below mid-grey and ~1 sRGB LSB coarser at white,
+    i.e. still 8-bit-class error against the f32 path.  Every atlas layout
+    interleaves texels as ``texel*C + channel``, so ``lane % C`` is the
+    channel class; the decode is a single ELEMENTWISE chain (lane-mask
+    select) that XLA fuses straight into the gather consumer."""
+    x = rows.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    ch = np.arange(rows.shape[-1]) % c
+    g2_lane = jnp.asarray((ch < 3) | ((ch >= 8) & (ch < 11)))
+    return jnp.where(g2_lane, x * x, x)
+
+
+def _rows_to_f32(rows: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Gathered atlas lanes -> linear f32 (u8 atlases decode, others cast)."""
+    if rows.dtype == jnp.uint8:
+        return _decode_combined_u8(rows, c)
+    return rows.astype(jnp.float32)
 
 
 def _wrap_index(i: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
@@ -235,7 +268,7 @@ def sample_pyramid_bilinear(
     ix = _wrap_index(fx0.astype(jnp.int32), w, address_mode)
     iy = _wrap_index(fy0.astype(jnp.int32), h, address_mode)
     flat = (y + iy) * atlas_width + (x + ix)
-    quad = jnp.take(quad_flat, flat, axis=0).astype(jnp.float32)
+    quad = _rows_to_f32(jnp.take(quad_flat, flat, axis=0), c)
     top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
     bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
     return top * (1.0 - fy) + bot * fy
@@ -346,9 +379,9 @@ def sample_pyramid_tri(
     iy_raw = fy0.astype(jnp.int32)
     ix = _wrap_index(ix_raw, w, address_mode)
     iy = _wrap_index(iy_raw, h, address_mode)
-    row = jnp.take(
-        tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
-    ).astype(jnp.float32)
+    row = _rows_to_f32(
+        jnp.take(tri_flat, (y + iy) * atlas_width + (x + ix), axis=0), c
+    )
     quad = row[..., 0 : 4 * c]
     top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
     bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
@@ -411,9 +444,12 @@ def sample_pyramid_tri_level(
     fy = (ty - fy0)[..., None]
     ix = _wrap_index(fx0.astype(jnp.int32), w, address_mode)
     iy = _wrap_index(fy0.astype(jnp.int32), h, address_mode)
-    quad = jnp.take(
-        tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
-    ).astype(jnp.float32)[..., 0 : 4 * c]
+    quad = _rows_to_f32(
+        jnp.take(tri_flat, (y + iy) * atlas_width + (x + ix), axis=0)[
+            ..., 0 : 4 * c
+        ],
+        c,
+    )
     top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
     bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
     return top * (1.0 - fy) + bot * fy

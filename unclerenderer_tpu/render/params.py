@@ -143,9 +143,22 @@ class RenderSettings:
     # device-side printf analog of GpuDebugPrint.hlsl); off by default
     # u16 ceil-quantized PCF superblock table: halves the per-pixel gather
     # bytes; comparisons stay conservative within 1/65535 of depth (well
-    # under the 2e-3 bias -- ops/shadow.py pack_shadow_blocks_u16).  Staged
-    # round-5 experiment; the f32 table remains the bit-exact surface.
-    shadow_table_u16: bool = False
+    # under the 2e-3 bias -- ops/shadow.py pack_shadow_blocks_u16).
+    # Round-5 metal decision row: PCF FULL 18.7 ms vs 34.5 f32 + pack 3.4
+    # vs 9.2 at 4096^2/1080p -> DEFAULT ON; the f32 table (opt-out) stays
+    # the bit-exact oracle surface in tests.
+    shadow_table_u16: bool = True
+    # u8 combined-material atlas: halves the MaterialTap gather bytes vs
+    # bf16 (256 vs 512 B/row packed-trilinear) and quarters the atlas HBM
+    # + upload + scene-cache bytes.  Color channels store on a gamma-2.0
+    # byte curve, the rest linear (8-bit class, like the reference's
+    # RGBA8/BC maps); gathered rows decode to linear f32 BEFORE any filter
+    # blend (D3D12 sRGB-view sampling order; textures/image.py
+    # encode_combined_u8, ops/texture.py _decode_combined_u8).  Round-5
+    # metal rows: resolve 69.2 vs 73.0 ms, tri tap 43.2 vs 47.8, FULL
+    # frame 200.4 vs 202.0 (wash), atlas 201 vs 805 MB -> DEFAULT ON for
+    # the memory/startup win; bf16/f32 stays the opt-out oracle surface.
+    material_atlas_u8: bool = True
     kernel_debug_print: bool = False
     bin_max_span: int = 2
     # Block-align binned pairs by a unique-index scatter instead of the

@@ -47,6 +47,7 @@ def _build_device_scene(
     data: SceneData, assets_root: Path, allow_combined: bool = True,
     packed_trilinear: bool = False, substitutions_out: list | None = None,
     files_out: list | None = None, host_out: dict | None = None,
+    atlas_u8: bool = False,
 ) -> tuple[DeviceScene, float, bool]:
     """Assemble all device arrays: geometry, material tables, atlases.
 
@@ -196,15 +197,27 @@ def _build_device_scene(
             ),
             combo_keys,
         )
+        mat_dtype = _BF16
+        if atlas_u8:
+            # u8 sRGB/linear byte storage (RenderSettings.material_atlas_u8):
+            # quantize the fused chains ONCE, then the atlas builders copy
+            # bytes (their fills are pure texel copies, exact for integer
+            # values riding f32 internally).  Halves the tap gather bytes.
+            from ..textures.image import encode_combined_u8
+
+            combo_chains = parallel_map(
+                lambda ch: [encode_combined_u8(lv) for lv in ch], combo_chains
+            )
+            mat_dtype = np.uint8
         if packed_trilinear:
             # 256-lane rows: both trilinear taps in ONE gather
             # (RenderSettings.material_packed_trilinear)
             quad_img, rect0 = build_pyramid_tri_atlas(
-                combo_chains, wrap=True, dtype=_BF16
+                combo_chains, wrap=True, dtype=mat_dtype
             )
         else:
             quad_img, rect0 = build_pyramid_quad_atlas(
-                combo_chains, wrap=True, dtype=_BF16
+                combo_chains, wrap=True, dtype=mat_dtype
             )
         slot_rect0 = np.repeat(
             rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
@@ -259,7 +272,8 @@ def _build_device_scene(
         object_ids=data.object_ids,
         bounds_min=data.bounds_min_arr,
         bounds_max=data.bounds_max_arr,
-        quad_img=np.asarray(quad_img).astype(ml_dtypes.bfloat16),
+        quad_img=(np.asarray(quad_img) if quad_img.dtype == np.uint8
+                  else np.asarray(quad_img).astype(ml_dtypes.bfloat16)),
         brdf_lut=np.asarray(brdf_img)[..., :2],
         env_quad=np.asarray(env_img).astype(ml_dtypes.bfloat16),
         env_rect0=np.asarray(env_rect0).astype(np.float32),
@@ -324,7 +338,8 @@ class Renderer:
         self._scene_cache_key = scenecache.scene_key(
             scene_path, scenecache.model_files_of(scene_path),
             (settings.enable_combined_material,
-             settings.material_packed_trilinear, str(self.assets_root)),
+             settings.material_packed_trilinear,
+             settings.material_atlas_u8, str(self.assets_root)),
         )
         self._cached_build = scenecache.load(self._scene_cache_key)
         if self._cached_build is not None:
@@ -418,6 +433,7 @@ class Renderer:
                 substitutions_out=self.texture_substitutions,
                 files_out=consumed,
                 host_out=host_arrays,
+                atlas_u8=settings.material_atlas_u8,
             )
             if self._scene_cache_key is not None:
                 scenecache.store(
@@ -430,14 +446,19 @@ class Renderer:
                     consumed,
                 )
         self._cached_build = None
-        # packed-trilinear rows only exist for the combined atlas
+        # packed-trilinear rows and u8 storage only exist for the combined
+        # atlas; demote the flags when a scene fell back to per-slot taps
         packed = settings.material_packed_trilinear and combined
-        if (settings.combined_material, settings.material_packed_trilinear) != (
-            combined, packed
-        ):
+        u8 = settings.material_atlas_u8 and combined
+        if (
+            settings.combined_material,
+            settings.material_packed_trilinear,
+            settings.material_atlas_u8,
+        ) != (combined, packed, u8):
             settings = dataclasses.replace(
                 settings, combined_material=combined,
                 material_packed_trilinear=packed,
+                material_atlas_u8=u8,
             )
             self.settings = settings
         self.frame_state = FrameState.initial(settings.width, settings.height)
@@ -720,7 +741,8 @@ class Renderer:
         old = self.settings
         self.settings = new
         if ("enable_combined_material" in changes
-                or "material_packed_trilinear" in changes):
+                or "material_packed_trilinear" in changes
+                or "material_atlas_u8" in changes):
             # atlas layout is scene-level state: rebuild the device scene
             # (and resync the derived flags, exactly like __init__)
             self.texture_substitutions = []
@@ -728,10 +750,12 @@ class Renderer:
                 self.scene_data, self.assets_root, new.enable_combined_material,
                 packed_trilinear=new.material_packed_trilinear,
                 substitutions_out=self.texture_substitutions,
+                atlas_u8=new.material_atlas_u8,
             )
             packed = new.material_packed_trilinear and combined
             new = dataclasses.replace(
-                new, combined_material=combined, material_packed_trilinear=packed
+                new, combined_material=combined, material_packed_trilinear=packed,
+                material_atlas_u8=new.material_atlas_u8 and combined,
             )
             self.settings = new
         # the cached shadow fn/map and the chained-frames fn close over

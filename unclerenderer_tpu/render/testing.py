@@ -211,6 +211,7 @@ def synthetic_device_scene(
     ground: bool = False,
     rich_materials: bool = False,
     packed_trilinear: bool = False,
+    atlas_u8: bool = False,
 ) -> DeviceScene:
     """with_masked gives every 4th model (starting at 1) an alpha-cutout
     checker texture + MASK alpha mode, exercising the masked raster path.
@@ -227,15 +228,23 @@ def synthetic_device_scene(
         assert not with_masked, "rich_materials does not model MASK materials"
         n_combos = 6
         combo_chains = _rich_material_chains(n_combos, tex_size=256)
+        mat_dtype = np.float32
+        if atlas_u8:
+            from ..textures.image import encode_combined_u8
+
+            combo_chains = [
+                [encode_combined_u8(lv) for lv in ch] for ch in combo_chains
+            ]
+            mat_dtype = np.uint8
         if packed_trilinear:
             from ..textures.atlas import build_pyramid_tri_atlas
 
             quad_img, rect0 = build_pyramid_tri_atlas(
-                combo_chains, wrap=True, dtype=np.float32
+                combo_chains, wrap=True, dtype=mat_dtype
             )
         else:
             quad_img, rect0 = build_pyramid_quad_atlas(
-                combo_chains, wrap=True, dtype=np.float32
+                combo_chains, wrap=True, dtype=mat_dtype
             )
         model_combo = np.arange(n, dtype=np.int32) % n_combos
         tex_ids = np.repeat(model_combo[:, None], 4, axis=1).astype(np.int32)
@@ -304,7 +313,8 @@ def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) 
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        quad_img=jnp.asarray(quad_img, jnp.bfloat16),
+        quad_img=(jnp.asarray(quad_img) if quad_img.dtype == np.uint8
+                  else jnp.asarray(quad_img, jnp.bfloat16)),
         brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
         env_quad=jnp.full((8, 128, 128), 0.1, jnp.bfloat16),
         env_rect0=jnp.zeros((6, 4), jnp.float32).at[:, 2:].set(1.0),

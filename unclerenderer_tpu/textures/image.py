@@ -78,6 +78,30 @@ COMBINED_SLOT_CH = (
 )
 
 
+def encode_combined_u8(img: np.ndarray) -> np.ndarray:
+    """Quantize one COMBINED_C-channel linear-f32 image to the u8 material
+    atlas storage (round-5 staged experiment, RenderSettings.material_atlas_u8).
+
+    Color channels (base rgb 0:3, emissive rgb 8:11) store on a GAMMA-2.0
+    byte curve (``round(sqrt(v) * 255)``; the sampler decode is one
+    multiply -- true sRGB's piecewise pow measured ~24 ms per 2M-pixel tap
+    on metal, see ops/texture.py _decode_combined_u8); everything else
+    (alpha, roughness, metallic, normal RG) stores as linear bytes.  Both
+    are the reference's own 8-bit map storage class: gamma-2.0 steps are
+    FINER than sRGB8 below mid-grey and within ~1 sRGB LSB at white.
+    Encoded bytes round-trip exactly (encode(decode(b)) == b).  The
+    sampler decodes gathered rows back to linear f32 BEFORE any filter
+    blend, matching D3D12's per-texel-decode, linear-space-filter order.
+    Out-of-range values clip (combined chains are [0, 1] by construction:
+    every source map is LDR)."""
+    assert img.shape[-1] == COMBINED_C, img.shape
+    x = np.clip(img.astype(np.float32), 0.0, 1.0)
+    out = x.copy()
+    for sl in (slice(0, 3), slice(8, 11)):
+        out[..., sl] = np.sqrt(x[..., sl])
+    return np.round(out * 255.0).astype(np.uint8)
+
+
 def resize_bilinear(img: np.ndarray, th: int, tw: int) -> np.ndarray:
     """Host-side bilinear resample (half-texel centers, clamp)."""
     h, w = img.shape[:2]
