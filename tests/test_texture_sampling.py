@@ -523,3 +523,4 @@ def test_u8_atlas_bit_exact_vs_decoded_f32():
     got_q = tex.sample_pyramid_bilinear(qflat_u8, quad_u8.shape[1], rect_q, uv, lvl)
     ref_q = tex.sample_pyramid_bilinear(qflat_f32, quad_u8.shape[1], rect_q, uv, lvl)
     np.testing.assert_array_equal(np.asarray(got_q), np.asarray(ref_q))
+

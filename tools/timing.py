@@ -32,6 +32,18 @@ def timed_scan(fn, *args, iters=8, label="", label_width=46):
             def perturb(x):
                 x = jnp.asarray(x)
                 if not jnp.issubdtype(x.dtype, jnp.floating):
+                    # SMALL integer inputs (gather indices!) get a traced
+                    # zero added: without it an integer-indexed gather of
+                    # an integer table is loop-invariant and XLA hoists it
+                    # out of the scan -- round-5 measured a 6 ms "fast u8
+                    # gather" that was really the hoisted gather's blend
+                    # tail (BENCHLOG round-5 gather-law correction).  Big
+                    # integer tables stay untouched: rewriting a 200 MB
+                    # atlas every iteration would distort the measurement
+                    # the other way.
+                    if (jnp.issubdtype(x.dtype, jnp.integer)
+                            and x.size * x.dtype.itemsize <= (32 << 20)):
+                        return x + (carry * 1e-30).astype(x.dtype)
                     return x
                 # factor computed in f32, applied in x.dtype (no promotion)
                 return x * (1.0 + carry * 1e-30).astype(x.dtype)
