@@ -444,6 +444,51 @@ if __name__ == "__main__" and "variants7" in sys.argv:
     variants7()
 
 
+def quadtri():
+    """Round-5 decision rows: the REAL production taps both ways.
+
+    The tablesize law says 64-lane u8 rows gather ~3.5x faster than
+    128/256-lane rows (7.5 vs 25-28 ms/2M).  If that holds through the
+    full sampler, TWO 64-lane gathers (quad atlas, sample_pyramid_trilinear)
+    beat ONE 256-lane gather (packed-tri atlas, sample_pyramid_tri) -- and
+    bilinear mode gets the whole 3.5x (one 64-lane gather vs one 256-lane
+    row sliced to its first 64 lanes)."""
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.default_rng(5)
+    tri_table = jnp.asarray(
+        rng.integers(0, 255, (ROWS, LANES), dtype=np.int64), jnp.uint8
+    )
+    quad_table = jnp.asarray(
+        rng.integers(0, 255, (ROWS, 4 * C), dtype=np.int64), jnp.uint8
+    )
+    uv = jnp.asarray(rng.uniform(0, 1, (H, W, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(0, 6, (H, W)).astype(np.float32))
+    level = jnp.round(lod).astype(jnp.int32)
+    rect = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 512.0, 512.0], jnp.float32), (H, W, 4))
+
+    timed_scan(
+        lambda t, u, l: tex.sample_pyramid_tri(
+            t, 1024, rect, u, l).sum(axis=-1),
+        tri_table, uv, lod, label="q0: packed-tri 256-lane trilinear (cur)")
+    timed_scan(
+        lambda t, u, l: tex.sample_pyramid_trilinear(
+            t, 1024, rect, u, l).sum(axis=-1),
+        quad_table, uv, lod, label="q1: quad 64-lane 2-gather trilinear")
+    timed_scan(
+        lambda t, u, l: tex.sample_pyramid_tri_level(
+            t, 1024, rect, u, l).sum(axis=-1),
+        tri_table, uv, level, label="q2: packed-tri row bilinear (cur)")
+    timed_scan(
+        lambda t, u, l: tex.sample_pyramid_bilinear(
+            t, 1024, rect, u, l).sum(axis=-1),
+        quad_table, uv, level, label="q3: quad 64-lane 1-gather bilinear")
+
+
+if __name__ == "__main__" and "quadtri" in sys.argv:
+    quadtri()
+
+
 def tablesize():
     """Honest table-size law: same 2M requests, u8/bf16 rows, varying table
     MB. Decides whether shrinking the material atlas under a cliff pays."""

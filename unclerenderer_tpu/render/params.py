@@ -65,13 +65,18 @@ class RenderSettings:
     enable_combined_material: bool = True
     # Packed-trilinear material atlas: each texel row carries its own 2x2
     # quad AND the parent mip's 3x3 (textures/atlas.py
-    # build_pyramid_tri_atlas), so a trilinear tap is ONE 256-lane bf16
-    # (512 B) row gather instead of two quad gathers -- the same packing
-    # that made IBL's env taps single-gather.  Requires combined_material
-    # (the Renderer forces it off otherwise); 4x atlas HBM.  Round-4 metal
-    # decision row: packed resolve 64.0 ms trilinear / 57.1 bilinear vs
-    # 78.3 unpacked trilinear at the 263k tier -- default ON.
-    material_packed_trilinear: bool = True
+    # build_pyramid_tri_atlas), so a trilinear tap is ONE 256-lane
+    # (vs two 64-lane quad) row gather -- the same packing that made IBL's
+    # env taps single-gather.  Requires combined_material (the Renderer
+    # forces it off otherwise); 4x atlas HBM.  Round-5 metal decision rows
+    # on the u8 atlas (prof_tap_bisect quadtri) flipped round 4's verdict:
+    # 64-lane u8 rows ride a gather fast path 128/256-lane rows do not, so
+    # TWO quad gathers beat ONE packed row -- trilinear tap 27.2 ms vs
+    # 42.8, bilinear 15.2 vs 35.0 at 2M requests -> default OFF (quad
+    # atlas).  The packed layout stays as the opt-in alternative (and the
+    # env cube atlas keeps it: its seamless rows are 128-lane bf16, the
+    # one shape measured fast at 128 lanes).
+    material_packed_trilinear: bool = False
     # True when the scene atlas fuses all material maps into one 16-channel
     # texture per material (render/renderer.py COMBINED_C): the resolve does
     # ONE quad gather instead of one per slot.  Set by the Renderer at scene
