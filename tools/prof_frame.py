@@ -511,6 +511,36 @@ def main():
             timed_scan(sort_align_sc, st0,
                        label=f"binparts[{name}]: + pair scatter (alt)")
 
+            def align_gather(st):
+                keys, big = _pair_keys(st, w_, h_, th, tw, span)
+                sk, stri = _sort_pairs(keys, n_tiles, s_slots)
+                btid, sv, _bt, _bf, _iu, _tu, ovf = _align_pairs(
+                    sk, stri, n_tiles, ck, n_blocks)
+                btid = jnp.where(sv, btid, 0)
+                return st.coef[btid], sv, ovf
+            timed_scan(align_gather, st0,
+                       label=f"binparts[{name}]: + coef gather NO transpose")
+
+            def align_gather_t(st):
+                keys, big = _pair_keys(st, w_, h_, th, tw, span)
+                sk, stri = _sort_pairs(keys, n_tiles, s_slots)
+                btid, sv, _bt, _bf, _iu, _tu, ovf = _align_pairs(
+                    sk, stri, n_tiles, ck, n_blocks)
+                btid = jnp.where(sv, btid, 0)
+                return st.coef[btid].transpose(0, 2, 1), sv, ovf
+            timed_scan(align_gather_t, st0,
+                       label=f"binparts[{name}]: + coef gather + transpose")
+
+            def align_gather_tb(st):
+                keys, big = _pair_keys(st, w_, h_, th, tw, span)
+                sk, stri = _sort_pairs(keys, n_tiles, s_slots)
+                btid, sv, _bt, _bf, _iu, _tu, ovf = _align_pairs(
+                    sk, stri, n_tiles, ck, n_blocks)
+                btid = jax.lax.optimization_barrier(jnp.where(sv, btid, 0))
+                return st.coef[btid].transpose(0, 2, 1), sv, ovf
+            timed_scan(align_gather_tb, st0,
+                       label=f"binparts[{name}]: + BARRIER idx + gather + T")
+
             def full_bin(st):
                 b = bin_triangles(st, w_, h_, th, tw, ck, max_span=span,
                                   budget_factor=budget)
