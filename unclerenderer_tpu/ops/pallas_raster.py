@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .raster import COEF_COLS, DEPTH_MAX, RasterSetup, flip_depth_key, shift_setup  # noqa: F401
 
 
-def _eval_chunk(coef_ref, valid_row, qx, qy, ortho: bool = False):
+def _eval_chunk(coef_ref, valid_row, qx, qy, ortho: bool = False, ci=0):
     """Shared kernel math: packed coefficient rows -> (key, ok) over
     (chunk, pix).  coef_ref block is (1, 16, chunk): 512 B contiguous DMA
     rows -- a (1, chunk, 16) block instead degrades the DMA to 128 strided
@@ -35,10 +35,14 @@ def _eval_chunk(coef_ref, valid_row, qx, qy, ortho: bool = False):
 
     ortho: the setup was normalize_ortho_setup'd (nw == (0, 0, 1), nw > 0
     baked into valid), so the per-pixel nw evaluation and divide are skipped
-    -- key = nz(q) directly, bit-identical to nz(q)/1.0."""
+    -- key = nz(q) directly, bit-identical to nz(q)/1.0.
+
+    ci: leading-dim chunk index into a multi-chunk VMEM-resident coef block
+    (the one-pass kernel keeps the whole table in VMEM and loops chunks
+    in-kernel; traced scalar indices on the untiled leading dim are fine)."""
 
     def row(i):
-        return coef_ref[0, i, :][None, :].T  # (chunk, 1)
+        return coef_ref[ci, i, :][None, :].T  # (chunk, 1)
 
     def edge_inside(i):
         a = row(0 + i)
@@ -143,11 +147,105 @@ def _raster_kernel(
             attr_ref[0] = jnp.where(take[0][:, None] > 0.5, attr_blk, attr_ref[0])
 
 
+def _raster_kernel_onepass(
+    yoff_ref,     # (1,) f32 SMEM: slab row offset (global pixel coords)
+    overlap_ref,  # (1, 1, n_chunks) i32 SMEM: per-chunk work bits for tile
+    coef_ref,     # (n_chunks, 16, chunk) -- the WHOLE table, VMEM-resident
+    valid_ref,    # (n_chunks, 1, chunk) f32
+    rec_ref=None,  # (n_chunks, chunk, R) f32 records (want_attrs only)
+    key_ref=None,  # (1, 1, pix) f32 out
+    id_ref=None,   # (1, 1, pix) i32 out (absent when want_ids=False)
+    attr_ref=None,  # (1, pix, R) f32 out (want_attrs only)
+    *,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+    n_chunks: int,
+    n_tx: int,
+    want_ids: bool = True,
+    want_attrs: bool = False,
+    ortho: bool = False,
+):
+    """One-pass variant of ``_raster_kernel``: 1D grid over tiles, chunk
+    loop INSIDE the kernel over the VMEM-resident coefficient table.
+
+    The 2D (tiles x chunks) grid pays a grid-step (dispatch + block DMA)
+    for every (tile, chunk) pair even when the skip bit says there is no
+    work -- at the giant level that is almost all of them (263k-tri tier:
+    40 chunks of cap, ~1 with live giants), and at a 4096^2 shadow map the
+    ~41k skipped steps cost more than the rasterization.  Here a skipped
+    chunk is one scalar branch; the coef table (<= a few hundred KB at
+    giant caps) stays resident, so per tile only live chunks touch the
+    VPU.  Bit-identical accumulation order (ascending chunk ids)."""
+    if not want_ids:
+        key_ref = rec_ref
+        rec_ref = id_ref = attr_ref = None
+    elif not want_attrs:
+        key_ref, id_ref = rec_ref, key_ref
+        rec_ref = attr_ref = None
+    t = pl.program_id(0)
+    pix = tile_h * tile_w
+
+    key_ref[...] = jnp.full((1, 1, pix), -1.0, jnp.float32)
+    if want_ids:
+        id_ref[...] = jnp.full((1, 1, pix), -1, jnp.int32)
+    if want_attrs:
+        attr_ref[...] = jnp.zeros_like(attr_ref)
+
+    ty = t // n_tx
+    tx = t % n_tx
+    x0 = (tx * tile_w).astype(jnp.float32)
+    y0 = (ty * tile_h).astype(jnp.float32) + yoff_ref[0]
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    qx = x0 + jnp.mod(col_i, tile_w).astype(jnp.float32) + 0.5
+    qy = y0 + (col_i // tile_w).astype(jnp.float32) + 0.5
+
+    def chunk_step(c, carry):
+        @pl.when(overlap_ref[0, 0, c] != 0)
+        def _body():
+            valid_row = valid_ref[c, 0, :][None, :].T > 0.0
+            key, _ok = _eval_chunk(coef_ref, valid_row, qx, qy, ortho, ci=c)
+            k_best = jnp.max(key, axis=0, keepdims=True)
+            if not want_ids:
+                key_ref[0] = jnp.maximum(k_best, key_ref[0])
+                return
+            k_arg = jnp.argmax(key, axis=0).astype(jnp.int32)[None, :]
+            k_id = c * chunk + k_arg
+            acc_key = key_ref[0]
+            acc_id = id_ref[0]
+            better = k_best > acc_key
+            tie = (k_best == acc_key) & (k_best >= 0.0)
+            key_ref[0] = jnp.where(better, k_best, acc_key)
+            id_ref[0] = jnp.where(
+                better, k_id, jnp.where(tie, jnp.minimum(k_id, acc_id), acc_id)
+            )
+            if want_attrs:
+                row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 0)
+                match = ((row_iota == k_arg) & (k_best >= 0.0)).astype(jnp.float32)
+                attr_blk = jax.lax.dot_general(
+                    match, rec_ref[c],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                take = jnp.where(better | (tie & (k_id < acc_id)), 1.0, 0.0)
+                attr_ref[0] = jnp.where(
+                    take[0][:, None] > 0.5, attr_blk, attr_ref[0]
+                )
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, chunk_step, 0)
+
+
+# one-pass auto threshold: whole coef table in VMEM = t_pad * 16 rows * 4 B
+# (256 KB at 4096 tris) + valid + records; giant-level caps sit far below.
+_ONEPASS_MAX_TRIS = 4096
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
-        "interpret", "want_ids", "ortho",
+        "interpret", "want_ids", "ortho", "onepass",
     ),
 )
 def rasterize_pallas(
@@ -163,9 +261,16 @@ def rasterize_pallas(
     want_ids: bool = True,
     records: jnp.ndarray | None = None,
     ortho: bool = False,
+    onepass: bool | None = None,
 ):
     """Brute-force Pallas raster (every tile scans every chunk, with SMEM
     skip bits).  Use rasterize_binned for real scenes.
+
+    onepass (None = auto when the table fits VMEM): 1D tile grid with the
+    chunk loop in-kernel over the resident coef table -- skipped chunks
+    cost one scalar branch instead of a whole grid step, which is the
+    difference between ~18 ms and ~2 ms at the binned raster's giant level
+    (see _raster_kernel_onepass).  Bit-identical output either way.
 
     y_offset (traced ok) renders the row slab [y_offset, y_offset+height) of
     the viewport the setup was built for, in GLOBAL pixel coordinates -- the
@@ -210,39 +315,71 @@ def rasterize_pallas(
 
     want_attrs = records is not None
     pix = tile_h * tile_w
+    if onepass is None:
+        onepass = t_pad <= _ONEPASS_MAX_TRIS
     out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32)]
     if want_ids:
         out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32))
-    out_specs = [pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0))] * len(out_shape)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, n_chunks), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, COEF_COLS, chunk), lambda t, c: (c, 0, 0)),
-        pl.BlockSpec((1, 1, chunk), lambda t, c: (c, 0, 0)),
-    ]
+    if onepass:
+        out_specs = [pl.BlockSpec((1, 1, pix), lambda t: (t, 0, 0))] * len(out_shape)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_chunks, COEF_COLS, chunk), lambda t: (0, 0, 0)),
+            pl.BlockSpec((n_chunks, 1, chunk), lambda t: (0, 0, 0)),
+        ]
+    else:
+        out_specs = [pl.BlockSpec((1, 1, pix), lambda t, c: (t, 0, 0))] * len(out_shape)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, COEF_COLS, chunk), lambda t, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda t, c: (c, 0, 0)),
+        ]
     inputs = [yoff.reshape(1), overlap, coef, valid]
     if want_attrs:
         rec_cols = records.shape[-1]
         rec = jnp.pad(records, ((0, t_pad - t), (0, 0))).reshape(n_chunks, chunk, rec_cols)
-        in_specs.append(pl.BlockSpec((1, chunk, rec_cols), lambda t, c: (c, 0, 0)))
+        if onepass:
+            in_specs.append(
+                pl.BlockSpec((n_chunks, chunk, rec_cols), lambda t: (0, 0, 0))
+            )
+        else:
+            in_specs.append(pl.BlockSpec((1, chunk, rec_cols), lambda t, c: (c, 0, 0)))
         inputs.append(rec)
         out_shape.append(jax.ShapeDtypeStruct((n_tiles, pix, rec_cols), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, pix, rec_cols), lambda t, c: (t, 0, 0)))
+        if onepass:
+            out_specs.append(pl.BlockSpec((1, pix, rec_cols), lambda t: (t, 0, 0)))
+        else:
+            out_specs.append(pl.BlockSpec((1, pix, rec_cols), lambda t, c: (t, 0, 0)))
     grid_spec = pl.GridSpec(
-        grid=(n_tiles, n_chunks),
+        grid=(n_tiles,) if onepass else (n_tiles, n_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
     )
-    kernel = partial(
-        _raster_kernel,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        chunk=chunk,
-        n_tx=n_tx,
-        want_ids=want_ids,
-        want_attrs=want_attrs,
-        ortho=ortho,
-    )
+    if onepass:
+        kernel = partial(
+            _raster_kernel_onepass,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            chunk=chunk,
+            n_chunks=n_chunks,
+            n_tx=n_tx,
+            want_ids=want_ids,
+            want_attrs=want_attrs,
+            ortho=ortho,
+        )
+    else:
+        kernel = partial(
+            _raster_kernel,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            chunk=chunk,
+            n_tx=n_tx,
+            want_ids=want_ids,
+            want_attrs=want_attrs,
+            ortho=ortho,
+        )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

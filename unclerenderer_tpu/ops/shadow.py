@@ -284,8 +284,9 @@ def pack_shadow_blocks_u16(shadow_map: jnp.ndarray) -> jnp.ndarray:
     (``ceil(c*K) <= ceil(d*K)``); the only divergence vs the f32 table is a
     sliver of extra light when ``depth < compare <= depth + 1/65535`` --
     bounded by 1.5e-5 of depth range against the 2e-3 default comparison
-    bias.  Kept OPT-IN (RenderSettings.shadow_table_u16) because the f32
-    table is the bit-exact reference surface."""
+    bias.  DEFAULT ON (RenderSettings.shadow_table_u16; round-5 metal: PCF
+    18.7 ms vs 34.5, pack 3.4 vs 9.2 at 4096^2); the f32 table is the
+    opt-out bit-exact oracle surface for tests."""
     q = jnp.clip(
         jnp.ceil(shadow_map.astype(jnp.float32) * 65535.0), 0.0, 65535.0
     ).astype(jnp.uint16)

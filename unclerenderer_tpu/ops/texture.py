@@ -46,8 +46,17 @@ def _decode_combined_u8(rows: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _rows_to_f32(rows: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Gathered atlas lanes -> linear f32 (u8 atlases decode, others cast)."""
+    """Gathered atlas lanes -> linear f32 (u8 atlases decode, others cast).
+
+    The u8 decode assumes COMBINED_C-interleaved material lanes (gamma-2
+    color channels at ``lane % c`` in {0,1,2,8,9,10}); a u8 atlas with any
+    other channel semantics must NOT route through here or its channels
+    would silently get squared -- hence the hard check (ADVICE r5)."""
     if rows.dtype == jnp.uint8:
+        assert c == 16 and rows.shape[-1] % c == 0, (
+            "u8 atlas decode is defined only for COMBINED_C=16-interleaved "
+            f"material rows, got lanes={rows.shape[-1]} c={c}"
+        )
         return _decode_combined_u8(rows, c)
     return rows.astype(jnp.float32)
 

@@ -325,6 +325,22 @@ def deferred_frame(
             cas_sharpen(color, params.cas_sharpness, pad_fn=pad_fn), 0.0, 1.0
         )
 
+    # --- 13. device-side debug print (GpuDebugPrint.hlsl:42-124 analog):
+    # the stats block rasterizes onto the backbuffer INSIDE the jitted
+    # frame from traced counters -- no host compositing (ops/overlay.py).
+    if settings.gpu_debug_print:
+        from ..ops.overlay import device_stats_overlay
+
+        with jax.named_scope("GpuDebugPrint"):
+            color = device_stats_overlay(
+                color,
+                models_visible=jnp.sum(model_visible).astype(jnp.int32),
+                models_total=int(model_visible.shape[0]),
+                frustum_culled=frustum_culled,
+                hzb_occluded=hzb_occluded,
+                exposure_ev=new_ev,
+            )
+
     object_id = jnp.where(g["valid"], g["object_id_f"].astype(jnp.uint32), jnp.uint32(0))
 
     new_state = FrameState(

@@ -165,6 +165,12 @@ class RenderSettings:
     # the memory/startup win; bf16/f32 stays the opt-out oracle surface.
     material_atlas_u8: bool = True
     kernel_debug_print: bool = False
+    # device-side stats overlay rasterized INSIDE the jitted frame (the
+    # reference's GpuDebugPrint draw pass, GpuDebugPrint.hlsl:42-124 --
+    # glyph quads from the baked atlas blended onto the backbuffer on
+    # device; ops/overlay.py).  The host compositing path
+    # (Renderer.render_overlay_u8) stays for pick-box/timing overlays.
+    gpu_debug_print: bool = False
     bin_max_span: int = 2
     # Block-align binned pairs by a unique-index scatter instead of the
     # pair-source gather (the gather's n_pairs-row table is past the TPU

@@ -6,6 +6,8 @@ the same DeviceScene the asset pipeline emits.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -187,12 +189,15 @@ def _rich_material_chains(n_combos: int, tex_size: int):
         nm[..., 3] = 1.0
         emis = None
         if ci == 0:
+            # LDR map (glTF emissive textures are u8) with the HDR scale in
+            # the per-model emissive FACTOR below -- same product as the old
+            # 2.0-valued map, but the u8 atlas path no longer clips
             e = np.zeros((tex_size // 4, tex_size // 4, 4), np.float32)
             ys, xs = np.mgrid[0 : tex_size // 4, 0 : tex_size // 4]
             glow = ((ys // 8 + xs // 8) % 4 == 0).astype(np.float32)
-            e[..., 0] = glow * 2.0
-            e[..., 1] = glow * 1.6
-            e[..., 2] = glow * 0.8
+            e[..., 0] = glow * 1.0
+            e[..., 1] = glow * 0.8
+            e[..., 2] = glow * 0.4
             emis = generate_mips(e)
         combos.append(
             combined_chain(
@@ -200,6 +205,83 @@ def _rich_material_chains(n_combos: int, tex_size: int):
             )
         )
     return combos
+
+
+_SPONZA_GLTF = "/root/reference/Assets/sponza/untitled.gltf"
+_sponza_chain_cache: dict = {}
+
+
+def sponza_material_chains(max_combos: int | None = None, max_dim: int = 512):
+    """Combined 16-channel chains from the REAL Sponza material table.
+
+    The mounted reference checkout is missing sponza's geometry
+    (``untitled.bin``), but ``untitled.gltf``'s 25 materials and all 34
+    ``textures/*.dds`` ARE present -- so the Sponza-class synthetic tier
+    can carry the real material set: real BC decode, real 1024^2
+    resolutions, real baseColor+normal pairings and factors (VERDICT r5
+    next-step #6).  Parses the gltf's material/texture tables only (no
+    buffers), loads each material's baseColor (sRGB) + normal DDS chains,
+    and fuses them exactly like the Renderer does for real scenes.
+
+    Returns (chains, factors) where factors is a list of dicts with
+    base_color_factor / metallic / roughness per material.  Materials are
+    gltf-order; MASK materials keep their textures (the tier renders them
+    opaque -- the masked-raster path has its own scenes/tests).  Returns
+    None when the assets are unavailable (caller falls back to the
+    procedural set)."""
+    import json
+
+    key = (max_combos, max_dim)
+    if key in _sponza_chain_cache:
+        return _sponza_chain_cache[key]
+    from ..textures.image import combined_chain, load_image
+
+    gltf_path = Path(_SPONZA_GLTF)
+    if not gltf_path.is_file():
+        return None
+    g = json.loads(gltf_path.read_text())
+    imgs = [i.get("uri", "") for i in g.get("images", [])]
+    texs = g.get("textures", [])
+    root = gltf_path.parent
+
+    def chain_for(tex_index, srgb):
+        if tex_index is None:
+            return None
+        uri = imgs[texs[tex_index]["source"]]
+        chain = load_image(root / uri, srgb=srgb)
+        if chain is None:
+            return None
+        # cap at max_dim by dropping leading mips: at native resolutions
+        # (1024^2 most sets, 2048^2 curtains) the quad atlas would cost
+        # 3.2-5.4 GB of HBM/upload/cache; the 512 cap lands at 805 MB --
+        # still 4x the procedural tier's texels with the full 24-material
+        # diversity.  Raise per-call for native-res experiments.
+        while chain and max(chain[0].shape[:2]) > max_dim and len(chain) > 1:
+            chain = chain[1:]
+        return chain
+
+    chains, factors = [], []
+    mats = g.get("materials", [])
+    if max_combos is not None:
+        mats = mats[:max_combos]
+    for m in mats:
+        pbr = m.get("pbrMetallicRoughness", {})
+        base = chain_for(pbr.get("baseColorTexture", {}).get("index"), True)
+        normal = chain_for(m.get("normalTexture", {}).get("index"), False)
+        if base is None:
+            continue
+        chains.append(combined_chain([base, None, normal, None]))
+        factors.append({
+            "base_color_factor": np.asarray(
+                pbr.get("baseColorFactor", [1, 1, 1, 1])[:3], np.float32
+            ),
+            "metallic": np.float32(pbr.get("metallicFactor", 1.0)),
+            "roughness": np.float32(pbr.get("roughnessFactor", 1.0)),
+        })
+    if not chains:
+        return None
+    _sponza_chain_cache[key] = (chains, factors)
+    return chains, factors
 
 
 def synthetic_device_scene(
@@ -212,6 +294,7 @@ def synthetic_device_scene(
     rich_materials: bool = False,
     packed_trilinear: bool = False,
     atlas_u8: bool = False,
+    texture_source: str = "procedural",
 ) -> DeviceScene:
     """with_masked gives every 4th model (starting at 1) an alpha-cutout
     checker texture + MASK alpha mode, exercising the masked raster path.
@@ -226,8 +309,16 @@ def synthetic_device_scene(
 
     if rich_materials:
         assert not with_masked, "rich_materials does not model MASK materials"
-        n_combos = 6
-        combo_chains = _rich_material_chains(n_combos, tex_size=256)
+        sponza = None
+        if texture_source == "sponza":
+            sponza = sponza_material_chains()
+        if sponza is not None:
+            combo_chains, sp_factors = sponza
+            n_combos = len(combo_chains)
+        else:
+            n_combos = 6
+            combo_chains = _rich_material_chains(n_combos, tex_size=256)
+            sp_factors = None
         mat_dtype = np.float32
         if atlas_u8:
             from ..textures.image import encode_combined_u8
@@ -249,11 +340,27 @@ def synthetic_device_scene(
         model_combo = np.arange(n, dtype=np.int32) % n_combos
         tex_ids = np.repeat(model_combo[:, None], 4, axis=1).astype(np.int32)
         has_map = np.ones((n, 4), bool)
-        has_map[:, 3] = model_combo == 0  # emissive map on combo 0 only
-        # small emissive factor so the emissive channel contributes
-        data.emissive_factor = np.where(
-            (model_combo == 0)[:, None], np.float32(0.5), np.float32(0.0)
-        ) * np.ones((n, 3), np.float32)
+        if sp_factors is not None:
+            # real Sponza material constants ride with their textures (the
+            # gltf's factors; no emissive/MR maps in the set)
+            has_map[:, 3] = False
+            data.emissive_factor = np.zeros((n, 3), np.float32)
+            data.base_color_factor = np.stack(
+                [sp_factors[c]["base_color_factor"] for c in model_combo]
+            )
+            data.metallic_factor = np.asarray(
+                [sp_factors[c]["metallic"] for c in model_combo], np.float32
+            )
+            data.roughness_factor = np.asarray(
+                [sp_factors[c]["roughness"] for c in model_combo], np.float32
+            )
+        else:
+            has_map[:, 3] = model_combo == 0  # emissive map on combo 0 only
+            # emissive factor carries the HDR scale (map is LDR; 1.0 * map
+            # replaces the old 0.5 * 2.0-valued map -- identical product)
+            data.emissive_factor = np.where(
+                (model_combo == 0)[:, None], np.float32(1.0), np.float32(0.0)
+            ) * np.ones((n, 3), np.float32)
         slot_rect0 = np.repeat(
             rect0[model_combo].astype(np.float32)[:, None, :], 4, axis=1
         )

@@ -92,9 +92,18 @@ def encode_combined_u8(img: np.ndarray) -> np.ndarray:
     Encoded bytes round-trip exactly (encode(decode(b)) == b).  The
     sampler decodes gathered rows back to linear f32 BEFORE any filter
     blend, matching D3D12's per-texel-decode, linear-space-filter order.
-    Out-of-range values clip (combined chains are [0, 1] by construction:
-    every source map is LDR)."""
+    Out-of-range values clip; combined chains are [0, 1] by construction
+    (every source map is LDR), so an over-1 input means an HDR map (e.g. a
+    float-DDS emissive) reached the u8 path -- logged loudly, because the
+    clip flattens it (route such scenes through material_atlas_u8=False)."""
     assert img.shape[-1] == COMBINED_C, img.shape
+    peak = float(img.max(initial=0.0))
+    if peak > 1.0 + 1e-5:
+        log_warning(
+            f"encode_combined_u8: HDR input (max {peak:.3g} > 1) clipped to "
+            "1.0 in the u8 material atlas; set material_atlas_u8=False to "
+            "preserve HDR maps"
+        )
     x = np.clip(img.astype(np.float32), 0.0, 1.0)
     out = x.copy()
     for sl in (slice(0, 3), slice(8, 11)):
