@@ -342,6 +342,9 @@ class Renderer:
              settings.material_atlas_u8, str(self.assets_root)),
         )
         self._cached_build = scenecache.load(self._scene_cache_key)
+        # observability: warm vs cold init is a first-class number
+        # (bench.py records it per row; VERDICT r5 next-step #8)
+        self.scene_cache_hit = self._cached_build is not None
         if self._cached_build is not None:
             self.scene_data = self._cached_build[0]
         else:
