@@ -171,7 +171,7 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
             "packed_trilinear" if settings.material_packed_trilinear else "quad"
         ),
         "texture_source": (
-            f"sponza_dds_{len(sp[0])}_materials_512cap" if sp is not None
+            f"sponza_dds_{len(sp[0])}_materials_256cap" if sp is not None
             else "procedural"
         ),
     }

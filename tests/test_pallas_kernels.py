@@ -467,3 +467,16 @@ def test_sharded_pallas_slab_matches_singlechip(soa):
     np.testing.assert_allclose(
         np.asarray(out_m["color"]), np.asarray(out_s["color"]), atol=1e-5
     )
+
+
+def test_binned_raster_mat_idx_bit_exact():
+    """rasterize_binned(mat_idx=True) -- the Pallas-identity
+    materialization boundary on the coef-gather indices -- reproduces the
+    default image bit-for-bit."""
+    setup = _setup(60, seed=9, size=0.3)
+    kw = dict(tile_h=16, tile_w=64, chunk=32, big_tile_h=32, big_tile_w=128,
+              big_chunk=32, mid_divisor=2, giant_divisor=4, interpret=True)
+    d1, i1, _ = rasterize_binned(setup, 256, 256, mat_idx=False, **kw)
+    d2, i2, _ = rasterize_binned(setup, 256, 256, mat_idx=True, **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

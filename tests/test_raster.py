@@ -527,3 +527,41 @@ def test_setup_from_soa_matches_expanded():
     np.testing.assert_array_equal(np.asarray(a.bbox), np.asarray(b.bbox))
     # pix9 row layout matches pix_h.reshape(T, 9) exactly
     np.testing.assert_array_equal(np.asarray(v.pix9()), pix_h.reshape(t, 9))
+
+
+def test_compact_mask_scatter_matches_sort():
+    """compact_mask's two formulations (packed sort vs cumsum+scatter) are
+    interchangeable: identical ids and validity at every cap, including
+    overflow and all-False masks."""
+    import numpy as np
+
+    from unclerenderer_tpu.ops.raster import compact_mask
+
+    rng = np.random.default_rng(3)
+    for tc, cap, p in [(997, 64, 0.3), (4096, 4096, 0.5), (2048, 16, 0.9),
+                       (64, 32, 0.0)]:
+        m = jnp.asarray(rng.random(tc) < p)
+        ids_a, ok_a = compact_mask(m, min(cap, tc), "sort")
+        ids_b, ok_b = compact_mask(m, min(cap, tc), "scatter")
+        np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(ok_a), np.asarray(ids_a), 0),
+            np.where(np.asarray(ok_b), np.asarray(ids_b), 0),
+        )
+
+
+def test_binned_raster_compact_scatter_bit_exact():
+    """rasterize_binned(compact_mode="scatter") reproduces the sort-mode
+    image bit-for-bit (the mid/giant level compactions flow through it)."""
+    import numpy as np
+
+    from unclerenderer_tpu.ops.pallas_raster import rasterize_binned
+    from tests.test_pallas_kernels import _setup
+
+    setup = _setup(60, seed=7, size=0.4)
+    kw = dict(tile_h=16, tile_w=64, chunk=32, big_tile_h=32, big_tile_w=128,
+              big_chunk=32, mid_divisor=2, giant_divisor=4, interpret=True)
+    d1, i1, _ = rasterize_binned(setup, 256, 256, compact_mode="sort", **kw)
+    d2, i2, _ = rasterize_binned(setup, 256, 256, compact_mode="scatter", **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

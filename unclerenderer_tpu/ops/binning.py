@@ -226,6 +226,8 @@ def bin_triangles(
     y_offset=0,
     records: jnp.ndarray | None = None,
     align_scatter: bool = False,
+    mat_idx: bool = False,
+    interpret: bool = False,
 ) -> BinnedTriangles:
     """tri_ids (optional) maps local rows of a compacted setup back to
     global triangle ids for the output id buffers.
@@ -269,12 +271,23 @@ def bin_triangles(
     # measured plain 128-lane f32 gathers fast to >=262k rows and the u16
     # split-pair a 2.3x LOSS on the current toolchain (BENCHLOG round-4
     # gather law) -- the round-3 (94208, 163840] split16 window is gone.
-    coef = setup.coef[blocks_tid]  # (n_blocks, chunk, 16)
+    #
+    # mat_idx: route the index array through a Pallas identity kernel
+    # first -- the gather behind the IN-GRAPH align producer runs ~3x
+    # slower than the same gather with materialized indices, and a plain
+    # optimization_barrier does not recover it (round-6 prof_coef /
+    # prof_fuse; pallas_raster.materialize_rows).
+    gather_tid = blocks_tid
+    if mat_idx:
+        from .pallas_raster import materialize_rows
+
+        gather_tid = materialize_rows(blocks_tid, interpret=interpret)
+    coef = setup.coef[gather_tid]  # (n_blocks, chunk, 16)
     coef = coef.transpose(0, 2, 1)  # (n_blocks, 16, chunk)
 
     # optional per-pair resolve records for fused attribute emission;
     # (chunk, R) layout: 512 B contiguous DMA rows at R = 128
-    rec = None if records is None else records[blocks_tid]
+    rec = None if records is None else records[gather_tid]
 
     return BinnedTriangles(
         coef=coef,

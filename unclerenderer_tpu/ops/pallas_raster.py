@@ -241,6 +241,41 @@ def _raster_kernel_onepass(
 _ONEPASS_MAX_TRIS = 4096
 
 
+def _mat_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def materialize_rows(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Identity Pallas kernel = a hard materialization boundary.
+
+    prof_coef (round 6, metal) measured the block-aligned coef gather at
+    3.9-4.8 ms with PARAMETER indices but 15-19 ms when the index array is
+    produced in-graph by the align computation -- a ~3x fusion penalty that
+    ``optimization_barrier`` does NOT remove (binparts BARRIER row).
+    Routing the indices through a real kernel boundary forces XLA to
+    materialize them, putting the downstream gather back on the fast
+    emitter for ~0.1 ms of copy.  Bit-exact identity."""
+    n = x.shape[0]
+    rest = 1
+    for d in x.shape[1:]:
+        rest *= d
+    row_bytes = max(rest * x.dtype.itemsize, 1)
+    blk = max(1, min(n, (4 << 20) // row_bytes))
+    while n % blk:
+        blk -= 1
+    nd = x.ndim
+    return pl.pallas_call(
+        _mat_kernel,
+        grid=(n // blk,),
+        in_specs=[pl.BlockSpec((blk,) + x.shape[1:],
+                               lambda i: (i,) + (0,) * (nd - 1))],
+        out_specs=pl.BlockSpec((blk,) + x.shape[1:],
+                               lambda i: (i,) + (0,) * (nd - 1)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -654,7 +689,7 @@ def _run_binned_kernel(
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
         "mid_divisor", "giant_divisor", "giant_tile_h", "giant_tile_w",
         "interpret", "debug_print",
-        "want_ids", "ortho", "align_scatter",
+        "want_ids", "ortho", "align_scatter", "compact_mode", "mat_idx",
     ),
 )
 def rasterize_binned(
@@ -681,6 +716,8 @@ def rasterize_binned(
     records: jnp.ndarray | None = None,
     ortho: bool = False,
     align_scatter: bool = False,
+    compact_mode: str = "sort",
+    mat_idx: bool = False,
 ):
     """Binned visibility raster, three levels merged by depth key:
 
@@ -713,6 +750,7 @@ def rasterize_binned(
             setup, width, height, tile_h, tile_w, chunk,
             max_span=max_span, budget_factor=budget_factor, y_offset=y_offset,
             records=records, align_scatter=align_scatter,
+            mat_idx=mat_idx, interpret=interpret,
         )
     with jax.named_scope("RasterKernel"):
         fine_out = _run_binned_kernel(
@@ -727,12 +765,10 @@ def rasterize_binned(
     def compact(mask, cap):
         # indices of True entries first, fixed cap, preserving ascending
         # order (so compacted-local id order == global id order and the
-        # kernels' min-id tie-breaks stay exact); single packed sort.
-        idx_bits = max((t_count - 1).bit_length(), 1)
-        iota = jnp.arange(t_count, dtype=jnp.int32)
-        packed = jnp.where(mask, 0, jnp.int32(1 << idx_bits)) + iota
-        sp = jnp.sort(packed)[:cap]
-        return sp & jnp.int32((1 << idx_bits) - 1), sp < jnp.int32(1 << idx_bits)
+        # kernels' min-id tie-breaks stay exact); ops/raster.compact_mask
+        from .raster import compact_mask
+
+        return compact_mask(mask, cap, compact_mode)
 
     # Medium triangles: second binning level with coarse tiles, over a
     # COMPACTED list (the full-T grid would spend more time skipping empty
@@ -748,6 +784,7 @@ def rasterize_binned(
             max_span=4, budget_factor=2.0, tri_ids=mid_idx, y_offset=y_offset,
             records=None if records is None else records[mid_idx],
             align_scatter=align_scatter,
+            mat_idx=mat_idx, interpret=interpret,
         )
         mid_out = _run_binned_kernel(
             mid_bins, width, height, big_tile_h, big_tile_w, big_chunk, y_offset,

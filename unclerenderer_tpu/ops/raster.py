@@ -384,7 +384,35 @@ def gather_rows_parts(rec: jnp.ndarray, idx: jnp.ndarray,
     return out
 
 
-def compact_setup(setup: RasterSetup, cap: int):
+def compact_mask(mask: jnp.ndarray, cap: int, mode: str = "sort"):
+    """First ``cap`` True rows of ``mask`` in ascending index order.
+
+    Returns ``(ids (cap,) i32, ok (cap,) bool)``.  Two formulations with
+    identical outputs (cross-tested):
+
+    * "sort": pack (flag, index) into one i32 and sort -- ~3 ms at
+      T=163840 on metal regardless of cap (the frame runs ~6 compactions,
+      so this is a real term).
+    * "scatter": cumsum ranks + one unique-index scatter -- prof_fuse
+      decision rows price it; identical ascending-order semantics (rows
+      past the cap drop into a dump slot, counted by the caller via ok).
+    """
+    t_count = mask.shape[0]
+    iota = jnp.arange(t_count, dtype=jnp.int32)
+    if mode == "scatter":
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        dest = jnp.where(mask & (pos < cap), pos, cap)
+        out = jnp.full(cap + 1, t_count, jnp.int32).at[dest].set(iota)
+        total = jnp.minimum(pos[-1] + 1, cap)
+        ok = jnp.arange(cap, dtype=jnp.int32) < total
+        return jnp.where(ok, out[:cap], 0), ok
+    idx_bits = max((t_count - 1).bit_length(), 1)
+    packed = jnp.where(mask, 0, jnp.int32(1 << idx_bits)) + iota
+    sp = jnp.sort(packed)[:cap]
+    return sp & jnp.int32((1 << idx_bits) - 1), sp < jnp.int32(1 << idx_bits)
+
+
+def compact_setup(setup: RasterSetup, cap: int, mode: str = "sort"):
     """Frame-visible triangle compaction -- the TPU analog of the
     reference's GPU culling writing per-draw InstanceCounts into the
     indirect-argument buffer (``CullIndirectArgs.hlsl:153-154``): the
@@ -403,13 +431,7 @@ def compact_setup(setup: RasterSetup, cap: int):
     cliff at Sponza-class triangle counts (~263k total, ~100k visible), and
     shrinks every downstream binning sort and gather by the same factor.
     """
-    t_count = setup.valid.shape[0]
-    idx_bits = max((t_count - 1).bit_length(), 1)
-    iota = jnp.arange(t_count, dtype=jnp.int32)
-    packed = jnp.where(setup.valid, 0, jnp.int32(1 << idx_bits)) + iota
-    sp = jnp.sort(packed)[:cap]
-    ids = sp & jnp.int32((1 << idx_bits) - 1)
-    ok = sp < jnp.int32(1 << idx_bits)
+    ids, ok = compact_mask(setup.valid, cap, mode)
     overflow = (
         jnp.sum(setup.valid).astype(jnp.int32) - jnp.sum(ok).astype(jnp.int32)
     )

@@ -248,6 +248,8 @@ def _dispatch_raster(
             interpret=settings.pallas_interpret,
             ortho=ortho,
             align_scatter=settings.bin_align_scatter,
+            compact_mode=settings.compact_mode,
+            mat_idx=settings.bin_mat_idx,
         )
     depth, tri_id = rasterize(
         setup, width, height,
@@ -304,7 +306,8 @@ def raster_opaque(
     c_overflow = jnp.zeros((), jnp.int32)
     if cap:
         with jax.named_scope("Compaction"):
-            setup, cids, c_overflow = compact_setup(setup, cap)
+            setup, cids, c_overflow = compact_setup(
+                setup, cap, mode=settings.compact_mode)
             if records is not None:
                 records = records[cids]
     out_h = settings.height
@@ -363,7 +366,8 @@ def raster_shadow(
     overflow = jnp.zeros((), jnp.int32)
     if cap:
         with jax.named_scope("Compaction"):
-            setup, _ids, overflow = compact_setup(setup, cap)
+            setup, _ids, overflow = compact_setup(
+                setup, cap, mode=settings.compact_mode)
     # directional light = orthographic projection (w == 1): fold the constant
     # depth denominator into the setup once so the depth-only kernels skip
     # the per-pixel nw evaluation and divide (ops/raster.py)

@@ -206,6 +206,18 @@ class RenderSettings:
     # stats().giant_truncated -- lower the divisors when nonzero.
     bin_mid_divisor: int = 16
     bin_giant_divisor: int = 128
+    # mask-compaction primitive for every compact (primary/mid/giant x
+    # cam/shadow -- ~6/frame): "sort" = packed i32 sort (~3 ms each at
+    # T=163840 on metal), "scatter" = cumsum ranks + unique-index scatter
+    # (ops/raster.py compact_mask; identical outputs, cross-tested).
+    # prof_fuse decision rows pick the default.
+    compact_mode: str = "sort"
+    # route the binning's block-aligned index array through a Pallas
+    # identity kernel before the coef gather: the gather behind the
+    # in-graph align producer runs ~3x slower than with materialized
+    # indices (round-6 prof_coef), and optimization_barrier does not fix
+    # it.  prof_fuse decision rows pick the default.
+    bin_mat_idx: bool = False
 
 
 @jax.tree_util.register_dataclass

@@ -211,7 +211,7 @@ _SPONZA_GLTF = "/root/reference/Assets/sponza/untitled.gltf"
 _sponza_chain_cache: dict = {}
 
 
-def sponza_material_chains(max_combos: int | None = None, max_dim: int = 512):
+def sponza_material_chains(max_combos: int | None = None, max_dim: int = 256):
     """Combined 16-channel chains from the REAL Sponza material table.
 
     The mounted reference checkout is missing sponza's geometry
@@ -253,9 +253,11 @@ def sponza_material_chains(max_combos: int | None = None, max_dim: int = 512):
             return None
         # cap at max_dim by dropping leading mips: at native resolutions
         # (1024^2 most sets, 2048^2 curtains) the quad atlas would cost
-        # 3.2-5.4 GB of HBM/upload/cache; the 512 cap lands at 805 MB --
-        # still 4x the procedural tier's texels with the full 24-material
-        # diversity.  Raise per-call for native-res experiments.
+        # 3.2-5.4 GB of HBM/upload/cache.  The 256 default (201 MB atlas)
+        # is the largest PROVEN stable through the TPU relay -- the 512-cap
+        # 805 MB atlas wedged/crashed the relay worker 3/3 times at upload
+        # (BENCHLOG round 6); still the full 24-material diversity and the
+        # procedural tier's texel count.  Raise per-call for experiments.
         while chain and max(chain[0].shape[:2]) > max_dim and len(chain) > 1:
             chain = chain[1:]
         return chain
