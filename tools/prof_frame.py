@@ -50,6 +50,8 @@ INTERPRET = bool(int(os.environ.get("PROF_INTERPRET", "0")))
 # exist for decision rows only (VERDICT r5 weak #2: prof/bench divergence).
 PACKED_TRI = bool(int(os.environ.get("PROF_PACKED_TRI", "0")))
 ATLAS_U8 = bool(int(os.environ.get("PROF_ATLAS_U8", "1")))
+# "sponza" = the bench headline's real-DDS material tier (24 materials)
+TEX_SOURCE = os.environ.get("PROF_TEX_SOURCE", "procedural")
 
 
 from tools.timing import timed_scan as _timed_scan
@@ -76,6 +78,7 @@ def main():
     scene, data = synthetic_device_scene(
         N_OBJECTS, sphere_res=(32, 24), ground=True, rich_materials=True,
         packed_trilinear=PACKED_TRI, atlas_u8=ATLAS_U8,
+        texture_source=TEX_SOURCE,
     )
     t_count = int(scene.tri_geo.shape[0])
     print("triangles:", t_count, flush=True)

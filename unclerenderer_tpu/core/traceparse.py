@@ -48,6 +48,7 @@ SUB_SCOPES = (
     "RecGather", "InterpAttr", "MaterialTap", "NormalMap",
     "FineBinning", "RasterKernel", "MidLevel", "GiantLevel", "Compaction",
     "VertexSetup", "ShadowPack", "DirectLighting",
+    "Untile", "LevelMerge", "GpuDebugPrint",
 )
 PASS_NAMES_FINE = SUB_SCOPES + PASS_NAMES
 

@@ -263,6 +263,14 @@ def materialize_rows(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     blk = max(1, min(n, (4 << 20) // row_bytes))
     while n % blk:
         blk -= 1
+    if x.ndim >= 2 and blk < n:
+        # Mosaic tiling: when the leading dim is one of the block's last
+        # two dims, it must divide the (8, 128) tile -- walk down to a
+        # multiple of 8 that divides n (whole-array fallback otherwise)
+        b8 = blk - blk % 8
+        while b8 >= 8 and n % b8:
+            b8 -= 8
+        blk = b8 if b8 >= 8 else n
     nd = x.ndim
     return pl.pallas_call(
         _mat_kernel,
@@ -654,32 +662,33 @@ def _run_binned_kernel(
         interpret=interpret,
     )(blk_src, blk_otile, bins.blk_tile, blk_first, live, yoff, *inputs)
 
-    used = bins.tile_used[:, None, None]
+    with jax.named_scope("Untile"):
+        used = bins.tile_used[:, None, None]
 
-    def untile(x):
-        return (
-            x.reshape(n_ty, n_tx, tile_h, tile_w)
-            .transpose(0, 2, 1, 3)
-            .reshape(pad_h, pad_w)[:height, :width]
+        def untile(x):
+            return (
+                x.reshape(n_ty, n_tx, tile_h, tile_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(pad_h, pad_w)[:height, :width]
+            )
+
+        best_key = jnp.where(used, outs[0][:n_tiles], -1.0).reshape(n_tiles, tile_h, tile_w)
+        key_img = untile(best_key)
+        if not want_ids:
+            return key_img, None
+        best_id = jnp.where(used, outs[1][:n_tiles], -1).reshape(n_tiles, tile_h, tile_w)
+        id_img = untile(best_id)
+        if not want_attrs:
+            return key_img, id_img
+        rec_cols = bins.rec.shape[-1]
+        # zero unused tiles (their blocks were never visited -> uninitialized)
+        attr = jnp.where(bins.tile_used[:, None, None], outs[2][:n_tiles], 0.0)
+        attr_img = (
+            attr.reshape(n_ty, n_tx, tile_h, tile_w, rec_cols)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(pad_h, pad_w, rec_cols)[:height, :width]
         )
-
-    best_key = jnp.where(used, outs[0][:n_tiles], -1.0).reshape(n_tiles, tile_h, tile_w)
-    key_img = untile(best_key)
-    if not want_ids:
-        return key_img, None
-    best_id = jnp.where(used, outs[1][:n_tiles], -1).reshape(n_tiles, tile_h, tile_w)
-    id_img = untile(best_id)
-    if not want_attrs:
-        return key_img, id_img
-    rec_cols = bins.rec.shape[-1]
-    # zero unused tiles (their blocks were never visited -> uninitialized)
-    attr = jnp.where(bins.tile_used[:, None, None], outs[2][:n_tiles], 0.0)
-    attr_img = (
-        attr.reshape(n_ty, n_tx, tile_h, tile_w, rec_cols)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(pad_h, pad_w, rec_cols)[:height, :width]
-    )
-    return key_img, id_img, attr_img
+        return key_img, id_img, attr_img
 
 
 @partial(
@@ -830,29 +839,30 @@ def rasterize_binned(
             ortho=ortho,
         )
         big_depth, big_id_local = big_out[0], big_out[1]
-    if want_ids:
-        big_id = jnp.where(
-            big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
-        )
-        big_key = jnp.where(big_id >= 0, big_depth, -1.0)
+    with jax.named_scope("LevelMerge"):
+        if want_ids:
+            big_id = jnp.where(
+                big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
+            )
+            big_key = jnp.where(big_id >= 0, big_depth, -1.0)
 
-        take_big = big_key > key_img
-        tie_big = (big_key == key_img) & (big_key >= 0.0)
-        key_img = jnp.where(take_big, big_key, key_img)
-        sel_big = take_big | (tie_big & (big_id < id_img))
-        id_img = jnp.where(sel_big, big_id, id_img)
-        if want_attrs:
-            attr_img = jnp.where(sel_big[..., None], big_out[2], attr_img)
-    else:
-        # big_depth is the RAW key image here (-1 = miss)
-        key_img = jnp.maximum(key_img, big_depth)
+            take_big = big_key > key_img
+            tie_big = (big_key == key_img) & (big_key >= 0.0)
+            key_img = jnp.where(take_big, big_key, key_img)
+            sel_big = take_big | (tie_big & (big_id < id_img))
+            id_img = jnp.where(sel_big, big_id, id_img)
+            if want_attrs:
+                attr_img = jnp.where(sel_big[..., None], big_out[2], attr_img)
+        else:
+            # big_depth is the RAW key image here (-1 = miss)
+            key_img = jnp.maximum(key_img, big_depth)
 
-    hit = key_img >= 0.0
-    if depth_mode == DEPTH_MAX:
-        depth = jnp.where(hit, key_img, 0.0)
-    else:
-        depth = jnp.where(hit, 1.0 - key_img, 1.0)
-    tri_id = jnp.where(hit, id_img, -1) if want_ids else None
+        hit = key_img >= 0.0
+        if depth_mode == DEPTH_MAX:
+            depth = jnp.where(hit, key_img, 0.0)
+        else:
+            depth = jnp.where(hit, 1.0 - key_img, 1.0)
+        tri_id = jnp.where(hit, id_img, -1) if want_ids else None
     stats = {
         "pair_overflow": bins.overflow + mid_bins.overflow,
         "giant_truncated": giant_truncated,

@@ -173,12 +173,15 @@ class RenderSettings:
     gpu_debug_print: bool = False
     bin_max_span: int = 2
     # Block-align binned pairs by a unique-index scatter instead of the
-    # pair-source gather (the gather's n_pairs-row table is past the TPU
-    # f32 fast-path cliff; a unique scatter costs ~a packed sort per the
-    # measured gather law).  Bit-identical output either way
-    # (ops/binning.py _align_pairs).  Round-4 metal decision row: scatter
-    # 3.49 ms vs gather 3.38 (camera, binparts) -- a wash; stays OFF.
-    bin_align_scatter: bool = False
+    # pair-source gather.  Bit-identical output either way (ops/binning.py
+    # _align_pairs).  The align step ITSELF is a wash (round-4: 3.49 vs
+    # 3.38 ms) -- but round-6 prof_fuse showed the downstream COEF gather
+    # runs ~3x faster behind the scatter (a scatter op cannot fuse into
+    # its consumer, so the index array is genuinely materialized; the same
+    # gather behind the fused gather-align producer pays a ~3x penalty
+    # that optimization_barrier and a Pallas identity copy do NOT remove):
+    # align+coef cam 17.8 -> 12.5 ms, shadow 20.8 -> 13.1.  DEFAULT ON.
+    bin_align_scatter: bool = True
     # Pair-budget factor: binning gathers scale with the static budget
     # (n_blocks x chunk rows), so over-provisioning costs real bandwidth.
     # 2.0 carries ~5x margin over measured demand on the Sponza-class tier
@@ -207,16 +210,18 @@ class RenderSettings:
     bin_mid_divisor: int = 16
     bin_giant_divisor: int = 128
     # mask-compaction primitive for every compact (primary/mid/giant x
-    # cam/shadow -- ~6/frame): "sort" = packed i32 sort (~3 ms each at
-    # T=163840 on metal), "scatter" = cumsum ranks + unique-index scatter
-    # (ops/raster.py compact_mask; identical outputs, cross-tested).
-    # prof_fuse decision rows pick the default.
-    compact_mode: str = "sort"
+    # cam/shadow -- ~6/frame): "sort" = packed i32 sort, "scatter" =
+    # cumsum ranks + unique-index scatter (ops/raster.py compact_mask;
+    # identical outputs, cross-tested).  Round-6 prof_fuse rows: scatter
+    # 4.40/4.50/5.08 ms vs sort 4.79/5.21/5.13 at caps 1280/10240/163840
+    # -- consistently ahead, DEFAULT scatter.
+    compact_mode: str = "scatter"
     # route the binning's block-aligned index array through a Pallas
-    # identity kernel before the coef gather: the gather behind the
-    # in-graph align producer runs ~3x slower than with materialized
-    # indices (round-6 prof_coef), and optimization_barrier does not fix
-    # it.  prof_fuse decision rows pick the default.
+    # identity kernel before the coef gather.  Round-6 prof_fuse verdict:
+    # NO WIN (17.8 -> 16.6 cam / 20.8 -> 20.1 shadow) -- the identity-copy
+    # boundary does not restore the parameter-fed gather's 3.9 ms; the
+    # scatter alignment (bin_align_scatter) is the fix that works.  Kept
+    # as a tested-bit-exact experiment surface; default OFF.
     bin_mat_idx: bool = False
 
 
