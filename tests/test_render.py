@@ -740,3 +740,32 @@ def test_material_atlas_u8_frame(monkeypatch, full):
             assert diff.max() < 0.06 and diff.mean() < 3e-3, (
                 f"{packed}/{filt}: max {diff.max():.4f} mean {diff.mean():.5f}"
             )
+
+
+def test_env_matmul_gather_frame_bit_exact():
+    """settings.env_matmul_gather (MXU one-hot env tap) must reproduce the
+    gather-path frame exactly (pallas interpret on the CPU lane)."""
+    import dataclasses
+
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="deferred", enable_ibl=True, enable_sky=False,
+        has_masked_models=False, pallas_interpret=True,
+        **{**SMALL, "raster_backend": "pallas"},
+    )
+    scene, data = synthetic_device_scene(6)
+    params = synthetic_frame_params(data, 64, 64)
+
+    outs = {}
+    for flag in (False, True):
+        s = dataclasses.replace(base, env_matmul_gather=flag)
+        out, _ = jax.jit(
+            lambda sc, p, st: deferred_frame(sc, p, st, s)
+        )(scene, params, FrameState.initial(64, 64))
+        outs[flag] = np.asarray(out["color"])
+    np.testing.assert_array_equal(outs[False], outs[True])

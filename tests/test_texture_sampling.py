@@ -524,3 +524,23 @@ def test_u8_atlas_bit_exact_vs_decoded_f32():
     ref_q = tex.sample_pyramid_bilinear(qflat_f32, quad_u8.shape[1], rect_q, uv, lvl)
     np.testing.assert_array_equal(np.asarray(got_q), np.asarray(ref_q))
 
+
+
+def test_gather_rows_onehot_matmul_exact():
+    """The MXU one-hot gather (small-table fast path) is bit-exact vs the
+    plain row gather for bf16 and f32 tables, any index shape, including
+    non-blk-divisible request counts."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from unclerenderer_tpu.ops.texture import gather_rows_onehot_matmul
+
+    rng = np.random.default_rng(2)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        table = jnp.asarray(
+            rng.standard_normal((1024, 128)).astype(np.float32), dtype)
+        idx = jnp.asarray(
+            rng.integers(0, 1024, (33, 7)).astype(np.int32))
+        got = gather_rows_onehot_matmul(table, idx, blk=128, interpret=True)
+        want = table[idx].astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

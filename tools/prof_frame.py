@@ -52,6 +52,7 @@ PACKED_TRI = bool(int(os.environ.get("PROF_PACKED_TRI", "0")))
 ATLAS_U8 = bool(int(os.environ.get("PROF_ATLAS_U8", "1")))
 # "sponza" = the bench headline's real-DDS material tier (24 materials)
 TEX_SOURCE = os.environ.get("PROF_TEX_SOURCE", "procedural")
+ENV_MM = bool(int(os.environ.get("PROF_ENV_MM", "0")))
 
 
 from tools.timing import timed_scan as _timed_scan
@@ -108,6 +109,7 @@ def main():
         material_packed_trilinear=PACKED_TRI,
         material_atlas_u8=ATLAS_U8,
         texture_filter=os.environ.get("PROF_FILTER", "trilinear"),
+        env_matmul_gather=ENV_MM,
         **overrides,
     )
     params = synthetic_frame_params(data, W, H)

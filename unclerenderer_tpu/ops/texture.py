@@ -61,6 +61,62 @@ def _rows_to_f32(rows: jnp.ndarray, c: int) -> jnp.ndarray:
     return rows.astype(jnp.float32)
 
 
+def gather_rows_onehot_matmul(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    blk: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row gather from a SMALL table as one-hot matmuls on the MXU.
+
+    Per-request row gathers are request-bound (~5-6 ns each regardless of
+    table size -- the round-5/6 gather law), so 2M requests cost ~11 ms
+    even from a 128 KB env atlas.  For a VMEM-resident table, a
+    (blk, rows) one-hot built in-kernel and contracted on the MXU does
+    the same selection at matmul rates: 2M x 1024 x 128 bf16 MACs is
+    ~1.4 ms of MXU time.  Exact: one-hot rows select single table rows,
+    fp contraction with one nonzero per row reproduces the table value
+    bit-for-bit at f32 accumulate for bf16/f32 tables.
+
+    table: (rows, C); idx: any shape, i32 row indices (in range).
+    Returns idx.shape + (C,) f32.  Use ONLY for small tables (the whole
+    table must sit in VMEM: rows * C * itemsize <= ~4 MB).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+
+    rows, c = table.shape
+    assert rows * c * table.dtype.itemsize <= (4 << 20), (rows, c)
+    shape = idx.shape
+    flat = idx.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    n_pad = -(-n // blk) * blk
+    flat = jnp.pad(flat, (0, n_pad - n))
+    flat2 = flat.reshape(n_pad // blk, blk)
+
+    def kernel(idx_ref, table_ref, out_ref):
+        r = jax.lax.broadcasted_iota(jnp.int32, (blk, rows), 1)
+        oh = (r == idx_ref[0, :][:, None]).astype(table_ref.dtype)
+        out_ref[...] = jax.lax.dot_general(
+            oh, table_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((1, blk), lambda i: (i, 0)),
+            pl.BlockSpec((rows, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        interpret=interpret,
+    )(flat2, table)
+    return out[:n].reshape(*shape, c)
+
+
 def _wrap_index(i: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
     if mode == ADDRESS_WRAP:
         return jnp.mod(i, size)
@@ -500,6 +556,8 @@ def sample_cube_pyramid_tri(
     face_rect0,
     direction: jnp.ndarray,
     lod: jnp.ndarray,
+    matmul_gather: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Trilinear cubemap sample with ONE row gather (the packed-trilinear
     atlas, textures/atlas.py build_pyramid_tri_atlas): lanes 0:16 of the
@@ -543,9 +601,14 @@ def sample_cube_pyramid_tri(
     iy_raw = fy0.astype(jnp.int32)
     ix = _wrap_index(ix_raw, w, ADDRESS_CLAMP)
     iy = _wrap_index(iy_raw, h, ADDRESS_CLAMP)
-    row = jnp.take(
-        env_tri_flat, (y + iy) * atlas_width + (x + ix), axis=0
-    ).astype(jnp.float32)
+    env_rows = (y + iy) * atlas_width + (x + ix)
+    if matmul_gather:
+        # env atlases are small (~1-2k rows): the MXU one-hot gather beats
+        # the per-request row gather (gather_rows_onehot_matmul)
+        row = gather_rows_onehot_matmul(env_tri_flat, env_rows,
+                                        interpret=interpret)
+    else:
+        row = jnp.take(env_tri_flat, env_rows, axis=0).astype(jnp.float32)
     quad = row[..., 0:16]
     q00, q10 = quad[..., 0:4], quad[..., 4:8]
     q01, q11 = quad[..., 8:12], quad[..., 12:16]

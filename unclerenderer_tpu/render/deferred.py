@@ -223,9 +223,14 @@ def deferred_frame(
         env_w = scene.env_quad.shape[1]
 
         def env_sample(direction, lod):
-            # packed-trilinear atlas: both taps from one 64-lane row gather
+            # packed-trilinear atlas: both taps from one row gather (or the
+            # MXU one-hot contraction -- settings.env_matmul_gather)
             return tex.sample_cube_pyramid_tri(
-                env_flat, env_w, scene.env_rect0, direction, lod
+                env_flat, env_w, scene.env_rect0, direction, lod,
+                matmul_gather=(
+                    settings.env_matmul_gather and common._use_pallas(settings)
+                ),
+                interpret=settings.pallas_interpret,
             )[..., :3]
 
         def env_sample_level(direction, level):

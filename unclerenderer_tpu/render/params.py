@@ -223,6 +223,13 @@ class RenderSettings:
     # scatter alignment (bin_align_scatter) is the fix that works.  Kept
     # as a tested-bit-exact experiment surface; default OFF.
     bin_mat_idx: bool = False
+    # IBL specular env tap: gather the packed env row on the MXU as a
+    # one-hot matmul (ops/texture.py gather_rows_onehot_matmul) instead of
+    # a per-request row gather -- per-request gathers are ~5-6 ns flat, so
+    # 2M requests cost ~11 ms even from the ~1k-row env atlas, while the
+    # one-hot contraction is ~1-2 ms of MXU.  Bit-exact.  prof_env rows
+    # pick the default.
+    env_matmul_gather: bool = False
 
 
 @jax.tree_util.register_dataclass
