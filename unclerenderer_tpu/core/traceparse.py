@@ -44,11 +44,14 @@ PASS_NAMES = (
 #: nested sub-scopes (render/common.py resolve internals, render/deferred.py
 #: frame sections, ops/pallas_raster.py raster internals); listed BEFORE the
 #: parents so the first-match attribution picks the finer bucket
+# ORDER MATTERS: the bucketer takes the FIRST tuple entry found in the op's
+# scope path, so deepest-nested scopes must come first (Untile lives inside
+# RasterKernel/MidLevel/GiantLevel; LevelMerge inside the raster passes).
 SUB_SCOPES = (
+    "Untile", "LevelMerge", "GpuDebugPrint",
     "RecGather", "InterpAttr", "MaterialTap", "NormalMap",
     "FineBinning", "RasterKernel", "MidLevel", "GiantLevel", "Compaction",
     "VertexSetup", "ShadowPack", "DirectLighting",
-    "Untile", "LevelMerge", "GpuDebugPrint",
 )
 PASS_NAMES_FINE = SUB_SCOPES + PASS_NAMES
 

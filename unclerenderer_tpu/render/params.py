@@ -212,10 +212,13 @@ class RenderSettings:
     # mask-compaction primitive for every compact (primary/mid/giant x
     # cam/shadow -- ~6/frame): "sort" = packed i32 sort, "scatter" =
     # cumsum ranks + unique-index scatter (ops/raster.py compact_mask;
-    # identical outputs, cross-tested).  Round-6 prof_fuse rows: scatter
-    # 4.40/4.50/5.08 ms vs sort 4.79/5.21/5.13 at caps 1280/10240/163840
-    # -- consistently ahead, DEFAULT scatter.
-    compact_mode: str = "scatter"
+    # identical outputs, cross-tested).  Round-6 prof_fuse ISOLATED rows
+    # had scatter slightly ahead (4.40/4.50/5.08 vs 4.79/5.21/5.13), but
+    # IN-FRAME the scatter flip cost +6.9 ms across Compaction/Mid/Giant
+    # (frameD traceattr: 6.0+6.5+15.5 -> 9.9+7.9+17.0) -- the cumsum chain
+    # fuses worse than the sort into the surrounding graph.  DEFAULT sort;
+    # scatter stays the tested experiment surface.
+    compact_mode: str = "sort"
     # route the binning's block-aligned index array through a Pallas
     # identity kernel before the coef gather.  Round-6 prof_fuse verdict:
     # NO WIN (17.8 -> 16.6 cam / 20.8 -> 20.1 shadow) -- the identity-copy
