@@ -167,8 +167,11 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
     sp = sponza_material_chains()
     atlas_info = {
         "material_atlas_dtype": str(scene.quad_img.dtype),
+        # effective layout read off the atlas (256 lanes = packed rows;
+        # material_packed_trilinear="auto" resolves by material count)
         "material_atlas_layout": (
-            "packed_trilinear" if settings.material_packed_trilinear else "quad"
+            "packed_trilinear" if int(scene.quad_img.shape[-1]) == 256
+            else "quad"
         ),
         "texture_source": (
             f"sponza_dds_{len(sp[0])}_materials_256cap" if sp is not None

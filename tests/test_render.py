@@ -769,3 +769,25 @@ def test_env_matmul_gather_frame_bit_exact():
         )(scene, params, FrameState.initial(64, 64))
         outs[flag] = np.asarray(out["color"])
     np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_packed_trilinear_auto_resolution():
+    """material_packed_trilinear="auto" picks the layout by material count
+    (params.resolve_packed_trilinear): quad below the boundary, packed
+    above; explicit bools pass through."""
+    from unclerenderer_tpu.render.params import (
+        PACKED_TRI_AUTO_MATERIALS,
+        resolve_packed_trilinear,
+    )
+    from unclerenderer_tpu.render.testing import synthetic_device_scene
+
+    assert resolve_packed_trilinear("auto", 6) is False
+    assert resolve_packed_trilinear("auto", 24) is True
+    assert resolve_packed_trilinear("auto", PACKED_TRI_AUTO_MATERIALS) is False
+    assert resolve_packed_trilinear(True, 2) is True
+    assert resolve_packed_trilinear(False, 100) is False
+
+    # the synthetic tier resolves "auto" too: 6 procedural combos -> quad
+    scene, _ = synthetic_device_scene(
+        4, rich_materials=True, atlas_u8=True, packed_trilinear="auto")
+    assert scene.quad_img.shape[-1] == 64  # quad lanes

@@ -830,19 +830,34 @@ def rasterize_binned(
         giant_setup = RasterSetup(
             coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
         )
+        # The winner's GLOBAL id is emitted by the kernel's record matmul
+        # (last record column = g_idx as f32; ids < 2^24 are exact) instead
+        # of a per-pixel ``g_idx[big_id_local]`` remap afterwards -- that
+        # remap is a 2M-request gather from a ~1.3k-row table, the
+        # PATHOLOGICAL small-table gather path (~12 ms of the round-6
+        # LevelMerge attribution; cf. ops/texture.py
+        # sample_table_bilinear_matmul's 146 ms/16KB measurement).
+        rec_g = None
+        if want_ids:
+            id_col = g_idx.astype(jnp.float32)[:, None]
+            rec_g = (
+                id_col if records is None
+                else jnp.concatenate([records[g_idx], id_col], axis=1)
+            )
         big_out = rasterize_pallas(
             giant_setup, width, height,
             tile_h=giant_tile_h or big_tile_h, tile_w=giant_tile_w or big_tile_w,
             chunk=big_chunk,
             y_offset=y_offset, interpret=interpret, want_ids=want_ids,
-            records=None if records is None else records[g_idx],
+            records=rec_g,
             ortho=ortho,
         )
         big_depth, big_id_local = big_out[0], big_out[1]
     with jax.named_scope("LevelMerge"):
         if want_ids:
             big_id = jnp.where(
-                big_id_local >= 0, g_idx[jnp.maximum(big_id_local, 0)], -1
+                big_id_local >= 0,
+                big_out[2][..., -1].astype(jnp.int32), -1,
             )
             big_key = jnp.where(big_id >= 0, big_depth, -1.0)
 
@@ -852,7 +867,9 @@ def rasterize_binned(
             sel_big = take_big | (tie_big & (big_id < id_img))
             id_img = jnp.where(sel_big, big_id, id_img)
             if want_attrs:
-                attr_img = jnp.where(sel_big[..., None], big_out[2], attr_img)
+                attr_img = jnp.where(
+                    sel_big[..., None], big_out[2][..., :-1], attr_img
+                )
         else:
             # big_depth is the RAW key image here (-1 = miss)
             key_img = jnp.maximum(key_img, big_depth)

@@ -76,7 +76,13 @@ class RenderSettings:
     # atlas).  The packed layout stays as the opt-in alternative (and the
     # env cube atlas keeps it: its seamless rows are 128-lane bf16, the
     # one shape measured fast at 128 lanes).
-    material_packed_trilinear: bool = False
+    # "auto" resolves at scene build by MATERIAL COUNT (resolve_packed
+    # _trilinear): round-6 metal decision rows show the optimal layout is
+    # coherence-dependent -- at 6 procedural materials the quad atlas wins
+    # the FULL frame by 30.7 ms (two coherent 64-lane gathers), at the
+    # 24-material Sponza set the packed layout wins by 22.4 ms (incoherent
+    # taps are request-latency-bound, so ONE 256-lane gather beats two).
+    material_packed_trilinear: bool | str = "auto"
     # True when the scene atlas fuses all material maps into one 16-channel
     # texture per material (render/renderer.py COMBINED_C): the resolve does
     # ONE quad gather instead of one per slot.  Set by the Renderer at scene
@@ -233,6 +239,27 @@ class RenderSettings:
     # one-hot contraction is ~1-2 ms of MXU.  Bit-exact.  prof_env rows
     # pick the default.
     env_matmul_gather: bool = False
+
+
+# material-count boundary for material_packed_trilinear="auto": measured
+# endpoints are 6 materials (quad wins, coherent taps) and 24 (packed wins,
+# incoherent); the midpoint splits pica-class (7) from Sponza-class sets.
+PACKED_TRI_AUTO_MATERIALS = 12
+
+
+def resolve_packed_trilinear(setting, n_materials: int) -> bool:
+    """Resolve the packed-trilinear atlas choice at scene build.
+
+    "auto": packed when the scene carries more than
+    PACKED_TRI_AUTO_MATERIALS distinct combined materials -- material
+    diversity scatters neighboring pixels' atlas addresses, and incoherent
+    taps are request-latency-bound (one 256-lane row gather beats two
+    64-lane ones: sponza tier 187.7 vs 210.0 ms), while coherent taps are
+    the opposite (procedural tier 169.7 quad vs 200.4 packed; BENCHLOG
+    rounds 5-6)."""
+    if setting == "auto":
+        return n_materials > PACKED_TRI_AUTO_MATERIALS
+    return bool(setting)
 
 
 @jax.tree_util.register_dataclass

@@ -209,9 +209,12 @@ def _build_device_scene(
                 lambda ch: [encode_combined_u8(lv) for lv in ch], combo_chains
             )
             mat_dtype = np.uint8
-        if packed_trilinear:
+        from .params import resolve_packed_trilinear
+
+        if resolve_packed_trilinear(packed_trilinear, len(combo_chains)):
             # 256-lane rows: both trilinear taps in ONE gather
-            # (RenderSettings.material_packed_trilinear)
+            # (RenderSettings.material_packed_trilinear; "auto" resolves
+            # by material count -- params.resolve_packed_trilinear)
             quad_img, rect0 = build_pyramid_tri_atlas(
                 combo_chains, wrap=True, dtype=mat_dtype
             )
@@ -450,8 +453,10 @@ class Renderer:
                 )
         self._cached_build = None
         # packed-trilinear rows and u8 storage only exist for the combined
-        # atlas; demote the flags when a scene fell back to per-slot taps
-        packed = settings.material_packed_trilinear and combined
+        # atlas; demote the flags when a scene fell back to per-slot taps.
+        # The EFFECTIVE packed choice (incl. "auto" resolution at build) is
+        # read off the atlas itself: packed rows carry 16*COMBINED_C lanes.
+        packed = combined and int(self.device_scene.quad_img.shape[-1]) == 256
         u8 = settings.material_atlas_u8 and combined
         if (
             settings.combined_material,
@@ -769,7 +774,9 @@ class Renderer:
                 substitutions_out=self.texture_substitutions,
                 atlas_u8=new.material_atlas_u8,
             )
-            packed = new.material_packed_trilinear and combined
+            packed = (
+                combined and int(self.device_scene.quad_img.shape[-1]) == 256
+            )
             new = dataclasses.replace(
                 new, combined_material=combined, material_packed_trilinear=packed,
                 material_atlas_u8=new.material_atlas_u8 and combined,

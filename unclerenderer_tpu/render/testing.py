@@ -329,7 +329,9 @@ def synthetic_device_scene(
                 [encode_combined_u8(lv) for lv in ch] for ch in combo_chains
             ]
             mat_dtype = np.uint8
-        if packed_trilinear:
+        from .params import resolve_packed_trilinear
+
+        if resolve_packed_trilinear(packed_trilinear, n_combos):
             from ..textures.atlas import build_pyramid_tri_atlas
 
             quad_img, rect0 = build_pyramid_tri_atlas(
