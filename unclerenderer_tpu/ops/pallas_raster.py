@@ -844,9 +844,17 @@ def rasterize_binned(
                 id_col if records is None
                 else jnp.concatenate([records[g_idx], id_col], axis=1)
             )
+        gth = giant_tile_h or big_tile_h
+        gtw = giant_tile_w or big_tile_w
+        # the record-emission path adds (chunk, pix) one-hot/attr
+        # intermediates; at 64x256 tiles that lands 128 KB past the 16 MB
+        # VMEM scope (measured compile OOM) -- halve the tile rows until
+        # the working set fits with margin
+        while rec_g is not None and gth * gtw > 8192 and gth > 8:
+            gth //= 2
         big_out = rasterize_pallas(
             giant_setup, width, height,
-            tile_h=giant_tile_h or big_tile_h, tile_w=giant_tile_w or big_tile_w,
+            tile_h=gth, tile_w=gtw,
             chunk=big_chunk,
             y_offset=y_offset, interpret=interpret, want_ids=want_ids,
             records=rec_g,

@@ -92,11 +92,12 @@ def gather_rows_onehot_matmul(
     n = flat.shape[0]
     n_pad = -(-n // blk) * blk
     flat = jnp.pad(flat, (0, n_pad - n))
-    flat2 = flat.reshape(n_pad // blk, blk)
 
     def kernel(idx_ref, table_ref, out_ref):
+        # 1D idx block (Mosaic: a (1, blk) 2D block trips the 8-sublane
+        # tiling rule; the 1D lane-vector form does not)
         r = jax.lax.broadcasted_iota(jnp.int32, (blk, rows), 1)
-        oh = (r == idx_ref[0, :][:, None]).astype(table_ref.dtype)
+        oh = (r == idx_ref[:][:, None]).astype(table_ref.dtype)
         out_ref[...] = jax.lax.dot_general(
             oh, table_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -107,13 +108,13 @@ def gather_rows_onehot_matmul(
         kernel,
         grid=(n_pad // blk,),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda i: (i, 0)),
+            pl.BlockSpec((blk,), lambda i: (i,)),
             pl.BlockSpec((rows, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         interpret=interpret,
-    )(flat2, table)
+    )(flat, table)
     return out[:n].reshape(*shape, c)
 
 
