@@ -145,10 +145,23 @@ def main():
             for _ in range(n):
                 out, st_i = full_jit(scene, params, st_i)
             jax.block_until_ready(out["color"])
-        per = parse_pass_times(d, pass_names=PASS_NAMES_FINE, n_frames=n)
+        other_top: list = []
+        per = parse_pass_times(
+            d, pass_names=PASS_NAMES_FINE, n_frames=n, other_top=other_top
+        )
         print(f"-- in-frame attribution ({n} traced frames, device op time) --")
         for k, v in sorted(per.items(), key=lambda kv: -kv[1]):
             print(f"  {k:<20}{v:9.3f} ms", flush=True)
+        # aggregate the unattributed ops by their (truncated) op path so
+        # "(other)" stops being a black box
+        from collections import defaultdict as _dd
+
+        agg = _dd(float)
+        for dur, hay in other_top:
+            agg[hay[:110]] += dur
+        print(f"-- top unattributed ops ({n} frames) --")
+        for hay, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
+            print(f"  {dur / 1e3 / n:8.3f} ms  {hay}", flush=True)
 
     if on("vertex"):
         timed_scan(

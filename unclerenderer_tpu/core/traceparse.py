@@ -90,7 +90,8 @@ def _op_threads(events) -> set:
 
 
 def parse_pass_times(
-    trace_dir, pass_names=PASS_NAMES, n_frames: int = 1
+    trace_dir, pass_names=PASS_NAMES, n_frames: int = 1,
+    other_top: list | None = None,
 ) -> dict[str, float]:
     """Sum device-op durations per named pass from the newest trace under
     ``trace_dir``; returns ``{pass: ms}`` (per frame when ``n_frames`` > 1)
@@ -126,6 +127,8 @@ def parse_pass_times(
         total += dur_us
         hit = next((p for p in pass_names if p in hay), None)
         sums[hit if hit is not None else "(other)"] += dur_us
+        if hit is None and other_top is not None:
+            other_top.append((dur_us, hay))
     if not total:
         return {}
     out = {k: v / 1e3 / max(n_frames, 1) for k, v in sums.items()}

@@ -140,6 +140,12 @@ def _raster_kernel(
                 match, rec_ref[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # HIGHEST = bf16x3 passes: exact for record f32s and for
+                # integer id columns < 2^24.  DEFAULT is ONE bf16 pass on
+                # TPU -- it silently rounded emitted ids > 255 (caught by
+                # the round-6 on-metal parity gate; interpret-mode tests
+                # use exact f32 dots and cannot see it).
+                precision=jax.lax.Precision.HIGHEST,
             )
             # f32 mask before the minor-dim insert (Mosaic cannot
             # reshape 1-bit vectors across dims)
@@ -226,6 +232,8 @@ def _raster_kernel_onepass(
                     match, rec_ref[c],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # exact record/id reproduction (see _raster_kernel)
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 take = jnp.where(better | (tie & (k_id < acc_id)), 1.0, 0.0)
                 attr_ref[0] = jnp.where(
@@ -584,6 +592,12 @@ def _binned_kernel(
                 match, rec_ref[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # HIGHEST = bf16x3 passes: exact for record f32s and for
+                # integer id columns < 2^24.  DEFAULT is ONE bf16 pass on
+                # TPU -- it silently rounded emitted ids > 255 (caught by
+                # the round-6 on-metal parity gate; interpret-mode tests
+                # use exact f32 dots and cannot see it).
+                precision=jax.lax.Precision.HIGHEST,
             )  # (pix, R)
             # f32 mask before the minor-dim insert (Mosaic cannot reshape
             # 1-bit vectors across dims)
@@ -784,7 +798,15 @@ def rasterize_binned(
     # chunks than rasterizing).
     with jax.named_scope("MidLevel"):
         cap_mid = min(t_count, max(big_chunk, -(-(t_count // mid_divisor) // big_chunk) * big_chunk))
-        mid_idx, mid_valid = compact(bins.big_mask, cap_mid)
+        cap_g = min(t_count, max(big_chunk, -(-(t_count // giant_divisor) // big_chunk) * big_chunk))
+        # ONE full-T sort serves BOTH levels: compact() packs valid rows in
+        # ascending id order, so rows [0, cap_mid) are the mid list and
+        # rows [cap_mid, cap_mid+cap_g) are exactly the mid-cap OVERFLOW
+        # (every overflow id > every mid id) -- the giant level below
+        # consumes that slice instead of running its own full-T sort
+        # (~3 ms each at T=163840, round-6 prof_giant).
+        ext_idx, ext_valid = compact(bins.big_mask, min(cap_mid + cap_g, t_count))
+        mid_idx, mid_valid = ext_idx[:cap_mid], ext_valid[:cap_mid]
         mid_setup = RasterSetup(
             coef=setup.coef[mid_idx], valid=mid_valid, bbox=setup.bbox[:, mid_idx]
         )
@@ -811,21 +833,31 @@ def rasterize_binned(
     else:
         key_img = jnp.maximum(key_img, mid_key)
 
-    # overflow of the mid compaction joins the giant list
-    mid_overflow = bins.big_mask & (
-        jnp.zeros(t_count, bool).at[mid_idx].set(True) == False  # noqa: E712
-    )
-
     # Remaining giant triangles (walls/floors): brute-force over a small
-    # compacted list; ids remap through the compaction index afterwards.
+    # compacted list.  The set is (mid rows whose coarse binning flagged
+    # them giant) ∪ (mid-cap overflow rows); both parts come pre-sorted --
+    # part A from a cap_mid-space compact (a ~10k sort), part B as the
+    # [cap_mid, cap_mid+cap_g) slice of the SAME full-T sort the mid level
+    # ran, and every B id exceeds every A id, so their concatenation is
+    # already in ascending global order.  Bit-identical giant set to the
+    # old full-T re-sort, minus ~3 ms/raster.
     with jax.named_scope("GiantLevel"):
-        giant_global = (
-            jnp.zeros(t_count, bool).at[mid_idx].set(mid_bins.big_mask) | mid_overflow
-        )
-        cap_g = min(t_count, max(big_chunk, -(-(t_count // giant_divisor) // big_chunk) * big_chunk))
-        g_idx, g_valid = compact(giant_global, cap_g)
+        a_local, a_ok = compact(mid_bins.big_mask & mid_valid, cap_g)
+        a_ids = jnp.where(a_ok, mid_idx[a_local], 0)
+        b_ids = ext_idx[cap_mid:]
+        b_ok = ext_valid[cap_mid:]
+        cat_ids = jnp.concatenate([a_ids, b_ids])
+        cat_ok = jnp.concatenate([a_ok, b_ok])
+        g_local, g_valid = compact(cat_ok, cap_g)
+        g_idx = jnp.where(g_valid, cat_ids[g_local], 0)
+        # truncation: union rows past cap_g, plus big-mask rows that never
+        # made it into the extended window at all
+        n_big = jnp.sum(bins.big_mask).astype(jnp.int32)
+        lost_beyond = jnp.maximum(n_big - jnp.int32(min(cap_mid + cap_g, t_count)), 0)
         giant_truncated = (
-            jnp.sum(giant_global).astype(jnp.int32) - jnp.sum(g_valid).astype(jnp.int32)
+            jnp.sum(cat_ok).astype(jnp.int32)
+            - jnp.sum(g_valid).astype(jnp.int32)
+            + lost_beyond
         )
         giant_setup = RasterSetup(
             coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 ADDRESS_WRAP = 0
@@ -93,6 +94,14 @@ def gather_rows_onehot_matmul(
     n_pad = -(-n // blk) * blk
     flat = jnp.pad(flat, (0, n_pad - n))
 
+    # bf16 tables are exact in one MXU pass (the stored values ARE bf16);
+    # f32 tables need the bf16x3 HIGHEST path -- TPU's DEFAULT precision is
+    # a single bf16 pass that would round the gathered values
+    prec = (
+        jax.lax.Precision.DEFAULT if table.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
     def kernel(idx_ref, table_ref, out_ref):
         # 1D idx block (Mosaic: a (1, blk) 2D block trips the 8-sublane
         # tiling rule; the 1D lane-vector form does not)
@@ -102,6 +111,7 @@ def gather_rows_onehot_matmul(
             oh, table_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     out = pl.pallas_call(
@@ -363,8 +373,15 @@ def sample_table_bilinear_matmul(
     iy = jnp.arange(th, dtype=jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[:, None] - ix[None, :]))  # (P, TW)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty[:, None] - iy[None, :]))  # (P, TH)
-    # rows first: (P, TW) @ (TW, TH*C), then the column mix elementwise
-    z = wx @ table.transpose(1, 0, 2).reshape(tw, th * c)  # (P, TH*C)
+    # rows first: (P, TW) @ (TW, TH*C), then the column mix elementwise.
+    # HIGHEST precision: TPU's DEFAULT is one bf16 pass, which would round
+    # the hat weights/table and break the "exact 2-tap bilinear" contract
+    # on metal (the same latent bug the round-6 parity gate caught in the
+    # raster's record matmuls).
+    z = jnp.matmul(
+        wx, table.transpose(1, 0, 2).reshape(tw, th * c),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, TH*C)
     out = jnp.sum(z.reshape(-1, th, c) * wy[..., None], axis=1)
     return out.reshape(shape + (c,))
 
