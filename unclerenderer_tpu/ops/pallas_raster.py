@@ -62,6 +62,30 @@ def _eval_chunk(coef_ref, valid_row, qx, qy, ortho: bool = False, ci=0):
     return jnp.where(ok, key, -1.0), ok
 
 
+def _emit_records(match, rec, pix):
+    """Winner-record emission: (chunk, pix) one-hot match x (chunk, R)
+    records -> (pix, R), EXACT.
+
+    R == 1 (the giant level's global-id column) uses a VPU multiply-sum --
+    exact in f32 (one nonzero per column) with no matmul temporaries.  The
+    MXU alternative is a trap on both ends: DEFAULT precision is one bf16
+    pass (silently rounded ids > 255 -- caught by the round-6 on-metal
+    parity gate; interpret tests use exact f32 dots and cannot see it),
+    and HIGHEST (bf16x3) allocates lane-padded pass temporaries that blow
+    the 16 MB scoped-VMEM limit at production tile sizes (measured 24 MB
+    at pix=8192).  Wider records (fused resolve) keep the MXU dot at
+    HIGHEST, which is exact for f32 records."""
+    r_cols = rec.shape[-1]
+    if r_cols == 1:
+        return jnp.sum(match * rec[:, 0][:, None], axis=0)[:, None]
+    return jax.lax.dot_general(
+        match, rec,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Brute-force kernel (tiles x chunks grid)
 # ---------------------------------------------------------------------------
@@ -136,17 +160,7 @@ def _raster_kernel(
         if want_attrs:
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 0)
             match = ((row_iota == k_arg) & (k_best >= 0.0)).astype(jnp.float32)
-            attr_blk = jax.lax.dot_general(
-                match, rec_ref[0],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                # HIGHEST = bf16x3 passes: exact for record f32s and for
-                # integer id columns < 2^24.  DEFAULT is ONE bf16 pass on
-                # TPU -- it silently rounded emitted ids > 255 (caught by
-                # the round-6 on-metal parity gate; interpret-mode tests
-                # use exact f32 dots and cannot see it).
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            attr_blk = _emit_records(match, rec_ref[0], pix)
             # f32 mask before the minor-dim insert (Mosaic cannot
             # reshape 1-bit vectors across dims)
             take = jnp.where(better | (tie & (k_id < acc_id)), 1.0, 0.0)
@@ -228,13 +242,7 @@ def _raster_kernel_onepass(
             if want_attrs:
                 row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 0)
                 match = ((row_iota == k_arg) & (k_best >= 0.0)).astype(jnp.float32)
-                attr_blk = jax.lax.dot_general(
-                    match, rec_ref[c],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # exact record/id reproduction (see _raster_kernel)
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                attr_blk = _emit_records(match, rec_ref[c], pix)
                 take = jnp.where(better | (tie & (k_id < acc_id)), 1.0, 0.0)
                 attr_ref[0] = jnp.where(
                     take[0][:, None] > 0.5, attr_blk, attr_ref[0]
