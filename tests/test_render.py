@@ -791,3 +791,17 @@ def test_packed_trilinear_auto_resolution():
     scene, _ = synthetic_device_scene(
         4, rich_materials=True, atlas_u8=True, packed_trilinear="auto")
     assert scene.quad_img.shape[-1] == 64  # quad lanes
+
+
+def test_tri_draw_masks_matmul_bit_exact():
+    """The MXU one-hot mask gather equals the plain per-triangle gather."""
+    from unclerenderer_tpu.render import common
+    from unclerenderer_tpu.render.testing import synthetic_device_scene
+
+    scene, data = synthetic_device_scene(9, with_masked=True)
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.random(data.num_models) < 0.7)
+    o1, m1 = common.tri_draw_masks(scene, vis)
+    o2, m2 = common.tri_draw_masks(scene, vis, matmul=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

@@ -72,8 +72,27 @@ def vertex_stage_soa(
     return VertexSoA(px=tuple(px), py=tuple(py), pw=tuple(pw), z=tuple(z))
 
 
-def tri_draw_masks(scene: DeviceScene, model_visible: jnp.ndarray):
-    """Per-triangle opaque / alpha-masked draw masks from model state."""
+def tri_draw_masks(scene: DeviceScene, model_visible: jnp.ndarray,
+                   matmul: bool = False, interpret: bool = False):
+    """Per-triangle opaque / alpha-masked draw masks from model state.
+
+    matmul: gather the two per-model flags on the MXU (one-hot contraction,
+    ops/texture.py).  The plain path is two T-request gathers from a
+    models-row table -- the pathological small-table gather emitter; at
+    263k triangles x2 calls/frame the round-6 trace showed ~5.5 ms of
+    unattributed gather, vs <0.5 ms for the one-hot form.  Flags are 0/1,
+    exact in a single bf16 MXU pass."""
+    if matmul and scene.object_ids.shape[0] <= 2048:
+        from ..ops.texture import gather_rows_onehot_matmul
+
+        table = jnp.stack(
+            [model_visible, scene.alpha_mode == 1], axis=-1
+        ).astype(jnp.bfloat16)
+        got = gather_rows_onehot_matmul(
+            table, scene.tri_model, interpret=interpret
+        ) > 0.5
+        vis, masked = got[..., 0], got[..., 1]
+        return vis & ~masked, vis & masked
     vis = model_visible[scene.tri_model]
     masked = scene.alpha_mode[scene.tri_model] == 1
     return vis & ~masked, vis & masked

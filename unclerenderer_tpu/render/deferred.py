@@ -105,11 +105,18 @@ def deferred_frame(
     # --- 2. shadow map.  Casters are NOT camera-frustum culled (an object
     # behind the camera still casts; the reference culls against the light
     # frustum instead).  The host may pass a cached map (static light+scene).
-    opaque_mask, masked_mask = common.tri_draw_masks(scene, model_visible)
+    mask_mm = common._use_pallas(settings)
+    opaque_mask, masked_mask = common.tri_draw_masks(
+        scene, model_visible, matmul=mask_mm,
+        interpret=settings.pallas_interpret,
+    )
     shadow_overflow = jnp.zeros((), jnp.int32)
     if settings.enable_shadows:
         if shadow_map is None:
-            cast_o, cast_m = common.tri_draw_masks(scene, params.model_visible)
+            cast_o, cast_m = common.tri_draw_masks(
+                scene, params.model_visible, matmul=mask_mm,
+                interpret=settings.pallas_interpret,
+            )
             shadow_map, shadow_overflow = common.raster_shadow(
                 scene, params.light_view_proj, cast_o | cast_m, settings, dist
             )
