@@ -48,7 +48,7 @@ PASS_NAMES = (
 # scope path, so deepest-nested scopes must come first (Untile lives inside
 # RasterKernel/MidLevel/GiantLevel; LevelMerge inside the raster passes).
 SUB_SCOPES = (
-    "Untile", "LevelMerge", "GpuDebugPrint",
+    "Untile", "LevelMerge", "GpuDebugPrint", "GiantCompact", "GiantKernel",
     "RecGather", "InterpAttr", "MaterialTap", "NormalMap",
     "FineBinning", "RasterKernel", "MidLevel", "GiantLevel", "Compaction",
     "VertexSetup", "ShadowPack", "DirectLighting",

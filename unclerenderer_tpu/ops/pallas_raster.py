@@ -850,6 +850,7 @@ def rasterize_binned(
     # already in ascending global order.  Bit-identical giant set to the
     # old full-T re-sort, minus ~3 ms/raster.
     with jax.named_scope("GiantLevel"):
+      with jax.named_scope("GiantCompact"):
         a_local, a_ok = compact(mid_bins.big_mask & mid_valid, cap_g)
         a_ids = jnp.where(a_ok, mid_idx[a_local], 0)
         b_ids = ext_idx[cap_mid:]
@@ -870,6 +871,8 @@ def rasterize_binned(
         giant_setup = RasterSetup(
             coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
         )
+      # (dedent: kernel under its own sub-scope)
+      with jax.named_scope("GiantKernel"):
         # The winner's GLOBAL id is emitted by the kernel's record matmul
         # (last record column = g_idx as f32; ids < 2^24 are exact) instead
         # of a per-pixel ``g_idx[big_id_local]`` remap afterwards -- that
