@@ -235,7 +235,7 @@ def use_fused_resolve(settings, t_count: int) -> bool:
 def _dispatch_raster(
     setup, width, height, tile_h, tile_w, chunk, depth_mode, settings, y_offset=0,
     want_ids=True, records=None, ortho=False, budget_factor=None,
-    giant_tile=(0, 0),
+    giant_tile=(0, 0), big_tile=None,
 ):
     """Returns (depth, tri_id, stats[, attr]) -- stats carries the binned
     path's overflow counters (zeros on the exhaustive XLA path, which never
@@ -248,11 +248,15 @@ def _dispatch_raster(
     if _use_pallas(settings):
         from ..ops.pallas_raster import rasterize_binned
 
+        big_kw = {}
+        if big_tile is not None:
+            big_kw = {"big_tile_h": big_tile[0], "big_tile_w": big_tile[1]}
         return rasterize_binned(
             setup, width, height,
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, depth_mode=depth_mode,
             y_offset=y_offset,
             max_span=settings.bin_max_span,
+            **big_kw,
             budget_factor=(
                 settings.bin_budget_factor if budget_factor is None
                 else budget_factor
@@ -408,6 +412,12 @@ def raster_shadow(
         ortho=True,
         budget_factor=settings.shadow_bin_budget_factor,
         giant_tile=(settings.shadow_giant_tile_h, settings.shadow_giant_tile_w),
+        # coarse (mid-level) tiles sized for the map, not the screen --
+        # see RenderSettings.shadow_big_tile_h
+        big_tile=(
+            min(settings.shadow_big_tile_h, out_h),
+            settings.shadow_big_tile_w,
+        ),
     )
     if dist is not None and dist.n_dev > 1:
         depth = dist.all_gather_rows(depth)
