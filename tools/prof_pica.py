@@ -31,10 +31,19 @@ from unclerenderer_tpu.render.renderer import Renderer
 
 
 def main():
+    import os
+
     print("device:", jax.devices()[0], flush=True)
+    kw = {}
+    if os.environ.get("PICA_PACKED"):
+        kw["material_packed_trilinear"] = bool(int(os.environ["PICA_PACKED"]))
+    if os.environ.get("PICA_ENV_MM"):
+        kw["env_matmul_gather"] = bool(int(os.environ["PICA_ENV_MM"]))
+    if os.environ.get("PICA_FILTER"):
+        kw["texture_filter"] = os.environ["PICA_FILTER"]
     settings = RenderSettings(
         width=1920, height=1080, renderer_type="deferred",
-        shadow_map_size=4096,
+        shadow_map_size=4096, **kw,
     )
     t0 = time.monotonic()
     r = Renderer(

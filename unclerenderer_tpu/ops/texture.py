@@ -620,9 +620,11 @@ def sample_cube_pyramid_tri(
     ix = _wrap_index(ix_raw, w, ADDRESS_CLAMP)
     iy = _wrap_index(iy_raw, h, ADDRESS_CLAMP)
     env_rows = (y + iy) * atlas_width + (x + ix)
-    if matmul_gather:
+    table_bytes = env_tri_flat.shape[0] * env_tri_flat.shape[-1] * env_tri_flat.dtype.itemsize
+    if matmul_gather and table_bytes <= (4 << 20):
         # env atlases are small (~1-2k rows): the MXU one-hot gather beats
-        # the per-request row gather (gather_rows_onehot_matmul)
+        # the per-request row gather (gather_rows_onehot_matmul); larger
+        # tables fall back to the plain gather (VMEM residency cap)
         row = gather_rows_onehot_matmul(env_tri_flat, env_rows,
                                         interpret=interpret)
     else:

@@ -135,14 +135,14 @@ class RenderSettings:
     shadow_tile_w: int = 128
     # giant-level brute kernel tiles for the shadow map: its (tiles x
     # chunks) grid overhead scales with map area at fixed tile size
-    # mid-level (coarse-bin) tile size for the SHADOW raster: the camera
-    # default (32x128) is far too fine for a 4096^2 map -- medium casters
-    # span >4 such tiles and spill to the giant brute kernel by the
-    # hundreds (round-6 traceattr: GiantKernel 17.4 ms, GiantCompact 0.4).
-    # 64x256 keeps the per-block eval VMEM-safe (chunk x 16384 px) while
-    # covering 4x the area per span.
-    shadow_big_tile_h: int = 64
-    shadow_big_tile_w: int = 256
+    # mid-level (coarse-bin) tile size for the SHADOW raster.  The 64x256
+    # hypothesis (larger coarse tiles -> fewer giant spills at 4096^2) was
+    # MEASURED A LOSS on metal: frame 140.4 -> 148.0 (Untile 0.3 -> 4.6,
+    # ShadowPack 5.3 -> 6.4, GiantKernel unchanged at 17.4 -- the giant
+    # population is camera-side, not shadow-side).  Kept as knobs at the
+    # camera defaults.
+    shadow_big_tile_h: int = 32
+    shadow_big_tile_w: int = 128
     shadow_giant_tile_h: int = 64
     shadow_giant_tile_w: int = 256
     # pair budget for shadow binning: spans at 32x128 tiles are mostly one
