@@ -249,10 +249,14 @@ class RenderSettings:
     env_matmul_gather: bool = False
 
 
-# material-count boundary for material_packed_trilinear="auto": measured
-# endpoints are 6 materials (quad wins, coherent taps) and 24 (packed wins,
-# incoherent); the midpoint splits pica-class (7) from Sponza-class sets.
-PACKED_TRI_AUTO_MATERIALS = 12
+# material-count boundary for material_packed_trilinear="auto".  Measured
+# points: 6 procedural 256^2 materials -> quad wins (coherent taps; round-5
+# FULL-frame row 169.7 vs 200.4); pica's 7 real high-res materials ->
+# packed wins (pica frame 162.6 -> 134.2 ms, MaterialTap 78.2 -> 52.4);
+# Sponza's 24 -> packed wins (210.0 -> 187.7).  Every real-scene point
+# prefers packed (real taps are incoherent and latency-bound), so the
+# boundary sits directly above the one synthetic coherent case.
+PACKED_TRI_AUTO_MATERIALS = 6
 
 
 def resolve_packed_trilinear(setting, n_materials: int) -> bool:
