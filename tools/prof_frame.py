@@ -162,6 +162,35 @@ def main():
         print(f"-- top unattributed ops ({n} frames) --")
         for hay, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
             print(f"  {dur / 1e3 / n:8.3f} ms  {hay}", flush=True)
+        # PROF_SCOPE_DUMP=<ScopeName>: per-op split of one scope
+        scope = os.environ.get("PROF_SCOPE_DUMP")
+        if scope:
+            from unclerenderer_tpu.core.traceparse import (
+                find_trace_file,
+            )
+            import gzip as _gz
+            import json as _json
+
+            f = find_trace_file(d)
+            with _gz.open(f, "rt") as fh:
+                doc = _json.load(fh)
+            agg2 = _dd(float)
+            for e in doc.get("traceEvents", []):
+                if e.get("ph") != "X":
+                    continue
+                args2 = e.get("args", {}) or {}
+                hay2 = str(args2.get("tf_op", "")) or str(e.get("name", ""))
+                if scope not in hay2:
+                    continue
+                dur2 = (
+                    float(args2["device_duration_ps"]) / 1e6
+                    if "device_duration_ps" in args2
+                    else float(e.get("dur", 0))
+                )
+                agg2[hay2[:140]] += dur2
+            print(f"-- top ops in scope {scope} ({n} frames) --")
+            for hay2, dur2 in sorted(agg2.items(), key=lambda kv: -kv[1])[:14]:
+                print(f"  {dur2 / 1e3 / n:8.3f} ms  {hay2}", flush=True)
 
     if on("vertex"):
         timed_scan(
