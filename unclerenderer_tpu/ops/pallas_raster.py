@@ -335,6 +335,10 @@ def rasterize_pallas(
     the viewport the setup was built for, in GLOBAL pixel coordinates -- the
     per-pixel math is bit-identical to the full-frame render (sharding
     cannot change the image)."""
+    if records is not None and not want_ids:
+        # both kernels rewire refs assuming want_attrs implies want_ids;
+        # the combination would silently emit a garbage attr block
+        raise ValueError("rasterize_pallas: records requires want_ids=True")
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
     n_ty, n_tx = pad_h // tile_h, pad_w // tile_w
@@ -851,7 +855,8 @@ def rasterize_binned(
     # old full-T re-sort, minus ~3 ms/raster.
     with jax.named_scope("GiantLevel"):
       with jax.named_scope("GiantCompact"):
-        a_local, a_ok = compact(mid_bins.big_mask & mid_valid, cap_g)
+        a_mask = mid_bins.big_mask & mid_valid
+        a_local, a_ok = compact(a_mask, cap_g)
         a_ids = jnp.where(a_ok, mid_idx[a_local], 0)
         b_ids = ext_idx[cap_mid:]
         b_ok = ext_valid[cap_mid:]
@@ -860,13 +865,20 @@ def rasterize_binned(
         g_local, g_valid = compact(cat_ok, cap_g)
         g_idx = jnp.where(g_valid, cat_ids[g_local], 0)
         # truncation: union rows past cap_g, plus big-mask rows that never
-        # made it into the extended window at all
+        # made it into the extended window at all, plus mid-list giants the
+        # A-side compact dropped past cap_g BEFORE cat_ok was formed (the
+        # g-compact sum alone cannot see those)
         n_big = jnp.sum(bins.big_mask).astype(jnp.int32)
         lost_beyond = jnp.maximum(n_big - jnp.int32(min(cap_mid + cap_g, t_count)), 0)
+        lost_a = jnp.maximum(
+            jnp.sum(a_mask).astype(jnp.int32)
+            - jnp.sum(a_ok).astype(jnp.int32), 0
+        )
         giant_truncated = (
             jnp.sum(cat_ok).astype(jnp.int32)
             - jnp.sum(g_valid).astype(jnp.int32)
             + lost_beyond
+            + lost_a
         )
         giant_setup = RasterSetup(
             coef=setup.coef[g_idx], valid=g_valid, bbox=setup.bbox[:, g_idx]
@@ -882,6 +894,11 @@ def rasterize_binned(
         # sample_table_bilinear_matmul's 146 ms/16KB measurement).
         rec_g = None
         if want_ids:
+            # the global id rides an f32 record column: exact only below 2^24
+            assert t_count < (1 << 24), (
+                f"giant-level f32 id emission is exact only for ids < 2^24 "
+                f"(t_count={t_count}); use the gather-based remap above that"
+            )
             id_col = g_idx.astype(jnp.float32)[:, None]
             rec_g = (
                 id_col if records is None

@@ -271,7 +271,13 @@ def resolve_packed_trilinear(setting, n_materials: int) -> bool:
     rounds 5-6)."""
     if setting == "auto":
         return n_materials > PACKED_TRI_AUTO_MATERIALS
-    return bool(setting)
+    if not isinstance(setting, bool):
+        # a typo like 'Auto' or 'off' must not silently enable the layout
+        raise ValueError(
+            "material_packed_trilinear must be True, False or 'auto'; "
+            f"got {setting!r}"
+        )
+    return setting
 
 
 @jax.tree_util.register_dataclass

@@ -338,10 +338,19 @@ class Renderer:
         # (core/scenecache.py) -- a hit skips the whole asset pipeline.
         from ..core import scenecache
 
+        # The key must capture the RESOLVED atlas layout, not just the
+        # setting: "auto" resolves by material count against
+        # PACKED_TRI_AUTO_MATERIALS, so a boundary change must miss the
+        # cache (round-4's judged pica row hit a stale quad-layout cache
+        # after the boundary moved -- the 183 vs 134 ms discrepancy,
+        # VERDICT r4 next-step #5).
+        from .params import PACKED_TRI_AUTO_MATERIALS
+
         self._scene_cache_key = scenecache.scene_key(
             scene_path, scenecache.model_files_of(scene_path),
             (settings.enable_combined_material,
              settings.material_packed_trilinear,
+             PACKED_TRI_AUTO_MATERIALS,
              settings.material_atlas_u8, str(self.assets_root)),
         )
         self._cached_build = scenecache.load(self._scene_cache_key)
