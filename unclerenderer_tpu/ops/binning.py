@@ -156,7 +156,12 @@ def _align_pairs(
     Returns (blocks_tid, slot_valid, blk_tile, blk_first, in_use, tile_used,
     overflow) -- everything downstream of the sort except the coefficient
     gather."""
-    starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    # scan_unrolled: log2(n_pairs) VECTORIZED gather steps over the small
+    # (n_tiles+1,) query array; the default method lowered to a while loop
+    # (~1-2 ms per raster in the round-5 op dump)
+    starts = jnp.searchsorted(
+        sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        method="scan_unrolled")
     counts = jnp.diff(starts)
 
     nblk = -(-counts // chunk)
@@ -167,7 +172,9 @@ def _align_pairs(
 
     blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
     blk_tile = jnp.clip(
-        jnp.searchsorted(blk_start, blk_ids, side="right").astype(jnp.int32) - 1,
+        jnp.searchsorted(
+            blk_start, blk_ids, side="right", method="scan_unrolled"
+        ).astype(jnp.int32) - 1,
         0,
         n_tiles - 1,
     )

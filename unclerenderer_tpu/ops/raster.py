@@ -387,7 +387,7 @@ def gather_rows_parts(rec: jnp.ndarray, idx: jnp.ndarray,
 def compact_mask(mask: jnp.ndarray, cap: int, mode: str = "sort"):
     """First ``cap`` True rows of ``mask`` in ascending index order.
 
-    Returns ``(ids (cap,) i32, ok (cap,) bool)``.  Two formulations with
+    Returns ``(ids (cap,) i32, ok (cap,) bool)``.  Three formulations with
     identical outputs (cross-tested):
 
     * "sort": pack (flag, index) into one i32 and sort -- ~3 ms at
@@ -396,9 +396,39 @@ def compact_mask(mask: jnp.ndarray, cap: int, mode: str = "sort"):
     * "scatter": cumsum ranks + one unique-index scatter -- prof_fuse
       decision rows price it; identical ascending-order semantics (rows
       past the cap drop into a dump slot, counted by the caller via ok).
+    * "shift": log-step shift compaction -- O(log T) rolls+selects instead
+      of the XLA bitonic sort's O(log^2 T) compare-exchange stages.  Each
+      masked element must move left by ``delta = index - rank`` (monotone
+      non-decreasing over masked elements); processing delta bits LSB->MSB
+      and shifting by 2^k is collision-free (for masked i<j,
+      (delta_j & m) - (delta_i & m) <= delta_j - delta_i <= j - i - 1 for
+      every bit mask m, so no two elements ever land on one slot), and the
+      element arriving at final slot j has original index j + delta, so
+      only the delta array is carried -- ~5 vector ops x log2(T) stages.
     """
     t_count = mask.shape[0]
     iota = jnp.arange(t_count, dtype=jnp.int32)
+    if mode == "shift":
+        cap = min(cap, t_count)  # sort mode's [:cap] truncates to T likewise
+        mask_i = mask.astype(jnp.int32)
+        rank = jnp.cumsum(mask_i) - mask_i  # exclusive running rank
+        delta = jnp.where(mask, iota - rank, 0)
+        for k in range(max((t_count - 1).bit_length(), 1)):
+            step = jnp.int32(1 << k)
+            bit = (delta >> k) & 1
+            sh_delta = jnp.roll(delta, -(1 << k))
+            sh_bit = (sh_delta >> k) & 1
+            # slot p: take the element arriving from p+2^k if it moves this
+            # stage; else keep its own if it stays; else the slot empties
+            # (delta 0 = background, never taken: its bit is always 0)
+            delta = jnp.where(
+                sh_bit == 1, sh_delta, jnp.where(bit == 0, delta, 0)
+            )
+            del step
+        total = rank[-1] + mask_i[-1]
+        cap_iota = jnp.arange(cap, dtype=jnp.int32)
+        ok = cap_iota < jnp.minimum(total, cap)
+        return jnp.where(ok, cap_iota + delta[:cap], 0), ok
     if mode == "scatter":
         pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
         dest = jnp.where(mask & (pos < cap), pos, cap)

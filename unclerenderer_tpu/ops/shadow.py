@@ -368,6 +368,12 @@ def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
     rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0))).reshape(-1, pix, lanes_n)
     base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
     grid = n_pad // pix
+    return _select9_call(
+        rows_p, base_p, grid, pix, lanes_n, deltas, interpret)[:n, :9]
+
+
+def _select9_call(rows_p, base_p, grid, pix, lanes_n, deltas, interpret):
+    from jax.experimental import pallas as pl
     out = pl.pallas_call(
         lambda r, b, o: _select9_kernel(
             r, b, o, deltas=deltas, pix=pix, lanes_n=lanes_n
@@ -381,7 +387,27 @@ def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
         out_shape=jax.ShapeDtypeStruct((grid, pix, 16), jnp.float32),
         interpret=interpret,
     )(rows_p, base_p)
-    return out.reshape(n_pad, 16)[:n, :9]
+    return out.reshape(grid * pix, 16)
+
+
+def _select9_fetch(blocks_flat, row_idx, base, deltas, interpret=False):
+    """Gather + 3x3 lane select with the row gather emitted directly in the
+    kernel's (grid, pix, L) block shape: reshaping the INDEX array before
+    the gather costs nothing, while reshaping/padding the gathered rows
+    afterwards copied the whole ~1 GB row array (the 3.9 ms `reshape` in
+    the round-5 ShadowPCF op dump).  Bit-identical to gather-then-_select9."""
+    n = row_idx.shape[0]
+    pix = 1024
+    n_pad = -(-n // pix) * pix
+    idx_p = jnp.pad(row_idx, (0, n_pad - n)).reshape(-1, pix)
+    rows_p = blocks_flat[idx_p]            # (grid, pix, L) -- no data reshape
+    if rows_p.dtype != jnp.float32:
+        rows_p = rows_p.astype(jnp.float32)
+    base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
+    grid = n_pad // pix
+    lanes_n = blocks_flat.shape[-1]
+    out = _select9_call(rows_p, base_p, grid, pix, lanes_n, deltas, interpret)
+    return out[:n, :9]
 
 
 @named_pass("ShadowPCF")
@@ -410,10 +436,13 @@ def shadow_factor_blocks(
     base = (yi0 % bh) * (bw + 2) + (xi0 % bw)
     # ONE plain row gather at every map size: 128-lane f32 tables measured
     # fast to >=262k rows on the current toolchain (round-4 gather law);
-    # the u16 table halves the row bytes on the same plain gather
-    rows = blocks_flat[row.reshape(-1)]
+    # the u16 table halves the row bytes on the same plain gather.  The
+    # gather is emitted directly in the select kernel's block shape
+    # (_select9_fetch) -- reshaping the gathered rows cost a ~1 GB copy.
     deltas = tuple(dy * (bw + 2) + dx for dy in range(3) for dx in range(3))
-    nb = _select9(rows, base.reshape(-1), deltas, interpret=interpret)
+    nb = _select9_fetch(
+        blocks_flat, row.reshape(-1), base.reshape(-1), deltas,
+        interpret=interpret)
     nb = nb.reshape(compare.shape + (9,))
     nb9 = [nb[..., k] for k in range(9)]
     if blocks_flat.dtype == jnp.uint16:

@@ -1075,6 +1075,9 @@ def resolve_materials(
 
     quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
     atlas_width = scene.quad_img.shape[1]
+    # filled by the compacted anisotropic sampler (pixels whose line taps
+    # fell past the static cap); surfaced as stats "aniso_tap_overflow"
+    aniso_overflow_box = [jnp.int32(0)]
 
     def sample_slot(slot):
         # trace-attribution sub-scope: the texture tap (transform + LOD +
@@ -1101,6 +1104,56 @@ def resolve_materials(
                 uv_above=ua, uv_below=ub,
                 same_tri_bx=same_bx, same_tri_by=same_by,
             )
+            frac = settings.aniso_compact_frac
+            if 0.0 < frac < 1.0:
+                # Compacted line taps (round-5): only GRAZING pixels have an
+                # anisotropic footprint (extent > 0); head-on surfaces --
+                # most of the screen -- degenerate to N coincident taps that
+                # equal ONE trilinear sample exactly.  So: one full-rate
+                # center tap serves the isotropic pixels, and the N offset
+                # taps run only over a compacted list of anisotropic pixels
+                # (static cap = frac of the image, counted overflow -- a
+                # pixel past the cap falls back to the center tap at the
+                # correct minor-axis LOD, i.e. sharper-than-filtered, never
+                # garbage).  Cuts the sampler's gather count from N x pixels
+                # to pixels + N x cap.
+                from ..ops.raster import compact_mask
+
+                n_pix = 1
+                for _d in suv.shape[:-1]:
+                    n_pix *= int(_d)
+                cap = max(1024, (int(n_pix * frac) // 1024) * 1024)
+                lead = suv.shape[:-1]
+
+                def flat(x):
+                    return x.reshape((n_pix,) + x.shape[len(lead):])
+
+                amask = flat((extent > 0.0) & valid)
+                ids, ok_c = compact_mask(amask, cap, "sort")
+                safe_ids = jnp.where(ok_c, ids, 0)
+                suv_c = flat(suv)[safe_ids]
+                lod_c = flat(lod)[safe_ids]
+                dmaj_c = flat(dmaj)[safe_ids]
+                ext_c = flat(extent)[safe_ids]
+                rect_c = flat(rect0)[safe_ids]
+                acc = 0.0
+                for k in range(n):
+                    t = ((k + 0.5) / n - 0.5) * ext_c
+                    acc = acc + _sample_trilinear_any(
+                        quad_flat, atlas_width, rect_c,
+                        suv_c + dmaj_c * t[..., None], lod_c,
+                    )
+                acc = acc / n
+                center = _sample_trilinear_any(
+                    quad_flat, atlas_width, rect0, suv, lod)
+                img = flat(center)
+                img = img.at[jnp.where(ok_c, ids, n_pix)].set(
+                    acc, mode="drop")
+                aniso_overflow_box[0] = (
+                    jnp.sum(amask).astype(jnp.int32)
+                    - jnp.sum(ok_c).astype(jnp.int32)
+                )
+                return img.reshape(center.shape)
             acc = 0.0
             for k in range(n):
                 t = ((k + 0.5) / n - 0.5) * extent
@@ -1169,6 +1222,7 @@ def resolve_materials(
 
     return {
         "valid": valid,
+        "aniso_tap_overflow": aniso_overflow_box[0],
         "model_id": model_id,
         "object_id_f": M(PK.M_OBJID),
         "world_pos": world_pos,

@@ -176,6 +176,11 @@ def deferred_frame(
         full_override=attr,
         compact_ids=compact_ids,
     )
+    if settings.texture_filter == "anisotropic":
+        # pixels whose compacted line taps fell past the static cap (each
+        # slab compacts its own pixels -> psum)
+        raster_stats["aniso_tap_overflow"] = dist.psum(
+            g["aniso_tap_overflow"])
 
     # --- 6. HZB for next frame (sharded: built replicated from the
     # all_gather'd depth slabs so next frame's culling sees the full screen)

@@ -82,6 +82,8 @@ def forward_frame(
         scene, pix9, tri_id, settings, full_override=attr,
         compact_ids=compact_ids,
     )
+    if settings.texture_filter == "anisotropic":
+        raster_stats["aniso_tap_overflow"] = g["aniso_tap_overflow"]
 
     n = g["normal"]
     v = pbr.normalize(params.camera_pos - g["world_pos"])

@@ -61,6 +61,13 @@ class RenderSettings:
     # deviation #1; reference samplers: ForwardRenderer.cpp:956-1014).
     texture_filter: str = "trilinear"
     max_anisotropy: int = 4
+    # Compacted anisotropic line taps (round 5): the N offset taps run only
+    # over a compacted list of GRAZING pixels (extent > 0; head-on pixels'
+    # N coincident taps equal one trilinear sample exactly), capped at this
+    # fraction of the image.  Pixels past the cap fall back to the center
+    # tap at the correct minor-axis LOD and are COUNTED
+    # (stats "aniso_tap_overflow").  0/1 = dense N-tap path everywhere.
+    aniso_compact_frac: float = 0.5
     # user knob: allow fusing material maps into the combined atlas
     enable_combined_material: bool = True
     # Packed-trilinear material atlas: each texel row carries its own 2x2

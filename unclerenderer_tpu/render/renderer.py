@@ -353,14 +353,23 @@ class Renderer:
              PACKED_TRI_AUTO_MATERIALS,
              settings.material_atlas_u8, str(self.assets_root)),
         )
+        # per-phase init timing (VERDICT r4 next-step #6: the 83-95 s warm
+        # init was a black box); surfaced as Renderer.setup_phase_s and in
+        # the bench JSON
+        self.setup_phase_s: dict[str, float] = {}
+        _t_ph = time.monotonic()
         self._cached_build = scenecache.load(self._scene_cache_key)
+        self.setup_phase_s["cache_load"] = round(time.monotonic() - _t_ph, 2)
         # observability: warm vs cold init is a first-class number
         # (bench.py records it per row; VERDICT r5 next-step #8)
         self.scene_cache_hit = self._cached_build is not None
         if self._cached_build is not None:
             self.scene_data = self._cached_build[0]
         else:
+            _t_ph = time.monotonic()
             self.scene_data = build_scene(scene_path, self.assets_root)
+            self.setup_phase_s["scene_build"] = round(
+                time.monotonic() - _t_ph, 2)
         if self.scene_data is None:
             # Scene fallback ladder (the reference falls back to a default
             # scene on load failure, DeferredRenderer.cpp:259-293): a
@@ -433,15 +442,25 @@ class Renderer:
         self.texture_substitutions: list[str] = []
         if self._cached_build is not None:
             _sd, arrays, meta = self._cached_build
-            self.device_scene = DeviceScene(
-                **{k: jnp.asarray(v) for k, v in arrays.items()}
-            )
+            # ONE batched device_put for the whole scene: per-array
+            # jnp.asarray calls each pay the relay's fixed per-transfer
+            # round trip (the 83 s warm init of BENCH_r04 was ~30 such
+            # calls for 659 MB; the round-6 probe moved 805 MB in ONE
+            # device_put in 2.3 s)
+            _t_ph = time.monotonic()
+            dev = jax.device_put({k: np.ascontiguousarray(v)
+                                  for k, v in arrays.items()})
+            self.device_scene = DeviceScene(**dev)
+            jax.block_until_ready(dev)
+            self.setup_phase_s["device_upload"] = round(
+                time.monotonic() - _t_ph, 2)
             self.env_mip_count = meta["env_mip_count"]
             combined = bool(meta["combined"])
             self.texture_substitutions = list(meta.get("substitutions", []))
         else:
             consumed: list[str] = []
             host_arrays: dict = {}
+            _t_ph = time.monotonic()
             self.device_scene, self.env_mip_count, combined = _build_device_scene(
                 self.scene_data, self.assets_root, settings.enable_combined_material,
                 packed_trilinear=settings.material_packed_trilinear,
@@ -450,6 +469,9 @@ class Renderer:
                 host_out=host_arrays,
                 atlas_u8=settings.material_atlas_u8,
             )
+            self.setup_phase_s["build_and_upload"] = round(
+                time.monotonic() - _t_ph, 2)
+            _t_ph = time.monotonic()
             if self._scene_cache_key is not None:
                 scenecache.store(
                     self._scene_cache_key, self.scene_data, host_arrays,

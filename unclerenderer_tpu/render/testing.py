@@ -286,6 +286,219 @@ def sponza_material_chains(max_combos: int | None = None, max_dim: int = 256):
     return chains, factors
 
 
+def sponza_faithful_scene_data(seed: int = 0) -> SceneData | None:
+    """Geometry-faithful Sponza stand-in built from ``untitled.gltf``'s
+    accessor metadata alone (VERDICT r4 next-step #8).
+
+    The checkout is missing ``untitled.bin``, but every one of the gltf's
+    25 primitives still records its triangle count and POSITION min/max
+    AABB.  This tier synthesizes grid-meshed sheets INSIDE each primitive's
+    real AABB carrying its real triangle count and real material binding,
+    reproducing Sponza's draw distribution exactly: 25 models, 262,267
+    triangles, many dense small-triangle primitives plus a few
+    structural-wall primitives whose triangles are giant (the gltf's
+    walls/floor accessors span ~3600 units at a few hundred triangles --
+    the raster's third level), per-primitive world AABBs for culling.
+    Returns None when the gltf is absent (caller falls back to the
+    sphere tier).
+    """
+    import json
+
+    gltf_path = Path(_SPONZA_GLTF)
+    if not gltf_path.is_file():
+        return None
+    g = json.loads(gltf_path.read_text())
+    mats = g.get("materials", [])
+    # chain index per gltf material, matching sponza_material_chains'
+    # skip-if-no-baseColor iteration order
+    chain_of_mat: dict[int, int] = {}
+    for mi, mt in enumerate(mats):
+        if mt.get("pbrMetallicRoughness", {}).get(
+                "baseColorTexture", {}).get("index") is not None:
+            chain_of_mat[mi] = len(chain_of_mat)
+
+    prims = []
+    for mesh in g.get("meshes", []):
+        for p in mesh.get("primitives", []):
+            acc_p = g["accessors"][p["attributes"]["POSITION"]]
+            n_tris = (
+                g["accessors"][p["indices"]]["count"] // 3
+                if "indices" in p else acc_p["count"] // 3
+            )
+            prims.append((
+                n_tris,
+                np.asarray(acc_p["min"], np.float32),
+                np.asarray(acc_p["max"], np.float32),
+                p.get("material", 0),
+            ))
+    if not prims:
+        return None
+
+    rng = np.random.default_rng(seed)
+    data = SceneData()
+    pos_parts, nrm_parts, tan_parts, uv_parts, col_parts = [], [], [], [], []
+    tri_parts, tri_model_parts = [], []
+    v_off = t_off = 0
+    scene_min = np.full(3, np.inf, np.float32)
+    scene_max = np.full(3, -np.inf, np.float32)
+
+    def sheet(g_u, g_v, axes, origin, du, dv, normal, urep, vrep):
+        """One grid-meshed quad sheet: (g_u x g_v) quads = 2*g_u*g_v tris."""
+        uu, vv = np.meshgrid(
+            np.linspace(0.0, 1.0, g_u + 1, dtype=np.float32),
+            np.linspace(0.0, 1.0, g_v + 1, dtype=np.float32), indexing="ij")
+        pts = (origin[None, None]
+               + uu[..., None] * du[None, None]
+               + vv[..., None] * dv[None, None]).reshape(-1, 3)
+        uvs = np.stack([uu * urep, vv * vrep], -1).reshape(-1, 2)
+        iu, iv = np.meshgrid(np.arange(g_u), np.arange(g_v), indexing="ij")
+        q00 = (iu * (g_v + 1) + iv).reshape(-1)
+        q01, q10 = q00 + 1, q00 + (g_v + 1)
+        q11 = q10 + 1
+        tris = np.stack(
+            [np.stack([q00, q10, q11], -1), np.stack([q00, q11, q01], -1)],
+            1).reshape(-1, 3).astype(np.uint32)
+        nrm = np.broadcast_to(normal, (pts.shape[0], 3)).astype(np.float32)
+        tanu = du / max(float(np.linalg.norm(du)), 1e-20)
+        tan = np.concatenate(
+            [np.broadcast_to(tanu, (pts.shape[0], 3)),
+             np.ones((pts.shape[0], 1), np.float32)], 1).astype(np.float32)
+        return pts.astype(np.float32), nrm, tan, uvs.astype(np.float32), tris
+
+    # the reference's sponza.json world: scale 0.01, translate (+5, 0, 0)
+    # (Assets/Scenes/sponza.json) -- applied so the tier's world units and
+    # camera framing match the reference scene exactly
+    _SCALE = np.float32(0.01)
+    _TRANS = np.array([5.0, 0.0, 0.0], np.float32)
+
+    for pi, (n_tris, bmin, bmax, mat_i) in enumerate(prims):
+        # RH -> LH: negate z (GltfLoader.cpp:823 semantics); swap the z
+        # bounds so min <= max holds after the mirror
+        zmin, zmax = -bmax[2], -bmin[2]
+        bmin = np.array([bmin[0], bmin[1], zmin], np.float32) * _SCALE + _TRANS
+        bmax = np.array([bmax[0], bmax[1], zmax], np.float32) * _SCALE + _TRANS
+        ext = np.maximum(bmax - bmin, 1e-3)
+        order = np.argsort(-ext)  # sheet axes = two largest extents
+        au, av, ad = int(order[0]), int(order[1]), int(order[2])
+
+        n_sheets = int(np.clip(round(n_tris / 6000), 1, 6))
+        per = max(1, n_tris // n_sheets)
+        gs = max(1, int(np.sqrt(per / 2)))
+        parts, made = [], 0
+        s_i = 0
+        while made < n_tris:
+            g_u = gs
+            g_v = max(1, -(-((n_tris - made) // 2)) // g_u) if (
+                made + 2 * gs * gs > n_tris) else gs
+            frac = (s_i + 0.5 + 0.35 * (rng.random() - 0.5)) / max(n_sheets, 1)
+            frac = float(np.clip(frac, 0.05, 0.95))
+            margin = 0.04 * ext
+            origin = bmin + margin
+            du = np.zeros(3, np.float32)
+            dv = np.zeros(3, np.float32)
+            du[au] = ext[au] - 2 * margin[au]
+            dv[av] = ext[av] - 2 * margin[av]
+            origin[ad] = bmin[ad] + frac * ext[ad]
+            # alternate facing so sheets are visible from both sides of
+            # the arena; depth-axis normal
+            normal = np.zeros(3, np.float32)
+            normal[ad] = 1.0 if (s_i % 2 == 0) else -1.0
+            urep = float(np.clip(round(ext[au] / 1.5), 1, 16))
+            vrep = float(np.clip(round(ext[av] / 1.5), 1, 16))
+            parts.append(sheet(g_u, g_v, (au, av), origin, du, dv,
+                               normal, urep, vrep))
+            made += 2 * g_u * g_v
+            s_i += 1
+        # concatenate sheets, then TRIM to the exact accessor count (the
+        # layout is de-indexed downstream, so per-triangle trimming is a
+        # pure slice)
+        pts = np.concatenate([p[0] for p in parts])
+        nrm = np.concatenate([p[1] for p in parts])
+        tan = np.concatenate([p[2] for p in parts])
+        uvs = np.concatenate([p[3] for p in parts])
+        offs = np.cumsum([0] + [p[0].shape[0] for p in parts])[:-1]
+        tris = np.concatenate(
+            [p[4] + np.uint32(o) for p, o in zip(parts, offs)])[:n_tris]
+        col = np.ones((pts.shape[0], 4), np.float32)
+
+        pos_parts.append(pts)
+        nrm_parts.append(nrm)
+        tan_parts.append(tan)
+        uv_parts.append(uvs)
+        col_parts.append(col)
+        tri_parts.append(tris + np.uint32(v_off))
+        tri_model_parts.append(np.full(tris.shape[0], pi, np.uint32))
+
+        mat = GltfMaterial()
+        pbr = mats[mat_i].get("pbrMetallicRoughness", {}) if mat_i < len(mats) else {}
+        mat.base_color_factor = np.asarray(
+            pbr.get("baseColorFactor", [1, 1, 1, 1])[:3], np.float32)
+        mat.metallic_factor = float(pbr.get("metallicFactor", 1.0))
+        mat.roughness_factor = float(pbr.get("roughnessFactor", 1.0))
+        center = (bmin + bmax) * 0.5
+        data.models.append(SceneModel(
+            name=f"sponza_prim_{pi}", object_id=pi + 1,
+            world=np.eye(4, dtype=np.float32), center=center,
+            radius=float(np.linalg.norm(bmax - bmin) * 0.5),
+            bounds_min=bmin, bounds_max=bmax, visible=True, material=mat,
+            tri_start=t_off, tri_count=int(tris.shape[0]),
+        ))
+        # chain binding recorded via tex_ids downstream (device-scene
+        # assembly); texture_paths kept empty like the sphere tier
+        data.texture_paths.append(("", "", "", ""))
+        scene_min = np.minimum(scene_min, bmin)
+        scene_max = np.maximum(scene_max, bmax)
+        v_off += pts.shape[0]
+        t_off += tris.shape[0]
+
+    position = np.concatenate(pos_parts)
+    normal = np.concatenate(nrm_parts)
+    tangent = np.concatenate(tan_parts)
+    uv = np.concatenate(uv_parts)
+    color = np.concatenate(col_parts)
+    tri_indices = np.concatenate(tri_parts)
+    data.tri_model = np.concatenate(tri_model_parts)
+    flat = tri_indices.reshape(-1)
+    data.position = position[flat]
+    data.normal = normal[flat]
+    data.tangent = tangent[flat]
+    data.uv = uv[flat]
+    data.color = color[flat]
+    data.tri_indices = np.arange(flat.size, dtype=np.uint32).reshape(-1, 3)
+    data.scene_center = ((scene_min + scene_max) * 0.5).astype(np.float32)
+    data.scene_radius = max(
+        float(np.linalg.norm(scene_max - scene_min) * 0.5), 1.0)
+    # material chain per model = the primitive's REAL gltf binding
+    data.sponza_chain_of_model = np.asarray(
+        [chain_of_mat.get(p[3], pi % max(len(chain_of_mat), 1))
+         for pi, p in enumerate(prims)], np.int32)
+
+    n = len(data.models)
+    data.base_color_factor = np.stack(
+        [mm.material.base_color_factor for mm in data.models])
+    data.base_color_alpha = np.array(
+        [mm.material.base_color_alpha for mm in data.models], np.float32)
+    data.metallic_factor = np.array(
+        [mm.material.metallic_factor for mm in data.models], np.float32)
+    data.roughness_factor = np.array(
+        [mm.material.roughness_factor for mm in data.models], np.float32)
+    data.emissive_factor = np.stack(
+        [mm.material.emissive_factor for mm in data.models])
+    data.alpha_mode = np.zeros(n, np.uint32)
+    data.alpha_cutoff = np.full(n, 0.5, np.float32)
+    uv_t = np.zeros((n, 4, 4), np.float32)
+    uv_t[:, :, 2:] = 1.0
+    uv_r = np.zeros((n, 4, 2), np.float32)
+    uv_r[:, :, 0] = 1.0
+    data.uv_transform = uv_t
+    data.uv_rotation = uv_r
+    data.bounds_min_arr = np.stack([mm.bounds_min for mm in data.models])
+    data.bounds_max_arr = np.stack([mm.bounds_max for mm in data.models])
+    data.object_ids = np.array([mm.object_id for mm in data.models], np.uint32)
+    data.visible_mask = np.ones(n, bool)
+    return data
+
+
 def synthetic_device_scene(
     n_objects: int = 4,
     seed: int = 0,
@@ -297,6 +510,7 @@ def synthetic_device_scene(
     packed_trilinear: bool = False,
     atlas_u8: bool = False,
     texture_source: str = "procedural",
+    geometry_source: str = "procedural",
 ) -> DeviceScene:
     """with_masked gives every 4th model (starting at 1) an alpha-cutout
     checker texture + MASK alpha mode, exercising the masked raster path.
@@ -304,8 +518,19 @@ def synthetic_device_scene(
     rich_materials replaces the single grid map with a Sponza-like set of
     full PBR materials (baseColor + MR + normal (+ emissive) maps) fused
     into combined 16-channel chains -- the same path the Renderer takes for
-    real scenes; render with ``settings.combined_material=True``."""
-    data = synthetic_scene_data(n_objects, seed, sphere_res=sphere_res, ground=ground)
+    real scenes; render with ``settings.combined_material=True``.
+
+    geometry_source="sponza" swaps the sphere grid for the
+    geometry-faithful Sponza tier (sponza_faithful_scene_data): the real 25
+    primitives' triangle counts, AABBs and material bindings synthesized
+    from untitled.gltf's accessor metadata; falls back to the sphere tier
+    when the gltf is absent."""
+    data = None
+    if geometry_source == "sponza":
+        data = sponza_faithful_scene_data(seed)
+    if data is None:
+        data = synthetic_scene_data(
+            n_objects, seed, sphere_res=sphere_res, ground=ground)
     n = data.num_models
     from .packing import pack_model_record, pack_tri_geo, pack_tri_mrec
 
@@ -341,7 +566,12 @@ def synthetic_device_scene(
             quad_img, rect0 = build_pyramid_quad_atlas(
                 combo_chains, wrap=True, dtype=mat_dtype
             )
-        model_combo = np.arange(n, dtype=np.int32) % n_combos
+        if getattr(data, "sponza_chain_of_model", None) is not None:
+            # the faithful tier's REAL per-primitive material bindings
+            model_combo = np.asarray(
+                data.sponza_chain_of_model, np.int32) % n_combos
+        else:
+            model_combo = np.arange(n, dtype=np.int32) % n_combos
         tex_ids = np.repeat(model_combo[:, None], 4, axis=1).astype(np.int32)
         has_map = np.ones((n, 4), bool)
         if sp_factors is not None:
@@ -435,11 +665,15 @@ def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) 
     )
 
 
-def synthetic_frame_params(data, width: int, height: int, camera_pos=(0.0, 1.5, -4.0)):
+def synthetic_frame_params(
+    data, width: int, height: int, camera_pos=(0.0, 1.5, -4.0), look_at=None
+):
     from .params import FrameParams
 
     cam_pos = np.asarray(camera_pos, np.float32)
-    view = m.look_at_lh(cam_pos, data.scene_center, [0, 1, 0])
+    target = data.scene_center if look_at is None else np.asarray(
+        look_at, np.float32)
+    view = m.look_at_lh(cam_pos, target, [0, 1, 0])
     proj = m.perspective_reverse_z_infinite(np.radians(60.0), width / height, 0.1)
     light = m.normalize(np.array([-0.4, 0.8, -0.3], np.float32))
     light_vp = m.build_directional_light_view_proj(data.scene_center, data.scene_radius, light)
