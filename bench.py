@@ -180,7 +180,8 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
     # explicit (u8 quad is the shipped default; bf16 is the oracle opt-out)
     from unclerenderer_tpu.render.testing import sponza_material_chains
 
-    sp = sponza_material_chains()
+    _cap = int(os.environ.get("UNCLE_SPONZA_CAP", "256"))
+    sp = sponza_material_chains(max_dim=_cap)
     atlas_info = {
         "material_atlas_dtype": str(scene.quad_img.dtype),
         # effective layout read off the atlas (256 lanes = packed rows;
@@ -190,7 +191,7 @@ def _synthetic_runner(settings, n_objects, sphere_res, ground, rich_materials=Tr
             else "quad"
         ),
         "texture_source": (
-            f"sponza_dds_{len(sp[0])}_materials_256cap" if sp is not None
+            f"sponza_dds_{len(sp[0])}_materials_{_cap}cap" if sp is not None
             else "procedural"
         ),
         "geometry_source": (
@@ -517,13 +518,18 @@ def main() -> int:
     import gc
 
     def _row(name, row_settings):
-        nonlocal_render = _synthetic_runner(
+        nonlocal_render, _nt, _eff, row_drops, _ai = _synthetic_runner(
             row_settings, n_objects=_SMOKE_OBJECTS, sphere_res=(32, 24),
             ground=True,
-        )[0]
+        )
         st, _ = _measure(nonlocal_render, frames=2)
         extra[f"{name}_ms"] = _per_frame(st)["median"]
         extra[f"{name}_runs"] = _per_frame(st)
+        # per-row honesty: any nonzero counter (incl. aniso_tap_overflow on
+        # the anisotropic row) is recorded next to the number it taints
+        rd = row_drops()
+        if any(v > 0 for v in rd.values()):
+            extra[f"{name}_drop_counters"] = rd
         del nonlocal_render
         gc.collect()
 

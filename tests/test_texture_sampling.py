@@ -544,3 +544,85 @@ def test_gather_rows_onehot_matmul_exact():
         got = gather_rows_onehot_matmul(table, idx, blk=128, interpret=True)
         want = table[idx].astype(jnp.float32)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_env_select_kernel_matches_xla_decode():
+    """The VMEM env decode (select_kernel=True, ops/texture.py
+    _env_select_kernel) reproduces the XLA seamless decode: identical
+    expressions on identical f32 values; the venues contract mul+add to
+    fma differently, so the bound is the 1-2 ulp fma/reassociation noise
+    (measured max rel 2.4e-7), far inside the frame gate's 1e-5."""
+    from unclerenderer_tpu.textures.atlas import _cube_face_dir, build_pyramid_tri_atlas
+
+    rng = np.random.default_rng(7)
+    s = 16
+    faces = []
+    for f in range(6):
+        img = rng.random((s, s, 4)).astype(np.float32)
+        faces.append(img)
+    chains = [generate_mips(f) for f in faces]
+    tri_seam, r_seam = build_pyramid_tri_atlas(chains, cube=True)
+    flat = jnp.asarray(tri_seam).reshape(-1, 128)
+    r = jnp.asarray(r_seam, jnp.float32)
+
+    m = 3000
+    dirs = rng.normal(size=(m, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    lods = rng.uniform(0.0, 4.0, m).astype(np.float32)
+
+    a = np.asarray(tex.sample_cube_pyramid_tri(
+        flat, tri_seam.shape[1], r, jnp.asarray(dirs), jnp.asarray(lods),
+    ))
+    b = np.asarray(tex.sample_cube_pyramid_tri(
+        flat, tri_seam.shape[1], r, jnp.asarray(dirs), jnp.asarray(lods),
+        select_kernel=True, interpret=True,
+    ))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    # bf16 atlas (the production env dtype): same bit-equality (the kernel
+    # converts in VMEM exactly where the XLA path converts)
+    flat16 = flat.astype(jnp.bfloat16)
+    a16 = np.asarray(tex.sample_cube_pyramid_tri(
+        flat16, tri_seam.shape[1], r, jnp.asarray(dirs), jnp.asarray(lods),
+    ))
+    b16 = np.asarray(tex.sample_cube_pyramid_tri(
+        flat16, tri_seam.shape[1], r, jnp.asarray(dirs), jnp.asarray(lods),
+        select_kernel=True, interpret=True,
+    ))
+    np.testing.assert_allclose(a16, b16, rtol=1e-6, atol=1e-7)
+
+
+def test_mat_select_kernel_matches_xla_decode():
+    """The VMEM material decode (sample_pyramid_tri select_kernel=True)
+    reproduces the XLA packed-trilinear tail on both u8 and bf16 atlases
+    (fma/reassociation ulp bound, as the env kernel)."""
+    from unclerenderer_tpu.textures.atlas import build_pyramid_tri_atlas
+    from unclerenderer_tpu.textures.image import encode_combined_u8
+
+    rng = np.random.default_rng(11)
+    chains = []
+    for i in range(3):
+        base = rng.random((32, 32, 16)).astype(np.float32)
+        chain = [base]
+        while chain[-1].shape[0] > 1:
+            n = chain[-1]
+            chain.append(n[::2, ::2])
+        chains.append(chain)
+    for u8 in (False, True):
+        ch = ([[encode_combined_u8(lv) for lv in c] for c in chains]
+              if u8 else chains)
+        tri, r0 = build_pyramid_tri_atlas(
+            ch, wrap=True, dtype=(np.uint8 if u8 else np.float32))
+        flat = jnp.asarray(tri).reshape(-1, tri.shape[-1])
+        m = 2500
+        uv = jnp.asarray(rng.uniform(-0.4, 1.6, (m, 2)).astype(np.float32))
+        lods = jnp.asarray(rng.uniform(0.0, 4.5, m).astype(np.float32))
+        rect = jnp.asarray(
+            np.repeat(r0[rng.integers(0, 3, m)], 1, axis=0).astype(np.float32))
+        a = np.asarray(tex.sample_pyramid_tri(
+            flat, tri.shape[1], rect, uv, lods))
+        b = np.asarray(tex.sample_pyramid_tri(
+            flat, tri.shape[1], rect, uv, lods,
+            select_kernel=True, interpret=True))
+        np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-7, err_msg=f"u8={u8}")

@@ -52,6 +52,8 @@ PACKED_TRI = bool(int(os.environ.get("PROF_PACKED_TRI", "0")))
 ATLAS_U8 = bool(int(os.environ.get("PROF_ATLAS_U8", "1")))
 # "sponza" = the bench headline's real-DDS material tier (24 materials)
 TEX_SOURCE = os.environ.get("PROF_TEX_SOURCE", "procedural")
+GEOMETRY = os.environ.get("PROF_GEOMETRY", "procedural")
+ANISO_FRAC = os.environ.get("PROF_ANISO_FRAC")
 ENV_MM = bool(int(os.environ.get("PROF_ENV_MM", "0")))
 
 
@@ -79,7 +81,7 @@ def main():
     scene, data = synthetic_device_scene(
         N_OBJECTS, sphere_res=(32, 24), ground=True, rich_materials=True,
         packed_trilinear=PACKED_TRI, atlas_u8=ATLAS_U8,
-        texture_source=TEX_SOURCE,
+        texture_source=TEX_SOURCE, geometry_source=GEOMETRY,
     )
     t_count = int(scene.tri_geo.shape[0])
     print("triangles:", t_count, flush=True)
@@ -97,6 +99,7 @@ def main():
         ("PROF_SPAN", "bin_max_span", int),
         ("PROF_MID_DIV", "bin_mid_divisor", int),
         ("PROF_ALIGN_SCATTER", "bin_align_scatter", lambda v: bool(int(v))),
+        ("PROF_GIANT_CHUNK", "bin_giant_chunk", int),
     ]:
         if os.environ.get(env):
             overrides[field] = conv(os.environ[env])
@@ -110,9 +113,19 @@ def main():
         material_atlas_u8=ATLAS_U8,
         texture_filter=os.environ.get("PROF_FILTER", "trilinear"),
         env_matmul_gather=ENV_MM,
+        **({"aniso_compact_frac": float(ANISO_FRAC)} if ANISO_FRAC else {}),
         **overrides,
     )
-    params = synthetic_frame_params(data, W, H)
+    if GEOMETRY == "sponza" and getattr(
+            data, "sponza_chain_of_model", None) is not None:
+        import numpy as _np
+
+        _c = _np.asarray(data.scene_center)
+        params = synthetic_frame_params(
+            data, W, H, camera_pos=(14.327, 0.762, 0.571),
+            look_at=(_c[0] - 10.0, _c[1] + 1.0, _c[2]))
+    else:
+        params = synthetic_frame_params(data, W, H)
     state = FrameState.initial(W, H)
     opaque, _ = common.tri_draw_masks(scene, params.model_visible)
     opaque = jax.block_until_ready(opaque)

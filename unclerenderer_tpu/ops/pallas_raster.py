@@ -723,6 +723,7 @@ def _run_binned_kernel(
         "width", "height", "tile_h", "tile_w", "chunk", "depth_mode",
         "max_span", "budget_factor", "big_tile_h", "big_tile_w", "big_chunk",
         "mid_divisor", "giant_divisor", "giant_tile_h", "giant_tile_w",
+        "giant_chunk",
         "interpret", "debug_print",
         "want_ids", "ortho", "align_scatter", "compact_mode", "mat_idx",
     ),
@@ -745,6 +746,7 @@ def rasterize_binned(
     giant_divisor: int = 128,
     giant_tile_h: int = 0,
     giant_tile_w: int = 0,
+    giant_chunk: int = 0,
     interpret: bool = False,
     debug_print: bool = False,
     want_ids: bool = True,
@@ -906,6 +908,14 @@ def rasterize_binned(
             )
         gth = giant_tile_h or big_tile_h
         gtw = giant_tile_w or big_tile_w
+        # giant-level chunk: the population is TINY (12-45 triangles at the
+        # bench tiers) but overlaps most tiles, so chunk granularity is the
+        # waste: chunk 32 evaluates 32 rows per live (tile, chunk) step for
+        # ~3 actually-overlapping giants (round-5 CPU diagnosis: 450
+        # Mpix-tri evaluated vs 46 real at 4096^2).  A small giant chunk
+        # tightens the skip granularity; bit-identical for any chunk size
+        # (ascending-chunk accumulation, min-id ties).
+        g_chunk = giant_chunk or big_chunk
         # the record-emission path adds (chunk, pix) one-hot/attr
         # intermediates; at 64x256 tiles that lands 128 KB past the 16 MB
         # VMEM scope (measured compile OOM) -- halve the tile rows until
@@ -915,7 +925,7 @@ def rasterize_binned(
         big_out = rasterize_pallas(
             giant_setup, width, height,
             tile_h=gth, tile_w=gtw,
-            chunk=big_chunk,
+            chunk=g_chunk,
             y_offset=y_offset, interpret=interpret, want_ids=want_ids,
             records=rec_g,
             ortho=ortho,

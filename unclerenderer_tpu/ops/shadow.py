@@ -334,7 +334,10 @@ def _pack_blocks_core(sm: jnp.ndarray, border):
 
 def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
     """Extract 9 dynamic lanes per row: out[p, k] = rows[p, base[p]+deltas[k]].
-    rows_ref (1, P, L) f32; base_ref (1, 1, P) i32; out (1, P, 16) f32.
+    rows_ref (1, P, L) f32 OR u16 (converted in VMEM -- u16 input blocks
+    halve the kernel's DMA bytes and drop the 2.4 ms XLA-side convert the
+    round-5 op dump exposed; integer depths <= 65535 convert exactly);
+    base_ref (1, 1, P) i32; out (1, P, 16) f32.
 
     A "fused" variant that also did the 9 comparisons in VMEM and emitted
     one i32 bitmask per pixel (16x smaller output) was measured 1.76x
@@ -342,6 +345,10 @@ def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
     batch 3), so the kernel stays a pure lane select and the compare +
     blend run in XLA where they fuse into the lighting consumer."""
     rows = rows_ref[0]                              # (P, L)
+    if rows.dtype != jnp.float32:
+        # u16 -> i32 -> f32: Mosaic has no direct u16->f32 cast (verified
+        # on metal round 5); the i32 hop is exact for depths <= 65535
+        rows = rows.astype(jnp.int32).astype(jnp.float32)
     base = base_ref[0, 0, :][:, None]               # (P, 1) -> lanes broadcast
     lanes = jax.lax.broadcasted_iota(jnp.int32, (pix, lanes_n), 1)
     for k, d in enumerate(deltas):
@@ -400,9 +407,9 @@ def _select9_fetch(blocks_flat, row_idx, base, deltas, interpret=False):
     pix = 1024
     n_pad = -(-n // pix) * pix
     idx_p = jnp.pad(row_idx, (0, n_pad - n)).reshape(-1, pix)
+    # u16 rows stay u16 through the gather AND into the kernel (VMEM
+    # astype): halves both the materialized row bytes and the kernel DMA
     rows_p = blocks_flat[idx_p]            # (grid, pix, L) -- no data reshape
-    if rows_p.dtype != jnp.float32:
-        rows_p = rows_p.astype(jnp.float32)
     base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
     grid = n_pad // pix
     lanes_n = blocks_flat.shape[-1]

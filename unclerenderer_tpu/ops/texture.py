@@ -187,6 +187,37 @@ def uv_screen_lod(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
     return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
 
 
+def footprint_lod(dx: jnp.ndarray, dy: jnp.ndarray,
+                  base_w: jnp.ndarray, base_h: jnp.ndarray) -> jnp.ndarray:
+    """Isotropic LOD from explicit uv derivatives (the footprint half of
+    uv_screen_lod): max screen-axis footprint in texels, squared-log2."""
+    sz = jnp.stack(
+        [base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)
+    lx = jnp.sum((dx * sz) ** 2, axis=-1)
+    ly = jnp.sum((dy * sz) ** 2, axis=-1)
+    rho2 = jnp.maximum(lx, ly)
+    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+
+
+def footprint_lod_aniso(dx: jnp.ndarray, dy: jnp.ndarray,
+                        base_w: jnp.ndarray, base_h: jnp.ndarray,
+                        max_aniso: int):
+    """Anisotropic (lod, dmaj, extent) from explicit uv derivatives (the
+    footprint half of uv_screen_lod_aniso)."""
+    sz = jnp.stack(
+        [base_w.astype(jnp.float32), base_h.astype(jnp.float32)], axis=-1)
+    lx = jnp.sum((dx * sz) ** 2, axis=-1)
+    ly = jnp.sum((dy * sz) ** 2, axis=-1)
+    rho_maj = jnp.maximum(jnp.maximum(lx, ly), 1e-12)
+    rho_min = jnp.maximum(jnp.minimum(lx, ly), 1e-12)
+    n_eff = jnp.clip(jnp.sqrt(rho_maj / rho_min), 1.0, float(max_aniso))
+    rho_eff = jnp.maximum(rho_min, rho_maj / (n_eff * n_eff))
+    lod = 0.5 * jnp.log2(rho_eff)
+    dmaj = jnp.where((lx >= ly)[..., None], dx, dy)
+    extent = 1.0 - 1.0 / n_eff
+    return lod, dmaj, extent
+
+
 def uv_screen_lod_aniso(uv: jnp.ndarray, base_w: jnp.ndarray, base_h: jnp.ndarray,
                         same_tri_x: jnp.ndarray, same_tri_y: jnp.ndarray,
                         max_aniso: int,
@@ -425,6 +456,8 @@ def sample_pyramid_tri(
     uv: jnp.ndarray,
     lod: jnp.ndarray,
     address_mode: int = ADDRESS_WRAP,
+    select_kernel: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Trilinear pyramid sample with ONE row gather over the packed
     atlas (textures/atlas.py build_pyramid_tri_atlas): lanes 0:4C of the
@@ -462,10 +495,40 @@ def sample_pyramid_tri(
     iy_raw = fy0.astype(jnp.int32)
     ix = _wrap_index(ix_raw, w, address_mode)
     iy = _wrap_index(iy_raw, h, address_mode)
-    row = _rows_to_f32(
-        jnp.take(tri_flat, (y + iy) * atlas_width + (x + ix), axis=0), c
-    )
-    quad = row[..., 0 : 4 * c]
+    if select_kernel and c == 16:
+        # VMEM decode path (_mat_select_kernel): all select parameters are
+        # pre-gather arithmetic, so the row gather is emitted directly in
+        # the kernel's block shape and the u8 decode + quad/3x3 blends run
+        # on resident data
+        _, _, w2k, h2k = _pyramid_rect(rect0, l0 + 1)
+        tx2k = uv[..., 0] * w2k.astype(jnp.float32) - 0.5
+        ty2k = uv[..., 1] * h2k.astype(jnp.float32) - 0.5
+        if address_mode == ADDRESS_CLAMP:
+            tx2k = jnp.clip(tx2k, 0.0, w2k.astype(jnp.float32) - 1.0)
+            ty2k = jnp.clip(ty2k, 0.0, h2k.astype(jnp.float32) - 1.0)
+        fx20k = jnp.floor(tx2k)
+        fy20k = jnp.floor(ty2k)
+        ix2k = fx20k.astype(jnp.int32)
+        iy2k = fy20k.astype(jnp.int32)
+        lead = uv.shape[:-1]
+        params7 = jnp.stack([
+            (tx - fx0), (ty - fy0),
+            (tx2k - fx20k), (ty2k - fy20k),
+            frac[..., 0],
+            jnp.clip(ix2k - (ix_raw >> 1) + 1, 0, 1).astype(jnp.float32),
+            jnp.clip(iy2k - (iy_raw >> 1) + 1, 0, 1).astype(jnp.float32),
+        ]).reshape(7, -1)
+        rows_idx = ((y + iy) * atlas_width + (x + ix)).reshape(-1)
+        out = _mat_select_call(
+            tri_flat, rows_idx, params7, c, interpret=interpret)
+        return out.reshape(lead + (c,))
+    # SELECT-THEN-DECODE (round 5): the 3x3 window selects commute exactly
+    # with the per-element u8/bf16 decode (selects move values; the decode
+    # is per-texel), so they run on the RAW rows and only the winning 8c
+    # lanes decode to f32 -- instead of all 13c (2 GB of materialized f32
+    # rows per tap at the 256-lane sponza tier; round-5 MaterialTap dump).
+    row = jnp.take(tri_flat, (y + iy) * atlas_width + (x + ix), axis=0)
+    quad = _rows_to_f32(row[..., 0 : 4 * c], c)
     top = quad[..., 0:c] * (1.0 - fx) + quad[..., c : 2 * c] * fx
     bot = quad[..., 2 * c : 3 * c] * (1.0 - fx) + quad[..., 3 * c :] * fx
     a = top * (1.0 - fy) + bot * fy
@@ -496,11 +559,92 @@ def sample_pyramid_tri(
     win_b = jnp.where(cox[..., None] == 0, r3[..., 2, 0:2, :], r3[..., 2, 1:3, :])
     row_top = jnp.where(roy[..., None] == 0, win_t, win_m)
     row_bot = jnp.where(roy[..., None] == 0, win_m, win_b)
-    top2 = row_top[..., 0, :] * (1.0 - fx2) + row_top[..., 1, :] * fx2
-    bot2 = row_bot[..., 0, :] * (1.0 - fx2) + row_bot[..., 1, :] * fx2
+    rt = _rows_to_f32(row_top.reshape(row_top.shape[:-2] + (2 * c,)), c)
+    rb = _rows_to_f32(row_bot.reshape(row_bot.shape[:-2] + (2 * c,)), c)
+    top2 = rt[..., 0:c] * (1.0 - fx2) + rt[..., c:] * fx2
+    bot2 = rb[..., 0:c] * (1.0 - fx2) + rb[..., c:] * fx2
     b = top2 * (1.0 - fy2) + bot2 * fy2
 
     return a * (1.0 - frac) + b * frac
+
+
+def _mat_select_kernel(rows_ref, par_ref, out_ref, *, c):
+    """Packed-trilinear MATERIAL decode in VMEM (the sample_pyramid_tri
+    tail): u8->f32 + gamma-2 decode, tap-a quad blend, tap-b 2x2-of-3x3
+    window select + blend, mip lerp -- one streaming pass over the gathered
+    256-lane rows.  Like _env_select_kernel this is lane-sparse (16-lane
+    groups of a 256-lane row), so measure before defaulting on
+    (RenderSettings.mat_select_kernel)."""
+    rows = rows_ref[0]
+    if rows.dtype == jnp.uint8:
+        import jax as _jax
+
+        x = rows.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        ch = _jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) % c
+        g2 = (ch < 3) | ((ch >= 8) & (ch < 11))
+        rows = jnp.where(g2, x * x, x)
+    elif rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
+    p = par_ref[0]
+    col = lambda i: p[i, :][:, None]
+    fx, fy, fx2, fy2, frac = col(0), col(1), col(2), col(3), col(4)
+    cox0 = col(5) < 0.5
+    roy0 = col(6) < 0.5
+
+    def lc(i):
+        return rows[:, i * c : (i + 1) * c]
+
+    top = lc(0) * (1.0 - fx) + lc(1) * fx
+    bot = lc(2) * (1.0 - fx) + lc(3) * fx
+    a = top * (1.0 - fy) + bot * fy
+
+    def r3(j, i):
+        return lc(4 + j * 3 + i)
+
+    row_top_l = jnp.where(roy0, jnp.where(cox0, r3(0, 0), r3(0, 1)),
+                          jnp.where(cox0, r3(1, 0), r3(1, 1)))
+    row_top_r = jnp.where(roy0, jnp.where(cox0, r3(0, 1), r3(0, 2)),
+                          jnp.where(cox0, r3(1, 1), r3(1, 2)))
+    row_bot_l = jnp.where(roy0, jnp.where(cox0, r3(1, 0), r3(1, 1)),
+                          jnp.where(cox0, r3(2, 0), r3(2, 1)))
+    row_bot_r = jnp.where(roy0, jnp.where(cox0, r3(1, 1), r3(1, 2)),
+                          jnp.where(cox0, r3(2, 1), r3(2, 2)))
+    top2 = row_top_l * (1.0 - fx2) + row_top_r * fx2
+    bot2 = row_bot_l * (1.0 - fx2) + row_bot_r * fx2
+    b = top2 * (1.0 - fy2) + bot2 * fy2
+    out_ref[0] = a * (1.0 - frac) + b * frac
+
+
+def _mat_select_call(tri_flat, rows_idx, params7, c, interpret=False):
+    """Gather packed material rows in the kernel's block shape and decode
+    in VMEM.  rows_idx: (N,) i32; params7: (7, N) f32
+    [fx, fy, fx2, fy2, frac, cox, roy].  Returns (N, c) f32."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    n = rows_idx.shape[0]
+    pix = 1024
+    n_pad = -(-n // pix) * pix
+    idx_p = jnp.pad(rows_idx, (0, n_pad - n)).reshape(-1, pix)
+    rows_p = tri_flat[idx_p]               # (grid, pix, L) -- u8 stays u8
+    par_p = jnp.pad(params7, ((0, 0), (0, n_pad - n))).reshape(
+        7, -1, pix).transpose(1, 0, 2)     # (grid, 7, pix)
+    grid = n_pad // pix
+    lanes_n = tri_flat.shape[-1]
+    import functools
+
+    out = pl.pallas_call(
+        functools.partial(_mat_select_kernel, c=c),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, pix, lanes_n), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 7, pix), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, pix, c), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, pix, c), jnp.float32),
+        interpret=interpret,
+    )(rows_p, par_p)
+    return out.reshape(n_pad, c)[:n]
 
 
 def sample_pyramid_tri_level(
@@ -575,6 +719,7 @@ def sample_cube_pyramid_tri(
     direction: jnp.ndarray,
     lod: jnp.ndarray,
     matmul_gather: bool = False,
+    select_kernel: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Trilinear cubemap sample with ONE row gather (the packed-trilinear
@@ -620,6 +765,32 @@ def sample_cube_pyramid_tri(
     ix = _wrap_index(ix_raw, w, ADDRESS_CLAMP)
     iy = _wrap_index(iy_raw, h, ADDRESS_CLAMP)
     env_rows = (y + iy) * atlas_width + (x + ix)
+    if select_kernel and seamless and not matmul_gather:
+        # VMEM decode path: every per-pixel select parameter is computable
+        # BEFORE the gather, so the row gather is emitted directly in the
+        # kernel's block shape and the whole seamless decode runs on
+        # resident data (_env_select_kernel)
+        _, _, w2k, h2k = _pyramid_rect(rect, l0 + 1)
+        tx2k = uv[..., 0] * w2k.astype(jnp.float32) - 0.5
+        ty2k = uv[..., 1] * h2k.astype(jnp.float32) - 0.5
+        fx20k = jnp.floor(tx2k)
+        fy20k = jnp.floor(ty2k)
+        ix2k = fx20k.astype(jnp.int32)
+        iy2k = fy20k.astype(jnp.int32)
+        lead = uv.shape[:-1]
+        params9 = jnp.stack([
+            (tx - fx0), (ty - fy0),
+            (tx2k - fx20k), (ty2k - fy20k),
+            frac[..., 0],
+            (ix_raw < 0).astype(jnp.float32),
+            (iy_raw < 0).astype(jnp.float32),
+            (ix2k - (ix >> 1) + 1).astype(jnp.float32),
+            (iy2k - (iy >> 1) + 1).astype(jnp.float32),
+        ]).reshape(9, -1)
+        out = _env_select_call(
+            env_tri_flat, env_rows.reshape(-1), params9,
+            interpret=interpret)
+        return out.reshape(lead + (4,))
     table_bytes = env_tri_flat.shape[0] * env_tri_flat.shape[-1] * env_tri_flat.dtype.itemsize
     if matmul_gather and table_bytes <= (4 << 20):
         # env atlases are small (~1-2k rows): the MXU one-hot gather beats
@@ -680,6 +851,85 @@ def sample_cube_pyramid_tri(
     b = top2 * (1.0 - fy2) + bot2 * fy2
 
     return a * (1.0 - frac) + b * frac
+
+
+def _env_select_kernel(rows_ref, par_ref, out_ref):
+    """Seamless packed-env decode in VMEM: tap-a 2x2 (with baked cross-face
+    border lanes) + tap-b 2x2 from the parent 3x3, blended to one RGBA per
+    pixel.  NOTE round-5 metal: measured a LOSS in-frame (16.9 ms vs XLA's
+    ~8 ms chain) -- the decode works on 4-lane channel groups, so every VPU
+    op wastes 31/32 lanes.  Kept for a future lane-transposed formulation;
+    default OFF (RenderSettings.env_select_kernel)."""
+    rows = rows_ref[0]
+    if rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
+    p = par_ref[0]
+    col = lambda i: p[i, :][:, None]
+    fx, fy, fx2, fy2, frac = col(0), col(1), col(2), col(3), col(4)
+    m_ix = col(5) > 0.5
+    m_iy = col(6) > 0.5
+    cox0 = col(7) < 0.5
+    roy0 = col(8) < 0.5
+
+    def lane4(i):
+        return rows[:, i : i + 4]
+
+    q00, q10, q01, q11 = lane4(0), lane4(4), lane4(8), lane4(12)
+    bl_, bt_, bc_ = lane4(52), lane4(56), lane4(60)
+    bl2, bt2 = lane4(64), lane4(68)
+    tl = jnp.where(m_ix & m_iy, bc_, jnp.where(m_ix, bl_, jnp.where(m_iy, bt_, q00)))
+    tr = jnp.where(m_ix & m_iy, bt_, jnp.where(m_ix, q00, jnp.where(m_iy, bt2, q10)))
+    bl = jnp.where(m_ix & m_iy, bl_, jnp.where(m_ix, bl2, jnp.where(m_iy, q00, q01)))
+    br = jnp.where(m_ix & m_iy, q00, jnp.where(m_ix, q01, jnp.where(m_iy, q10, q11)))
+    a = (tl * (1.0 - fx) + tr * fx) * (1.0 - fy) + (bl * (1.0 - fx) + br * fx) * fy
+
+    def r3(j, i):
+        return lane4(16 + (j * 3 + i) * 4)
+
+    row_top_l = jnp.where(roy0, jnp.where(cox0, r3(0, 0), r3(0, 1)),
+                          jnp.where(cox0, r3(1, 0), r3(1, 1)))
+    row_top_r = jnp.where(roy0, jnp.where(cox0, r3(0, 1), r3(0, 2)),
+                          jnp.where(cox0, r3(1, 1), r3(1, 2)))
+    row_bot_l = jnp.where(roy0, jnp.where(cox0, r3(1, 0), r3(1, 1)),
+                          jnp.where(cox0, r3(2, 0), r3(2, 1)))
+    row_bot_r = jnp.where(roy0, jnp.where(cox0, r3(1, 1), r3(1, 2)),
+                          jnp.where(cox0, r3(2, 1), r3(2, 2)))
+    top2 = row_top_l * (1.0 - fx2) + row_top_r * fx2
+    bot2 = row_bot_l * (1.0 - fx2) + row_bot_r * fx2
+    b = top2 * (1.0 - fy2) + bot2 * fy2
+    out = a * (1.0 - frac) + b * frac
+    out_ref[0, :, 0:4] = out
+    out_ref[0, :, 4:8] = out  # pad lanes (keeps the block 8-wide)
+
+
+def _env_select_call(env_tri_flat, env_rows, params9, interpret=False):
+    """Gather the packed env rows directly in the kernel's block shape and
+    run the seamless decode in VMEM.  env_rows: (N,) i32; params9: (9, N)
+    f32 [fx, fy, fx2, fy2, frac, m_ix, m_iy, cox, roy].  Returns (N, 4)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    n = env_rows.shape[0]
+    pix = 1024
+    n_pad = -(-n // pix) * pix
+    idx_p = jnp.pad(env_rows, (0, n_pad - n)).reshape(-1, pix)
+    rows_p = env_tri_flat[idx_p]          # (grid, pix, L) -- bf16 stays bf16
+    par_p = jnp.pad(params9, ((0, 0), (0, n_pad - n))).reshape(
+        9, -1, pix).transpose(1, 0, 2)    # (grid, 9, pix)
+    grid = n_pad // pix
+    lanes_n = env_tri_flat.shape[-1]
+    out = pl.pallas_call(
+        _env_select_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, pix, lanes_n), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 9, pix), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, pix, 8), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, pix, 8), jnp.float32),
+        interpret=interpret,
+    )(rows_p, par_p)
+    return out.reshape(n_pad, 8)[:n, :4]
 
 
 def sample_cube_pyramid_level(

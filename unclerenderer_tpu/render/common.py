@@ -114,12 +114,16 @@ def _sample_level_any(quad_flat, atlas_width, rect0, uv, level):
     return tex.sample_pyramid_bilinear(quad_flat, atlas_width, rect0, uv, level)
 
 
-def _sample_trilinear_any(quad_flat, atlas_width, rect0, uv, lod):
+def _sample_trilinear_any(quad_flat, atlas_width, rect0, uv, lod,
+                          select_kernel=False, interpret=False):
     """Trilinear tap on either layout: ONE row gather on the packed atlas
     (textures/atlas.py build_pyramid_tri_atlas, bit-exact), two on the
-    plain quad atlas."""
+    plain quad atlas.  select_kernel routes the packed-row decode through
+    the VMEM kernel (ops/texture.py _mat_select_kernel; Pallas backends)."""
     if _atlas_is_packed_tri(quad_flat):
-        return tex.sample_pyramid_tri(quad_flat, atlas_width, rect0, uv, lod)
+        return tex.sample_pyramid_tri(
+            quad_flat, atlas_width, rect0, uv, lod,
+            select_kernel=select_kernel, interpret=interpret)
     return tex.sample_pyramid_trilinear(quad_flat, atlas_width, rect0, uv, lod)
 
 
@@ -265,6 +269,7 @@ def _dispatch_raster(
             giant_divisor=settings.bin_giant_divisor,
             giant_tile_h=giant_tile[0],
             giant_tile_w=giant_tile[1],
+            giant_chunk=settings.bin_giant_chunk,
             debug_print=settings.kernel_debug_print,
             want_ids=want_ids,
             records=records,
@@ -1061,17 +1066,58 @@ def resolve_materials(
     uv_rot = M(PK.M_UVROT, 8)
     rects = M(PK.M_RECT, 16)
 
-    # forward-difference LOD neighbors; sharded callers pass the true rows
-    # above/below the slab (ppermute) so seam rows pick the same mip as
-    # single-chip.  Backward (-x/-y) same-triangle masks gate the fallback
-    # derivative so it never reads across a triangle edge (ops/texture.py
-    # _edge_gated_uv_derivs).
-    append_y = tri_id[-1:, :] if next_tri_row is None else next_tri_row
-    prepend_y = tri_id[:1, :] if prev_tri_row is None else prev_tri_row
-    same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
-    same_y = jnp.diff(tri_id, axis=0, append=append_y) == 0
-    same_bx = jnp.diff(tri_id, axis=1, prepend=tri_id[:, :1]) == 0
-    same_by = jnp.diff(tri_id, axis=0, prepend=prepend_y) == 0
+    quad_lod = settings.lod_derivatives == "quad"
+    if quad_lod:
+        # D3D 2x2-quad derivatives with HELPER-LANE semantics, analytically
+        # (closes ARCHITECTURE deviation #3): the GPU computes ddx/ddy per
+        # quad from the pixel's OWN triangle extended to the quad corners
+        # (helper invocations).  The visibility buffer has the pixel's edge
+        # vectors in registers, so uv(x', y') of the winner triangle is
+        # evaluable at the quad's TL/TR/BL corners directly -- exact
+        # helper-lane values, no neighbor reads, no triangle-edge
+        # fallbacks, and (sharded) no halo exchanges: bit-identical across
+        # any slab split by construction.
+        with jax.named_scope("QuadDerivs"):
+            xi = jnp.arange(width, dtype=jnp.int32)[None, :]
+            yi = (jnp.arange(height, dtype=jnp.int32)[:, None]
+                  + jnp.asarray(row0, jnp.int32))
+            bx = (xi & ~1).astype(jnp.float32)
+            by = (yi & ~1).astype(jnp.float32)
+
+            def uv_at(X, Y):
+                def edge_at(pa, pb):
+                    cx = pa[..., 1] * pb[..., 2] - pa[..., 2] * pb[..., 1]
+                    cy = pa[..., 2] * pb[..., 0] - pa[..., 0] * pb[..., 2]
+                    cz = pa[..., 0] * pb[..., 1] - pa[..., 1] * pb[..., 0]
+                    return cx * X + cy * Y + cz
+
+                f0 = edge_at(p1, p2)
+                f1 = edge_at(p2, p0)
+                f2 = edge_at(p0, p1)
+                fs = f0 + f1 + f2
+                fs = jnp.where(fs != 0.0, fs, 1.0)
+                out = 0.0
+                for k, fk in enumerate((f0, f1, f2)):
+                    out = out + (fk / fs)[..., None] * av[
+                        ..., 9 + k * 16 + 10 : 9 + k * 16 + 12]
+                return out
+
+            uv_tl = uv_at(bx + 0.5, by + 0.5)
+            uv_tr = uv_at(bx + 1.5, by + 0.5)
+            uv_bl = uv_at(bx + 0.5, by + 1.5)
+        same_x = same_y = same_bx = same_by = None
+    else:
+        # forward-difference LOD neighbors; sharded callers pass the true
+        # rows above/below the slab (ppermute) so seam rows pick the same
+        # mip as single-chip.  Backward (-x/-y) same-triangle masks gate
+        # the fallback derivative so it never reads across a triangle edge
+        # (ops/texture.py _edge_gated_uv_derivs).
+        append_y = tri_id[-1:, :] if next_tri_row is None else next_tri_row
+        prepend_y = tri_id[:1, :] if prev_tri_row is None else prev_tri_row
+        same_x = jnp.diff(tri_id, axis=1, append=tri_id[:, -1:]) == 0
+        same_y = jnp.diff(tri_id, axis=0, append=append_y) == 0
+        same_bx = jnp.diff(tri_id, axis=1, prepend=tri_id[:, :1]) == 0
+        same_by = jnp.diff(tri_id, axis=0, prepend=prepend_y) == 0
 
     quad_flat = scene.quad_img.reshape(-1, scene.quad_img.shape[-1])
     atlas_width = scene.quad_img.shape[1]
@@ -1094,16 +1140,33 @@ def resolve_materials(
         base_w = rect0[..., 2] * jnp.abs(scale[..., 0])
         base_h = rect0[..., 3] * jnp.abs(scale[..., 1])
         # sharded: true neighbor rows for the y derivatives at slab seams
-        ua, ub = row_halo(suv) if row_halo is not None else (None, None)
+        # (forward-difference mode only; quad mode needs no neighbors)
+        ua, ub = (row_halo(suv) if row_halo is not None and not quad_lod
+                  else (None, None))
+        _sk = settings.mat_select_kernel and _use_pallas(settings)
+        _itp = settings.pallas_interpret
+        if quad_lod:
+            # derivatives of the TRANSFORMED uv, like the shader's quad:
+            # transform the helper-corner uvs with this slot's KHR
+            # transform, then difference (ddx = TR - TL, ddy = BL - TL)
+            t_os = uv_os[..., slot * 4 : slot * 4 + 4]
+            t_rot = uv_rot[..., slot * 2 : slot * 2 + 2]
+            s_tl = tex.apply_texture_transform(uv_tl, t_os, t_rot)
+            d_dx = tex.apply_texture_transform(uv_tr, t_os, t_rot) - s_tl
+            d_dy = tex.apply_texture_transform(uv_bl, t_os, t_rot) - s_tl
         if settings.texture_filter == "anisotropic":
             # D3D12_FILTER_ANISOTROPIC analog: N trilinear taps along the
             # major-axis footprint; minor-axis LOD (ops/texture.py)
             n = settings.max_anisotropy
-            lod, dmaj, extent = tex.uv_screen_lod_aniso(
-                suv, base_w, base_h, same_x, same_y, n,
-                uv_above=ua, uv_below=ub,
-                same_tri_bx=same_bx, same_tri_by=same_by,
-            )
+            if quad_lod:
+                lod, dmaj, extent = tex.footprint_lod_aniso(
+                    d_dx, d_dy, base_w, base_h, n)
+            else:
+                lod, dmaj, extent = tex.uv_screen_lod_aniso(
+                    suv, base_w, base_h, same_x, same_y, n,
+                    uv_above=ua, uv_below=ub,
+                    same_tri_bx=same_bx, same_tri_by=same_by,
+                )
             frac = settings.aniso_compact_frac
             if 0.0 < frac < 1.0:
                 # Compacted line taps (round-5): only GRAZING pixels have an
@@ -1142,10 +1205,12 @@ def resolve_materials(
                     acc = acc + _sample_trilinear_any(
                         quad_flat, atlas_width, rect_c,
                         suv_c + dmaj_c * t[..., None], lod_c,
+                        select_kernel=_sk, interpret=_itp,
                     )
                 acc = acc / n
                 center = _sample_trilinear_any(
-                    quad_flat, atlas_width, rect0, suv, lod)
+                    quad_flat, atlas_width, rect0, suv, lod,
+                    select_kernel=_sk, interpret=_itp)
                 img = flat(center)
                 img = img.at[jnp.where(ok_c, ids, n_pix)].set(
                     acc, mode="drop")
@@ -1160,16 +1225,21 @@ def resolve_materials(
                 acc = acc + _sample_trilinear_any(
                     quad_flat, atlas_width, rect0,
                     suv + dmaj * t[..., None], lod,
+                    select_kernel=_sk, interpret=_itp,
                 )
             return acc / n
-        lod = tex.uv_screen_lod(
-            suv, base_w, base_h, same_x, same_y, uv_above=ua, uv_below=ub,
-            same_tri_bx=same_bx, same_tri_by=same_by,
-        )
+        if quad_lod:
+            lod = tex.footprint_lod(d_dx, d_dy, base_w, base_h)
+        else:
+            lod = tex.uv_screen_lod(
+                suv, base_w, base_h, same_x, same_y, uv_above=ua,
+                uv_below=ub, same_tri_bx=same_bx, same_tri_by=same_by,
+            )
         if settings.texture_filter == "bilinear":
             level = jnp.round(jnp.maximum(lod, 0.0)).astype(jnp.int32)
             return _sample_level_any(quad_flat, atlas_width, rect0, suv, level)
-        return _sample_trilinear_any(quad_flat, atlas_width, rect0, suv, lod)
+        return _sample_trilinear_any(quad_flat, atlas_width, rect0, suv, lod,
+                                     select_kernel=_sk, interpret=_itp)
 
     albedo = M(PK.M_BCF, 3) * v_color[..., :3]
     alpha = M(PK.M_ALPHA) * v_color[..., 3]

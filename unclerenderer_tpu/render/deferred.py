@@ -242,6 +242,9 @@ def deferred_frame(
                 matmul_gather=(
                     settings.env_matmul_gather and common._use_pallas(settings)
                 ),
+                select_kernel=(
+                    settings.env_select_kernel and common._use_pallas(settings)
+                ),
                 interpret=settings.pallas_interpret,
             )[..., :3]
 

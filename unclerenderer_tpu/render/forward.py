@@ -120,7 +120,12 @@ def forward_frame(
         def env_sample(direction, lod):
             # packed-trilinear atlas: both taps from one 64-lane row gather
             return tex.sample_cube_pyramid_tri(
-                env_flat, env_w, scene.env_rect0, direction, lod
+                env_flat, env_w, scene.env_rect0, direction, lod,
+                select_kernel=(
+                    settings.env_select_kernel
+                    and common._use_pallas(settings)
+                ),
+                interpret=settings.pallas_interpret,
             )[..., :3]
 
         def env_sample_level(direction, level):

@@ -68,6 +68,13 @@ class RenderSettings:
     # tap at the correct minor-axis LOD and are COUNTED
     # (stats "aniso_tap_overflow").  0/1 = dense N-tap path everywhere.
     aniso_compact_frac: float = 0.5
+    # Mip-selection derivatives: "quad" = D3D's 2x2-quad coarse
+    # derivatives with exact helper-lane semantics, evaluated analytically
+    # from the pixel's own triangle at the quad corners (closes
+    # ARCHITECTURE deviation #3; needs no neighbor reads or sharded
+    # halos); "forward" = the rounds-1-4 per-pixel forward differences
+    # with triangle-edge fallbacks.
+    lod_derivatives: str = "quad"
     # user knob: allow fusing material maps into the combined atlas
     enable_combined_material: bool = True
     # Packed-trilinear material atlas: each texel row carries its own 2x2
@@ -230,6 +237,12 @@ class RenderSettings:
     # stats().giant_truncated -- lower the divisors when nonzero.
     bin_mid_divisor: int = 16
     bin_giant_divisor: int = 128
+    # Giant-level kernel chunk (0 = big_chunk).  The giant population is
+    # tiny (tens of triangles) but each overlaps most tiles, so the skip
+    # granularity IS the cost: chunk 32 evaluated 10x the real px-tri work
+    # at the bench tiers (round-5 diagnosis); a small chunk tightens it.
+    # Bit-identical output for any value (ascending-chunk accumulation).
+    bin_giant_chunk: int = 8
     # mask-compaction primitive for every compact (primary/mid/giant x
     # cam/shadow -- ~6/frame): "sort" = packed i32 sort, "scatter" =
     # cumsum ranks + unique-index scatter (ops/raster.py compact_mask;
@@ -254,6 +267,19 @@ class RenderSettings:
     # one-hot contraction is ~1-2 ms of MXU.  Bit-exact.  prof_env rows
     # pick the default.
     env_matmul_gather: bool = False
+    # Seamless env decode in a Pallas kernel (ops/texture.py
+    # _env_select_kernel).  Default OFF: measured a 16.9 ms LOSS in-frame
+    # on metal (round 5) -- the decode works on 4-lane channel groups, so
+    # every VPU op in the kernel wastes 31/32 lanes; XLA's materialized
+    # chain is lane-dense and wins despite the extra HBM traffic.  Kept
+    # (CI-tested bit-compatible) for a future lane-transposed formulation.
+    env_select_kernel: bool = False
+    # Same VMEM-decode treatment for the packed-trilinear MATERIAL rows
+    # (ops/texture.py _mat_select_kernel).  Default OFF like the env
+    # kernel: the decode is lane-sparse (16-lane groups), and the round-5
+    # XLA select-then-decode restructure already halves the materialized
+    # f32 row traffic.  Kept CI-tested for a lane-transposed retry.
+    mat_select_kernel: bool = False
 
 
 # material-count boundary for material_packed_trilinear="auto".  Measured

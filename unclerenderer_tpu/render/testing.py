@@ -538,7 +538,13 @@ def synthetic_device_scene(
         assert not with_masked, "rich_materials does not model MASK materials"
         sponza = None
         if texture_source == "sponza":
-            sponza = sponza_material_chains()
+            import os as _os
+
+            # material-resolution cap: 256 is the proven-stable judged
+            # default; UNCLE_SPONZA_CAP=512 runs the 805 MB atlas tier
+            # (upload now a single blocking device_put -- VERDICT r4 #7)
+            sponza = sponza_material_chains(
+                max_dim=int(_os.environ.get("UNCLE_SPONZA_CAP", "256")))
         if sponza is not None:
             combo_chains, sp_factors = sponza
             n_combos = len(combo_chains)
@@ -628,6 +634,21 @@ def synthetic_device_scene(
 
 
 def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) -> DeviceScene:
+    # Large atlases upload via ONE explicit blocking device_put: letting a
+    # multi-hundred-MB jnp.asarray pipeline asynchronously with the
+    # following compile wedged the TPU relay 3/3 times at the 512-cap
+    # (805 MB) sponza tier while the same bytes as a single synchronous
+    # device_put moved in 2.3 s (BENCHLOG round 6; VERDICT r4 next-step #7).
+    if quad_img.nbytes > (256 << 20):
+        import jax
+
+        dtype = (jnp.bfloat16 if quad_img.dtype != np.uint8 else None)
+        quad_dev = jax.device_put(
+            quad_img if dtype is None else quad_img.astype(dtype))
+        jax.block_until_ready(quad_dev)
+    else:
+        quad_dev = (jnp.asarray(quad_img) if quad_img.dtype == np.uint8
+                    else jnp.asarray(quad_img, jnp.bfloat16))
     return DeviceScene(
         position=jnp.asarray(data.position),
         # lane-dense [vertex slot][x/y/z][tri] for the SoA vertex stage
@@ -654,8 +675,7 @@ def _assemble_device_scene(data, tex_ids, has_map, quad_img, tri_geo, tri_mrec) 
         object_ids=jnp.asarray(data.object_ids),
         bounds_min=jnp.asarray(data.bounds_min_arr),
         bounds_max=jnp.asarray(data.bounds_max_arr),
-        quad_img=(jnp.asarray(quad_img) if quad_img.dtype == np.uint8
-                  else jnp.asarray(quad_img, jnp.bfloat16)),
+        quad_img=quad_dev,
         brdf_lut=jnp.full((32, 128, 2), 0.5, jnp.float32),
         env_quad=jnp.full((8, 128, 128), 0.1, jnp.bfloat16),
         env_rect0=jnp.zeros((6, 4), jnp.float32).at[:, 2:].set(1.0),
