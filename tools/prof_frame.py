@@ -111,7 +111,9 @@ def main():
         combined_material=True, pallas_interpret=INTERPRET,
         material_packed_trilinear=PACKED_TRI,
         material_atlas_u8=ATLAS_U8,
-        texture_filter=os.environ.get("PROF_FILTER", "trilinear"),
+        # default tracks the SHIPPED sampler (RenderSettings.texture_filter
+        # = anisotropic since round 5); PROF_FILTER overrides for rows
+        texture_filter=os.environ.get("PROF_FILTER", "anisotropic"),
         env_matmul_gather=ENV_MM,
         **({"aniso_compact_frac": float(ANISO_FRAC)} if ANISO_FRAC else {}),
         **overrides,

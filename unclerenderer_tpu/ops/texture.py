@@ -799,7 +799,11 @@ def sample_cube_pyramid_tri(
         row = gather_rows_onehot_matmul(env_tri_flat, env_rows,
                                         interpret=interpret)
     else:
-        row = jnp.take(env_tri_flat, env_rows, axis=0).astype(jnp.float32)
+        # SELECT-THEN-DECODE: border/window selects commute exactly with
+        # the per-element bf16->f32 convert, so they run on the RAW rows
+        # and only the winning lane groups convert (the full-row convert
+        # alone cost 2.45 ms/frame -- round-5 IBLAmbient op dump)
+        row = jnp.take(env_tri_flat, env_rows, axis=0)
     quad = row[..., 0:16]
     q00, q10 = quad[..., 0:4], quad[..., 4:8]
     q01, q11 = quad[..., 8:12], quad[..., 12:16]
@@ -814,6 +818,7 @@ def sample_cube_pyramid_tri(
         br = jnp.where(m_ix & m_iy, q00, jnp.where(m_ix, q01, jnp.where(m_iy, q10, q11)))
     else:
         tl, tr, bl, br = q00, q10, q01, q11
+    tl, tr, bl, br = (v.astype(jnp.float32) for v in (tl, tr, bl, br))
     a = (tl * (1.0 - fx) + tr * fx) * (1.0 - fy) + (bl * (1.0 - fx) + br * fx) * fy
 
     # --- tap b: mip l0+1, reconstructed from the packed parent 3x3 (whose
@@ -844,8 +849,8 @@ def sample_cube_pyramid_tri(
     win_t = jnp.where(cox[..., None] == 0, r3[..., 0, 0:2, :], r3[..., 0, 1:3, :])
     win_m = jnp.where(cox[..., None] == 0, r3[..., 1, 0:2, :], r3[..., 1, 1:3, :])
     win_b = jnp.where(cox[..., None] == 0, r3[..., 2, 0:2, :], r3[..., 2, 1:3, :])
-    row_top = jnp.where(roy[..., None] == 0, win_t, win_m)
-    row_bot = jnp.where(roy[..., None] == 0, win_m, win_b)
+    row_top = jnp.where(roy[..., None] == 0, win_t, win_m).astype(jnp.float32)
+    row_bot = jnp.where(roy[..., None] == 0, win_m, win_b).astype(jnp.float32)
     top2 = row_top[..., 0, :] * (1.0 - fx2) + row_top[..., 1, :] * fx2
     bot2 = row_bot[..., 0, :] * (1.0 - fx2) + row_bot[..., 1, :] * fx2
     b = top2 * (1.0 - fy2) + bot2 * fy2

@@ -101,6 +101,10 @@ def render_frame_multichip(
             # (raster_shadow shards rows only after setup), so the count
             # is replicated, not psummed (render/deferred.py)
             "shadow_compact_overflow": rep,
+            # anisotropic filtering adds its per-slab tap-overflow count
+            # (already psummed inside deferred_frame -> replicated here)
+            **({"aniso_tap_overflow": rep}
+               if settings.texture_filter == "anisotropic" else {}),
         },
         "frustum_culled": rep,
         "hzb_occluded": rep,

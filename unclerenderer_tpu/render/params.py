@@ -54,20 +54,23 @@ class RenderSettings:
     slot_enabled: tuple = (True, True, True, True)
     # "bilinear" (nearest mip), "trilinear", or "anisotropic"
     # (max_anisotropy trilinear taps along the major-axis footprint -- the
-    # D3D12_FILTER_ANISOTROPIC analog the reference samplers use; costs N
-    # taps).  Round-4 metal: trilinear on the packed atlas costs LESS than
-    # round 3's bilinear did (resolve 64.0 vs 86.5 ms at the 263k tier), so
-    # the parity-minimum trilinear is the default (closes ARCHITECTURE
-    # deviation #1; reference samplers: ForwardRenderer.cpp:956-1014).
-    texture_filter: str = "trilinear"
+    # D3D12_FILTER_ANISOTROPIC analog).  DEFAULT = the reference's ACTUAL
+    # material sampler (D3D12_FILTER_ANISOTROPIC, MaxAnisotropy=4 --
+    # ForwardRenderer.cpp:956-961, DeferredRenderer.cpp:1648): round-5
+    # metal priced dense aniso at 1.30x trilinear (178.1 vs 137.2 ms at
+    # the 263k tier) after the round's sampler work, affordable enough to
+    # retire ARCHITECTURE deviation #1 and make the headline measure the
+    # reference's renderer, not a cheaper cousin.
+    texture_filter: str = "anisotropic"
     max_anisotropy: int = 4
-    # Compacted anisotropic line taps (round 5): the N offset taps run only
-    # over a compacted list of GRAZING pixels (extent > 0; head-on pixels'
-    # N coincident taps equal one trilinear sample exactly), capped at this
-    # fraction of the image.  Pixels past the cap fall back to the center
-    # tap at the correct minor-axis LOD and are COUNTED
-    # (stats "aniso_tap_overflow").  0/1 = dense N-tap path everywhere.
-    aniso_compact_frac: float = 0.5
+    # Compacted anisotropic line taps: the N offset taps run only over a
+    # compacted list of GRAZING pixels (extent > 0), capped at this
+    # fraction of the image (overflow counted, never silent).  Default 0 =
+    # dense taps: round-5 metal measured the compacted path a big LOSS
+    # (frac 0.5: 317 ms, frac 0.25: 239.5 vs DENSE 178.1 -- the 2M-pixel
+    # compaction sort + per-tap row gathers + scatter-back cost far more
+    # than the skipped taps).  Kept CI-tested for smaller-image use.
+    aniso_compact_frac: float = 0.0
     # Mip-selection derivatives: "quad" = D3D's 2x2-quad coarse
     # derivatives with exact helper-lane semantics, evaluated analytically
     # from the pixel's own triangle at the quad corners (closes

@@ -211,7 +211,7 @@ _SPONZA_GLTF = "/root/reference/Assets/sponza/untitled.gltf"
 _sponza_chain_cache: dict = {}
 
 
-def sponza_material_chains(max_combos: int | None = None, max_dim: int = 256):
+def sponza_material_chains(max_combos: int | None = None, max_dim: int = 512):
     """Combined 16-channel chains from the REAL Sponza material table.
 
     The mounted reference checkout is missing sponza's geometry
@@ -253,11 +253,12 @@ def sponza_material_chains(max_combos: int | None = None, max_dim: int = 256):
             return None
         # cap at max_dim by dropping leading mips: at native resolutions
         # (1024^2 most sets, 2048^2 curtains) the quad atlas would cost
-        # 3.2-5.4 GB of HBM/upload/cache.  The 256 default (201 MB atlas)
-        # is the largest PROVEN stable through the TPU relay -- the 512-cap
-        # 805 MB atlas wedged/crashed the relay worker 3/3 times at upload
-        # (BENCHLOG round 6); still the full 24-material diversity and the
-        # procedural tier's texel count.  Raise per-call for experiments.
+        # 3.2-5.4 GB of HBM/upload/cache.  512 (805 MB atlas) is the
+        # round-5 default: the round-6 wedges were the ASYNC upload
+        # pipelining against the following compile, fixed by the single
+        # blocking device_put in _assemble_device_scene (VERDICT r4 #7);
+        # the 512-cap frame measured ~equal to 256 (417.3 vs 418.0 ms on
+        # the box tier) with twice the native-resolution content.
         while chain and max(chain[0].shape[:2]) > max_dim and len(chain) > 1:
             chain = chain[1:]
         return chain
@@ -378,37 +379,65 @@ def sponza_faithful_scene_data(seed: int = 0) -> SceneData | None:
         bmin = np.array([bmin[0], bmin[1], zmin], np.float32) * _SCALE + _TRANS
         bmax = np.array([bmax[0], bmax[1], zmax], np.float32) * _SCALE + _TRANS
         ext = np.maximum(bmax - bmin, 1e-3)
-        order = np.argsort(-ext)  # sheet axes = two largest extents
-        au, av, ad = int(order[0]), int(order[1]), int(order[2])
 
-        n_sheets = int(np.clip(round(n_tris / 6000), 1, 6))
-        per = max(1, n_tris // n_sheets)
-        gs = max(1, int(np.sqrt(per / 2)))
+        # Distribute the primitive's triangles over its AABB's six FACES
+        # (a box shell): sponza geometry hugs surfaces around volumes, so
+        # shells reproduce its occlusion structure -- an earlier
+        # interior-sheet formulation stacked ~80 unoccluded layers through
+        # the camera frustum and measured 2.5x the plausible frame cost
+        # (round-5 metal row).  Triangles per face ~ face area; normals
+        # point INWARD (the camera walks the atrium interior, like the
+        # reference's), so backface culling works like real walls.
+        faces = []  # (axis, sign, ua, va)
+        areas = []
+        for ax in range(3):
+            ua_, va_ = [(1, 2), (0, 2), (0, 1)][ax]
+            area = float(ext[ua_] * ext[va_])
+            for sign in (0, 1):
+                faces.append((ax, sign, ua_, va_))
+                areas.append(area)
+        areas = np.asarray(areas)
+        quota = np.maximum((areas / areas.sum() * (n_tris / 2.0)), 1.0)
         parts, made = [], 0
-        s_i = 0
-        while made < n_tris:
-            g_u = gs
-            g_v = max(1, -(-((n_tris - made) // 2)) // g_u) if (
-                made + 2 * gs * gs > n_tris) else gs
-            frac = (s_i + 0.5 + 0.35 * (rng.random() - 0.5)) / max(n_sheets, 1)
-            frac = float(np.clip(frac, 0.05, 0.95))
-            margin = 0.04 * ext
-            origin = bmin + margin
+        for f_i, (ax, sign, ua_, va_) in enumerate(faces):
+            if made >= n_tris:
+                break
+            want = int(quota[f_i]) if f_i < len(faces) - 1 else max(
+                (n_tris - made + 1) // 2, 1)
+            aspect = max(float(ext[ua_] / max(ext[va_], 1e-3)), 1e-3)
+            g_u = max(1, int(np.sqrt(want * aspect)))
+            g_v = max(1, want // g_u)
+            origin = bmin.copy()
+            origin[ax] = bmax[ax] if sign else bmin[ax]
             du = np.zeros(3, np.float32)
             dv = np.zeros(3, np.float32)
-            du[au] = ext[au] - 2 * margin[au]
-            dv[av] = ext[av] - 2 * margin[av]
-            origin[ad] = bmin[ad] + frac * ext[ad]
-            # alternate facing so sheets are visible from both sides of
-            # the arena; depth-axis normal
+            du[ua_] = ext[ua_]
+            dv[va_] = ext[va_]
             normal = np.zeros(3, np.float32)
-            normal[ad] = 1.0 if (s_i % 2 == 0) else -1.0
-            urep = float(np.clip(round(ext[au] / 1.5), 1, 16))
-            vrep = float(np.clip(round(ext[av] / 1.5), 1, 16))
-            parts.append(sheet(g_u, g_v, (au, av), origin, du, dv,
+            # inward-facing: +axis face looks toward -axis and vice versa
+            normal[ax] = -1.0 if sign else 1.0
+            urep = float(np.clip(round(ext[ua_] / 1.5), 1, 16))
+            vrep = float(np.clip(round(ext[va_] / 1.5), 1, 16))
+            parts.append(sheet(g_u, g_v, (ua_, va_), origin, du, dv,
                                normal, urep, vrep))
             made += 2 * g_u * g_v
-            s_i += 1
+        # top up any shortfall with an extra strip on the largest face
+        while made < n_tris:
+            ax, sign, ua_, va_ = faces[int(np.argmax(areas))]
+            need = n_tris - made
+            g_u = max(1, int(np.sqrt(need / 2)))
+            g_v = max(1, -(-need // (2 * g_u)))
+            origin = bmin.copy()
+            origin[ax] = bmax[ax] if sign else bmin[ax]
+            du = np.zeros(3, np.float32)
+            dv = np.zeros(3, np.float32)
+            du[ua_] = ext[ua_]
+            dv[va_] = ext[va_]
+            normal = np.zeros(3, np.float32)
+            normal[ax] = -1.0 if sign else 1.0
+            parts.append(sheet(g_u, g_v, (ua_, va_), origin, du, dv,
+                               normal, 1.0, 1.0))
+            made += 2 * g_u * g_v
         # concatenate sheets, then TRIM to the exact accessor count (the
         # layout is de-indexed downstream, so per-triangle trimming is a
         # pure slice)
@@ -540,11 +569,11 @@ def synthetic_device_scene(
         if texture_source == "sponza":
             import os as _os
 
-            # material-resolution cap: 256 is the proven-stable judged
-            # default; UNCLE_SPONZA_CAP=512 runs the 805 MB atlas tier
-            # (upload now a single blocking device_put -- VERDICT r4 #7)
+            # material-resolution cap: 512 (805 MB atlas) since round 5 --
+            # the round-6 upload wedge was async pipelining, fixed by the
+            # blocking device_put below (VERDICT r4 #7)
             sponza = sponza_material_chains(
-                max_dim=int(_os.environ.get("UNCLE_SPONZA_CAP", "256")))
+                max_dim=int(_os.environ.get("UNCLE_SPONZA_CAP", "512")))
         if sponza is not None:
             combo_chains, sp_factors = sponza
             n_combos = len(combo_chains)
