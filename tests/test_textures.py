@@ -322,9 +322,10 @@ def test_sponza_material_chains_from_reference():
     chains, factors = sp
     assert len(chains) == len(factors) >= 2
     for ch in chains:
-        # combined 16-channel chains, capped at 256, full mip pyramid
+        # combined 16-channel chains, capped at 512 (the round-5 judged
+        # default -- UNCLE_SPONZA_CAP), full mip pyramid
         assert ch[0].shape[-1] == 16
-        assert max(ch[0].shape[:2]) <= 256
+        assert max(ch[0].shape[:2]) <= 512
         assert ch[-1].shape[:2] == (1, 1)
     # the gltf's real constants ride along (sponza is non-metallic)
     assert all(float(f["metallic"]) == 0.0 for f in factors)

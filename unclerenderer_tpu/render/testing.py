@@ -400,6 +400,15 @@ def sponza_faithful_scene_data(seed: int = 0) -> SceneData | None:
         areas = np.asarray(areas)
         quota = np.maximum((areas / areas.sum() * (n_tris / 2.0)), 1.0)
         parts, made = [], 0
+        # grid-cell size cap (world meters; the AABBs carry the reference
+        # world's 0.01 scale already): a low-count prim spread over a
+        # building-wide AABB face would otherwise emit thousands of GIANT
+        # triangles real meshes don't have (decor geometry clusters; only
+        # true walls are giant).  Faces whose cells would exceed the cap
+        # shrink to a centered patch -- counts and AABB containment
+        # unchanged.  First judged run without the cap: ~30k giant-class
+        # triangles, 1617 ms (BENCHLOG).
+        _CELL_CAP = 1.0
         for f_i, (ax, sign, ua_, va_) in enumerate(faces):
             if made >= n_tris:
                 break
@@ -408,12 +417,16 @@ def sponza_faithful_scene_data(seed: int = 0) -> SceneData | None:
             aspect = max(float(ext[ua_] / max(ext[va_], 1e-3)), 1e-3)
             g_u = max(1, int(np.sqrt(want * aspect)))
             g_v = max(1, want // g_u)
+            patch_u = min(float(ext[ua_]), g_u * _CELL_CAP)
+            patch_v = min(float(ext[va_]), g_v * _CELL_CAP)
             origin = bmin.copy()
+            origin[ua_] += (ext[ua_] - patch_u) * 0.5
+            origin[va_] += (ext[va_] - patch_v) * 0.5
             origin[ax] = bmax[ax] if sign else bmin[ax]
             du = np.zeros(3, np.float32)
             dv = np.zeros(3, np.float32)
-            du[ua_] = ext[ua_]
-            dv[va_] = ext[va_]
+            du[ua_] = patch_u
+            dv[va_] = patch_v
             normal = np.zeros(3, np.float32)
             # inward-facing: +axis face looks toward -axis and vice versa
             normal[ax] = -1.0 if sign else 1.0
@@ -428,12 +441,16 @@ def sponza_faithful_scene_data(seed: int = 0) -> SceneData | None:
             need = n_tris - made
             g_u = max(1, int(np.sqrt(need / 2)))
             g_v = max(1, -(-need // (2 * g_u)))
+            patch_u = min(float(ext[ua_]), g_u * _CELL_CAP)
+            patch_v = min(float(ext[va_]), g_v * _CELL_CAP)
             origin = bmin.copy()
+            origin[ua_] += (ext[ua_] - patch_u) * 0.5
+            origin[va_] += (ext[va_] - patch_v) * 0.5
             origin[ax] = bmax[ax] if sign else bmin[ax]
             du = np.zeros(3, np.float32)
             dv = np.zeros(3, np.float32)
-            du[ua_] = ext[ua_]
-            dv[va_] = ext[va_]
+            du[ua_] = patch_u
+            dv[va_] = patch_v
             normal = np.zeros(3, np.float32)
             normal[ax] = -1.0 if sign else 1.0
             parts.append(sheet(g_u, g_v, (ua_, va_), origin, du, dv,
