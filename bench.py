@@ -564,14 +564,16 @@ def main() -> int:
         # (delta recorded in BENCHLOG).
         if "BENCH_GEOMETRY" not in os.environ:
             # skipped in scaled-down smoke runs (262k fixed-size tier).
-            # Wider mid/giant capacities: real-sponza-shaped content has
-            # tens of thousands of mid/giant-class triangles (the building
-            # shells), and the sphere tier's caps dropped 28.5k of them
-            # (giant_truncated) in the first round-5 run -- honesty
-            # requires zero drops even on the stress row.
+            # Wider MID capacity (the shell content is mid-triangle-heavy);
+            # the GIANT cap stays default: the atrium camera inside ~25
+            # nested shells sees ~6.8k giant-class near-field triangles,
+            # and rasterizing them all costs 1.5 s/frame (measured) for a
+            # tier that is an overdraw artifact of AABB-only synthesis to
+            # begin with.  The row therefore reports WITH its counted
+            # giant_truncated drops (sponza_faithful_drop_counters below)
+            # -- measured honestly, labeled as the stress bound it is.
             _row("sponza_faithful",
-                 dataclasses.replace(
-                     settings, bin_mid_divisor=4, bin_giant_divisor=16),
+                 dataclasses.replace(settings, bin_mid_divisor=4),
                  geometry="sponza")
     except Exception as e:  # noqa: BLE001
         print(f"secondary synthetic rows failed: {e!r}", file=sys.stderr)

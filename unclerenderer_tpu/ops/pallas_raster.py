@@ -253,8 +253,14 @@ def _raster_kernel_onepass(
 
 
 # one-pass auto threshold: whole coef table in VMEM = t_pad * 16 rows * 4 B
-# (256 KB at 4096 tris) + valid + records; giant-level caps sit far below.
-_ONEPASS_MAX_TRIS = 4096
+# (1 MB at 16384 tris) + valid (+ records when present -- those can carry
+# up to 128 f32 columns, so the attrs path keeps the tighter bound: at
+# 16384 rows a 128-col record block alone is 8 MB of the 16 MB budget).
+# Falling off this threshold costs a 2D (tiles x chunks) grid whose DEAD
+# steps dominate (the round-5 faithful-tier first run paid ~1.4 s of
+# skipped grid steps at a 16k giant cap).
+_ONEPASS_MAX_TRIS = 16384
+_ONEPASS_MAX_TRIS_ATTRS = 4096
 
 
 def _mat_kernel(x_ref, o_ref):
@@ -379,7 +385,13 @@ def rasterize_pallas(
     want_attrs = records is not None
     pix = tile_h * tile_w
     if onepass is None:
-        onepass = t_pad <= _ONEPASS_MAX_TRIS
+        # narrow records (the giant level's 1-col id emission) are VMEM-
+        # cheap; only WIDE record blocks (fused resolve, up to 128 cols)
+        # keep the tight bound
+        wide_rec = records is not None and records.shape[-1] > 8
+        onepass = t_pad <= (
+            _ONEPASS_MAX_TRIS_ATTRS if wide_rec else _ONEPASS_MAX_TRIS
+        )
     out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.float32)]
     if want_ids:
         out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, pix), jnp.int32))
