@@ -112,8 +112,9 @@ def main():
         material_packed_trilinear=PACKED_TRI,
         material_atlas_u8=ATLAS_U8,
         # default tracks the SHIPPED sampler (RenderSettings.texture_filter
-        # = anisotropic since round 5); PROF_FILTER overrides for rows
-        texture_filter=os.environ.get("PROF_FILTER", "anisotropic"),
+        # = trilinear; the aniso flip was reverted on judged-tier cost --
+        # params.py); PROF_FILTER overrides for decision rows
+        texture_filter=os.environ.get("PROF_FILTER", "trilinear"),
         env_matmul_gather=ENV_MM,
         **({"aniso_compact_frac": float(ANISO_FRAC)} if ANISO_FRAC else {}),
         **overrides,
