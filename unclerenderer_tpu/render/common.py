@@ -539,7 +539,8 @@ def raster_masked_combine(
         ids_m = jnp.where(sel_valid, sel, jnp.int32(t_count))
         rec_m = records[sel]
         local = jnp.clip(
-            jnp.searchsorted(ids_m, safe_m).astype(jnp.int32), 0, sel.shape[0] - 1
+            jnp.searchsorted(ids_m, safe_m, method="scan_unrolled")
+            .astype(jnp.int32), 0, sel.shape[0] - 1
         )
         attr_m = rec_m[local]
     else:
@@ -775,7 +776,8 @@ def _rasterize_alpha_binned(
         blk_global = bins.tri_id[:, 0, :]
         if arec_ids is not None:
             blk_rows = jnp.clip(
-                jnp.searchsorted(arec_ids, blk_global.reshape(-1))
+                jnp.searchsorted(arec_ids, blk_global.reshape(-1),
+                                 method="scan_unrolled")
                 .reshape(blk_global.shape).astype(jnp.int32),
                 0, arec.shape[0] - 1,
             )
