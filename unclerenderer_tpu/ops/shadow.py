@@ -356,29 +356,6 @@ def _select9_kernel(rows_ref, base_ref, out_ref, *, deltas, pix, lanes_n):
         out_ref[0, :, k] = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
 
 
-def _select9(rows: jnp.ndarray, base: jnp.ndarray, deltas, interpret=False):
-    """(N, L) f32 rows (L = 128 or 256) + (N,) i32 base -> (N, 9) f32 via
-    Pallas.  u16 rows cast to f32 in XLA, where the cast fuses into the
-    gather producer (integer depths <= 65535 convert exactly); feeding the
-    u16 bits into the kernel itself was measured a LOSS on metal -- both a
-    bitcast-i32-pair unpack and a concat-to-128-lane variant held the
-    select at ~36 ms vs f32's ~6 (the 64-lane i32 input block defeats
-    Mosaic's native layout), while the XLA-side cast costs ~1 ms of
-    bandwidth and keeps the kernel on the measured-fast f32 path."""
-    from jax.experimental import pallas as pl
-
-    if rows.dtype != jnp.float32:
-        rows = rows.astype(jnp.float32)
-    n, lanes_n = rows.shape
-    pix = 1024
-    n_pad = -(-n // pix) * pix
-    rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0))).reshape(-1, pix, lanes_n)
-    base_p = jnp.pad(base, (0, n_pad - n)).reshape(-1, 1, pix)
-    grid = n_pad // pix
-    return _select9_call(
-        rows_p, base_p, grid, pix, lanes_n, deltas, interpret)[:n, :9]
-
-
 def _select9_call(rows_p, base_p, grid, pix, lanes_n, deltas, interpret):
     from jax.experimental import pallas as pl
     out = pl.pallas_call(
