@@ -100,6 +100,8 @@ def main():
         ("PROF_MID_DIV", "bin_mid_divisor", int),
         ("PROF_ALIGN_SCATTER", "bin_align_scatter", lambda v: bool(int(v))),
         ("PROF_GIANT_CHUNK", "bin_giant_chunk", int),
+        ("PROF_SHADOW_GIANT_TILE_H", "shadow_giant_tile_h", int),
+        ("PROF_SHADOW_GIANT_TILE_W", "shadow_giant_tile_w", int),
     ]:
         if os.environ.get(env):
             overrides[field] = conv(os.environ[env])

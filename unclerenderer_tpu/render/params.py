@@ -163,7 +163,10 @@ class RenderSettings:
     shadow_big_tile_h: int = 32
     shadow_big_tile_w: int = 128
     shadow_giant_tile_h: int = 64
-    shadow_giant_tile_w: int = 256
+    # 64x512 giant tiles at 4096^2: round-5 sweep -1.45 ms vs 64x256
+    # (fewer grid steps over the dense giant overlap); 128x512 fails to
+    # compile on metal (64k-px blocks overflow the kernel's VMEM scope)
+    shadow_giant_tile_w: int = 512
     # pair budget for shadow binning: spans at 32x128 tiles are mostly one
     # tile, so 1.5 still carries wide margin (overflow is counted in stats)
     shadow_bin_budget_factor: float = 1.5
